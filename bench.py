@@ -1,0 +1,53 @@
+"""Benchmark runner: times every harness query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is fully executed via a count-collapsing action that still
+materializes the result (``collect`` on the aggregated output —
+results are small aggregates; inputs never hit the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from fhc_rco_etl_scalable_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in queries.items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "harness_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,233 @@
+"""Harness query catalog: every operator from SURVEY.md §2 expressed
+over the driver's testdata tables, each with a DuckDB oracle twin.
+
+Each entry maps a reference operator (cited) onto the TPC-H-ish
+fixtures per FIXTURES.md §B: ``events.user_id`` plays LINE,
+``events.ts`` plays START_TIME, ``event_type`` the cause-trigger
+column, ``props`` the BRANDCODE.
+
+Conventions for oracle parity (driver compares row count + column
+names + order-insensitive value hash):
+- every computed column aliased identically in Spark and SQL;
+- gaps compared in integer microseconds (exact on both engines);
+- float aggregates rounded at the end (sink rounding, reference C11).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from ..operators.sessionize import rco_session_trigger, sessionize
+
+# CO trigger parameter P in minutes (reference sites use 20/30,
+# ref/StLouis*/Scripts; scaled up for the sparser events fixture).
+P_MINUTES = 360
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q_co_sessionize — the flagship: 4-clause attribute-dependent gap
+# sessionization + session aggregation (SURVEY §2.7 + A1; reference
+# mes_etl.py:68-139).
+# ---------------------------------------------------------------------------
+
+_SESSIONIZE_ORACLE = f"""
+WITH lagged AS (
+  SELECT user_id, event_id, ts, event_type, props, value,
+         lag(ts)         OVER w AS prev_ts,
+         lag(event_type) OVER w AS prev_type,
+         lag(props)      OVER w AS prev_props
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trig AS (
+  SELECT *,
+    CASE WHEN prev_ts IS NULL THEN 1
+         WHEN (
+             (event_type = prev_type AND epoch_us(ts) - epoch_us(prev_ts) < {P_MINUTES}::BIGINT * 60000000)
+          OR (event_type = prev_type AND props = prev_props
+              AND epoch_us(ts) - epoch_us(prev_ts) < {P_MINUTES}::BIGINT * 60000000 * 4 / 3)
+          OR (props = prev_props AND epoch_us(ts) - epoch_us(prev_ts) < {P_MINUTES}::BIGINT * 60000000)
+          OR (epoch_us(ts) - epoch_us(prev_ts) < {P_MINUTES}::BIGINT * 60000000 * 2 / 3)
+         ) THEN 0 ELSE 1 END AS trig
+  FROM lagged
+),
+sess AS (
+  SELECT *,
+    CAST(sum(trig) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+  FROM trig
+),
+ids AS (
+  SELECT *,
+    first_value(event_id) OVER (PARTITION BY user_id, session_num
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event_id,
+    last_value(event_id) OVER (PARTITION BY user_id, session_num
+        ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id
+  FROM sess
+)
+SELECT user_id, session_num,
+       min(ts)  AS session_start,
+       max(ts)  AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       min(first_event_id)  AS first_event_id,
+       min(last_event_id)   AS last_event_id
+FROM ids
+GROUP BY user_id, session_num
+"""
+
+
+def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → lag context → RCO trigger → session number/bounds.
+
+    Shared first stage for the sessionization-family queries. One
+    shuffle on user_id; every window reuses the same partitioning.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_props", F.lag("props").over(w))
+    )
+    # Integer-microsecond gap: exact parity with the DuckDB oracle
+    # (float division could flip a boundary comparison).
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    p_us = F.lit(P_MINUTES * 60_000_000).cast("long")
+    trigger = rco_session_trigger(
+        gap_minutes=gap_us / F.lit(60_000_000.0),
+        same_line=F.lit(True),
+        same_trigger_col=F.col("event_type") == F.col("prev_type"),
+        same_brandcode=F.col("props") == F.col("prev_props"),
+        p=p_us / F.lit(60_000_000.0),
+    )
+    return sessionize(
+        lagged,
+        trigger,
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        session_col="session_num",
+    )
+
+
+@query("co_sessionize", _SESSIONIZE_ORACLE)
+def q_co_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionized_events(spark, sf_dir)
+    w_sess = (
+        Window.partitionBy("user_id", "session_num")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        sess.withColumn("first_event_id", F.first("event_id").over(w_sess))
+        .withColumn("last_event_id", F.last("event_id").over(w_sess))
+        .groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("first_event_id").alias("first_event_id"),
+            F.min("last_event_id").alias("last_event_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_runtime_per_day — per-day tumbling aggregation (A3; reference
+# data_from_mdc.py:233-249).
+# ---------------------------------------------------------------------------
+
+@query(
+    "runtime_per_day",
+    """
+    SELECT CAST(ts AS DATE) AS Date, user_id,
+           round(sum(value), 2) AS runtime, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_runtime_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.to_date("ts").alias("Date"), "user_id")
+        .agg(F.round(F.sum("value"), 2).alias("runtime"), F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_dim_join_chain — broadcast dim join chain (J2/J3; reference
+# data_from_mdc.py:235-249 config joins).
+# ---------------------------------------------------------------------------
+
+@query(
+    "dim_join_chain",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_dim_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_semi_anti — left-semi + left-anti joins (J9/J10; reference
+# mes_etl.py:246, ref/RCO_Overall_orchestrator.R:564-565).
+# ---------------------------------------------------------------------------
+
+@query(
+    "semi_anti",
+    """
+    WITH hi AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity > 45)
+    SELECT o.o_orderstatus,
+           count(*) FILTER (WHERE hi.l_orderkey IS NOT NULL) AS n_with_bulk,
+           count(*) FILTER (WHERE hi.l_orderkey IS NULL)     AS n_without_bulk
+    FROM orders o LEFT JOIN hi ON o.o_orderkey = hi.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_quantity") > 45)
+    semi = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n_with_bulk"))
+    anti = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").groupBy(
+        "o_orderstatus"
+    ).agg(F.count("*").alias("n_without_bulk"))
+    return semi.join(anti, "o_orderstatus", "outer").na.fill(
+        0, ["n_with_bulk", "n_without_bulk"]
+    )

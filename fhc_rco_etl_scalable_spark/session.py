@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[N]``; the same config block is what we'd
+ship to a 1000-executor cluster (AQE on, skew-join handling on,
+shuffle partitions sized explicitly, UTC session time so results are
+reproducible against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fhc_rco_etl_scalable_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` sets local parallelism,
+    ``SPARK_GRAFT_SHUFFLE`` the shuffle partition count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for the test harness; on a real cluster this is
+        # ~2-3x total executor cores.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic timestamps vs the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the few pandas-UDF escape hatches.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # The harness events.parquet stores TIMESTAMP(NANOS); Spark has
+        # no nanos type — read as long, loader converts to micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Keep scans well-sized: 128m default is fine at 100 TB, the
+        # harness files are tiny so AQE coalesces them anyway.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
