@@ -1,0 +1,153 @@
+"""As-of (temporal nearest) joins — J5/J6 in SURVEY.md §2.4.
+
+The reference resolves the product (brandcode) before/after each
+changeover with a per-row Python loop over interval-filtered frames
+(reference: App/etl/transform/mes_etl.py:191-217,
+ref/RCO_MES_ETL.R:207-226). Two scalable Spark formulations:
+
+1. ``asof_join`` — the union/ffill trick: tag both sides, union on the
+   partition keys, one window pass carries the most recent right-side
+   value onto each left row. ONE shuffle on the keys, no range join,
+   no skew blowup: the right formulation when both sides are large
+   (this is how production as-of pipelines over 100 TB tick).
+
+2. ``asof_join_range`` — range join + row_number for asymmetric
+   bounds (lower AND upper): matches the reference's "within the
+   previous-CO .. CO window" semantics exactly. The anchor side
+   (changeovers) is orders of magnitude smaller than the event log,
+   so Catalyst/AQE broadcast it; the range predicate prunes the rest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    strict: bool = False,
+    tie_break: Sequence[str] = (),
+) -> DataFrame:
+    """Attach to each ``left`` row the ``value_cols`` of the nearest
+    ``right`` row (per ``on`` keys) at or before/after its timestamp.
+
+    ``direction``: 'backward' = latest right with right_ts <= left_ts
+    ('<' if strict); 'forward' = earliest right with right_ts >=
+    left_ts ('>' if strict). Ties on timestamp resolve to the LAST
+    right row in ``(ts, *tie_break)`` order for backward, the FIRST
+    for forward (deterministic given a unique tie_break).
+
+    Implementation: union-tag + windowed last/first(ignorenulls) —
+    one shuffle, linear scan per partition, whole-stage codegen.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    on = list(on)
+    value_cols = list(value_cols)
+    tie_break = list(tie_break)
+
+    left_keep = [c for c in left.columns]
+    # Left rows carry NULL markers; right rows carry only keys+values.
+    l_tag = left.select(
+        *[F.col(c) for c in left_keep],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType if c in right.columns else "string").alias(f"__tb_{c}") for c in tie_break],
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_keep if c not in on],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__tb_{c}") for c in tie_break],
+    ).select(*l_tag.columns)
+
+    unioned = l_tag.unionByName(r_tag)
+
+    # Tie ordering: backward non-strict wants right rows BEFORE the left
+    # row at equal ts (so they're visible); strict wants them AFTER.
+    # backward non-strict / forward strict: right row sorts before an
+    # equal-ts left row so the left row can(not) see it as appropriate.
+    right_first = (direction == "backward") != strict
+    order = [F.col("__ts").asc()]
+    order.append(F.col("__is_left").asc() if right_first else F.col("__is_left").desc())
+    order += [F.col(f"__tb_{c}").asc() for c in tie_break]
+
+    w = Window.partitionBy(*on).orderBy(*order)
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, 0)
+        picks = {c: F.last(f"__v_{c}", ignorenulls=True).over(frame) for c in value_cols}
+    else:
+        frame = w.rowsBetween(0, Window.unboundedFollowing)
+        picks = {c: F.first(f"__v_{c}", ignorenulls=True).over(frame) for c in value_cols}
+
+    out = unioned
+    for c, expr in picks.items():
+        out = out.withColumn(f"__pick_{c}", expr)
+    out = out.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col(c) for c in left_keep],
+        *[F.col(f"__pick_{c}").alias(c) for c in value_cols],
+    )
+
+
+def asof_join_range(
+    anchors: DataFrame,
+    events: DataFrame,
+    on: Sequence[str],
+    lower: Column,
+    upper: Column,
+    event_ts: str,
+    pick: str = "last",
+    order_cols: Sequence[Column] = (),
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Range-bounded as-of: for each anchor row, the first/last event
+    with ``lower < event_ts <= upper`` (reference J5 semantics,
+    mes_etl.py:198-207: brandcode between previous CO end and CO
+    start, preferring rows whose uptime started before the CO).
+
+    ``anchors`` must carry a unique ``__anchor_id`` column (caller
+    provides); returns anchors' columns + events' columns for the
+    picked row (event columns prefixed ``ev_``).
+
+    ``prefer``: optional boolean Column over event columns — preferred
+    rows sort first (reference's two-tier pick). Catalyst executes the
+    equi-join on ``on`` + range filter; with a small anchor side AQE
+    broadcasts it.
+    """
+    ev = events.select(
+        *[F.col(c) for c in on],
+        F.col(event_ts).alias("__ev_ts"),
+        *[F.col(c).alias(f"ev_{c}") for c in events.columns if c not in on],
+    )
+    cond = None
+    for k in on:
+        c = anchors[k] == ev[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (ev["__ev_ts"] > lower) & (ev["__ev_ts"] <= upper)
+    joined = anchors.join(ev, cond, "left")
+
+    desc = pick == "last"
+    order = []
+    if prefer is not None:
+        order.append(prefer.desc())
+    order.append(F.col("__ev_ts").desc() if desc else F.col("__ev_ts").asc())
+    order += [c.desc() if desc else c.asc() for c in order_cols]
+    w = Window.partitionBy("__anchor_id").orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__ev_ts", *[k for k in on if False])
+    )

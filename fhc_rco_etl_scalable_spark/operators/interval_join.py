@@ -1,0 +1,78 @@
+"""Interval-overlap (theta) joins — J7/J8 in SURVEY.md §2.4.
+
+The reference intersects machine stops with per-changeover windows
+``[CO_start - 5min, CO_end + 15min]`` via boolean masks inside a
+Python loop (reference: App/etl/transform/machine_level.py:66-73,
+first_stop.py:35-43). Spark-first: a key-equi join with the range
+predicate as join condition — Catalyst plans SMJ/BHJ on the keys and
+post-filters the range, which is right when keys (LINE) are selective.
+
+For 100 TB with low key cardinality, ``bucketed=True`` switches to
+time-bucketing: intervals explode to every bucket they span, points
+map to their bucket, the join becomes fully equi on (key, bucket) —
+shuffle-partitionable regardless of key skew — and the exact range
+filter runs post-join. Bucket size should be >= the typical interval
+span so the explode factor stays ~1-2.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_overlap_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: Sequence[str],
+    interval_start: str,
+    interval_end: str,
+    point_ts: str,
+    how: str = "inner",
+    bucketed: bool = False,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Join each interval row to every point row with the same keys and
+    ``interval_start <= point_ts < interval_end`` (half-open, matching
+    the reference's overlap predicates).
+
+    Column collisions between the two sides must be resolved by the
+    caller (select/alias) — only ``on`` keys may be shared.
+    """
+    on = list(on)
+    if not bucketed:
+        cond = None
+        for k in on:
+            c = intervals[k] == points[k]
+            cond = c if cond is None else (cond & c)
+        cond = (
+            cond
+            & (points[point_ts] >= intervals[interval_start])
+            & (points[point_ts] < intervals[interval_end])
+        )
+        return intervals.join(points, cond, how)
+
+    # Bucketed path: equi-join on (keys, bucket) then exact filter.
+    b = F.lit(bucket_seconds)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(interval_start).cast("double") / b),
+                F.floor(F.col(interval_end).cast("double") / b),
+            )
+        ),
+    )
+    pt = points.withColumn("__bucket", F.floor(F.col(point_ts).cast("double") / b))
+    cond = None
+    for k in on + ["__bucket"]:
+        c = iv[k] == pt[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (pt[point_ts] >= iv[interval_start])
+        & (pt[point_ts] < iv[interval_end])
+    )
+    return iv.join(pt, cond, how).drop(iv["__bucket"]).drop(pt["__bucket"])

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
+from ..operators.asof import asof_join
+from ..operators.interval_join import interval_overlap_join
 from ..operators.sessionize import rco_session_trigger, sessionize
 
 # CO trigger parameter P in minutes (reference sites use 20/30,
@@ -231,3 +233,163 @@ def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.join(anti, "o_orderstatus", "outer").na.fill(
         0, ["n_with_bulk", "n_without_bulk"]
     )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_backward / q_asof_forward — temporal as-of lookups (J5/J6;
+# reference mes_etl.py:191-217 brandcode resolution loops). Spark impl
+# is the union+ffill formulation (one shuffle, both sides large-safe).
+# ---------------------------------------------------------------------------
+
+_ASOF_BACKWARD_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_left,
+         NULL::BIGINT AS v_id, NULL::DOUBLE AS v_val
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0, event_id, value
+  FROM events WHERE event_type = 'view'
+),
+f AS (
+  SELECT *,
+    last_value(v_id  IGNORE NULLS) OVER w AS last_view_id,
+    last_value(v_val IGNORE NULLS) OVER w AS last_view_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       last_view_id, round(last_view_value, 2) AS last_view_value
+FROM f WHERE is_left = 1
+"""
+
+
+@query("asof_backward", _ASOF_BACKWARD_ORACLE)
+def q_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("last_view_id"),
+        F.col("value").alias("last_view_value"),
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="purchase_ts", right_ts="ts",
+        value_cols=["last_view_id", "last_view_value"],
+        direction="backward", strict=False, tie_break=["last_view_id"],
+    )
+    return out.withColumn("last_view_value", F.round("last_view_value", 2))
+
+
+_ASOF_FORWARD_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_left, NULL::BIGINT AS v_id
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0, event_id
+  FROM events WHERE event_type = 'signup'
+),
+f AS (
+  SELECT *,
+    first_value(v_id IGNORE NULLS) OVER w AS next_signup_id
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, next_signup_id
+FROM f WHERE is_left = 1
+"""
+
+
+@query("asof_forward", _ASOF_FORWARD_ORACLE)
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("next_signup_id")
+    )
+    return asof_join(
+        purchases, signups, on=["user_id"], left_ts="purchase_ts", right_ts="ts",
+        value_cols=["next_signup_id"],
+        direction="forward", strict=True, tie_break=["next_signup_id"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_interval_overlap — interval-overlap theta join (J7; reference
+# machine_level.py:66-73: stops intersecting [CO_start-5min,
+# CO_end+15min]). Sessions (>=2 events) x error events.
+# q_interval_overlap_bucketed runs the time-bucketed physical strategy
+# against the SAME oracle — two plans, one semantics.
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE_BODY = """
+, sessions AS (
+  SELECT user_id, session_num,
+         min(ts) - INTERVAL 5 MINUTE  AS win_start,
+         max(ts) + INTERVAL 15 MINUTE AS win_end,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_num
+  HAVING count(*) >= 2
+)
+SELECT s.user_id, s.session_num, s.n_events,
+       count(e.event_id) AS n_errors,
+       coalesce(round(sum(e.value), 2), 0.0) AS error_value
+FROM sessions s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON e.user_id = s.user_id AND e.ts >= s.win_start AND e.ts < s.win_end
+GROUP BY s.user_id, s.session_num, s.n_events
+"""
+
+# Reuse the sessionization CTEs (everything up to and incl. `sess`).
+_INTERVAL_ORACLE = (
+    _SESSIONIZE_ORACLE.split("ids AS (")[0].rstrip().rstrip(",")
+    + _INTERVAL_ORACLE_BODY
+)
+
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionized_events(spark, sf_dir)
+    return (
+        sess.groupBy("user_id", "session_num")
+        .agg(
+            (F.min("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_start"),
+            (F.max("ts") + F.expr("INTERVAL 15 MINUTES")).alias("win_end"),
+            F.count("*").alias("n_events"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+
+
+def _interval_overlap(spark: SparkSession, sf_dir: str, bucketed: bool) -> DataFrame:
+    intervals = _session_intervals(spark, sf_dir)
+    errors = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    joined = interval_overlap_join(
+        intervals, errors, on=["user_id"],
+        interval_start="win_start", interval_end="win_end", point_ts="ts",
+        how="left", bucketed=bucketed, bucket_seconds=6 * 3600,
+    )
+    return (
+        joined.groupBy(intervals["user_id"], "session_num", "n_events")
+        .agg(
+            F.count("event_id").alias("n_errors"),
+            F.coalesce(F.round(F.sum("value"), 2), F.lit(0.0)).alias("error_value"),
+        )
+    )
+
+
+@query("interval_overlap", _INTERVAL_ORACLE)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interval_overlap(spark, sf_dir, bucketed=False)
+
+
+@query("interval_overlap_bucketed", _INTERVAL_ORACLE)
+def q_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _interval_overlap(spark, sf_dir, bucketed=True)
