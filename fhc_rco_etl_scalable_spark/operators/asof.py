@@ -112,6 +112,9 @@ def asof_join_range(
     pick: str = "last",
     order_cols: Sequence[Column] = (),
     prefer: Column | None = None,
+    lower_open: bool = True,
+    upper_open: bool = False,
+    extra: Column | None = None,
 ) -> DataFrame:
     """Range-bounded as-of: for each anchor row, the first/last event
     with ``lower < event_ts <= upper`` (reference J5 semantics,
@@ -127,16 +130,26 @@ def asof_join_range(
     equi-join on ``on`` + range filter; with a small anchor side AQE
     broadcasts it.
     """
+    # Alias-prefix EVERY event column (keys included): anchors and
+    # events often share lineage (both derive from the same event log),
+    # and unprefixed key columns would carry identical attribute IDs
+    # into the join condition (self-join ambiguity).
     ev = events.select(
-        *[F.col(c) for c in on],
         F.col(event_ts).alias("__ev_ts"),
-        *[F.col(c).alias(f"ev_{c}") for c in events.columns if c not in on],
+        *[F.col(c).alias(f"ev_{c}") for c in events.columns],
     )
     cond = None
     for k in on:
-        c = anchors[k] == ev[k]
+        c = anchors[k] == F.col(f"ev_{k}")
         cond = c if cond is None else (cond & c)
-    cond = cond & (ev["__ev_ts"] > lower) & (ev["__ev_ts"] <= upper)
+    lo = (F.col("__ev_ts") > lower) if lower_open else (F.col("__ev_ts") >= lower)
+    hi = (F.col("__ev_ts") < upper) if upper_open else (F.col("__ev_ts") <= upper)
+    cond = cond & lo & hi
+    if extra is not None:
+        # Extra predicate over anchor columns and ``ev_``-prefixed
+        # event columns (e.g. the forward-brandcode 'differs from
+        # current' condition, reference mes_etl.py:209-217).
+        cond = cond & extra
     joined = anchors.join(ev, cond, "left")
 
     desc = pick == "last"
@@ -149,5 +162,5 @@ def asof_join_range(
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__ev_ts", *[k for k in on if False])
+        .drop("__rn", "__ev_ts", *[f"ev_{k}" for k in on])
     )
