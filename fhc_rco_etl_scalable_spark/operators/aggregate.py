@@ -1,0 +1,95 @@
+"""Aggregation operators A2-A9 (SURVEY §2.5) as reusable plan builders."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def runtime_per_day(
+    downtime: DataFrame,
+    server: str,
+    cap_minutes: float | None = 1440.0,
+    drop_first_day: bool = True,
+) -> DataFrame:
+    """Per-(Date, LINE) runtime sum with the reference's cap and
+    first-day elimination (A3/F10/F11; reference
+    data_from_mdc.py:237-249, ref/RCO_Maple_orchestrator.R:162-185).
+
+    First-day elimination uses a per-LINE min — the reference's global
+    ``Date > min(Date)`` assumes one extraction window per line; the
+    per-line form is equivalent there and correct when lines backfill
+    independently.
+    """
+    daily = (
+        downtime.na.drop(subset=["START_TIME"])
+        .groupBy(F.to_date("START_TIME").alias("Date"), "LINE")
+        .agg(F.sum("UPTIME").alias("Runtime"))
+    )
+    if cap_minutes is not None:
+        daily = daily.withColumn("Runtime", F.least(F.col("Runtime"), F.lit(cap_minutes)))
+    if drop_first_day:
+        w = Window.partitionBy("LINE")
+        daily = daily.withColumn("__min_date", F.min("Date").over(w)).filter(
+            F.col("Date") > F.col("__min_date")
+        ).drop("__min_date")
+    return daily.withColumn("Server", F.lit(server))
+
+
+def day_start_hours(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    hour_col: str,
+    prefer: str = "min",
+) -> DataFrame:
+    """Majority-vote 'day start hour' detection (A4; reference
+    data_from_mdc.py:251-262, ref/RCO_Maple_orchestrator.R:189-208):
+    count occurrences per (key, hour), keep hours whose tally exceeds
+    half the per-key max, then take min (or max — site 'Gebze HDW').
+    """
+    if prefer not in ("min", "max"):
+        raise ValueError(prefer)
+    key_cols = list(key_cols)
+    counts = df.groupBy(*key_cols, hour_col).agg(F.count("*").alias("__tally"))
+    w = Window.partitionBy(*key_cols)
+    kept = counts.withColumn("__max_tally", F.max("__tally").over(w)).filter(
+        F.col("__tally") > F.col("__max_tally") / 2
+    )
+    agg_fn = F.min(hour_col) if prefer == "min" else F.max(hour_col)
+    return kept.groupBy(*key_cols).agg(agg_fn.alias("Day_Start_hours"))
+
+
+def argmax_by_count(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+) -> DataFrame:
+    """Most-frequent attribute combination per key (A5; reference
+    brandcode metadata dedup, data_from_mdc.py:279-283): count per
+    (key, attrs), keep the top row per key. Ties break on the attr
+    values themselves (the reference's sort order is unstable —
+    engine makes it deterministic)."""
+    key_cols, attr_cols = list(key_cols), list(attr_cols)
+    counts = df.groupBy(*key_cols, *attr_cols).agg(F.count("*").alias("__cnt"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("__cnt").desc(), *[F.col(c).asc_nulls_last() for c in attr_cols]
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cnt")
+    )
+
+
+def max_positive_per_key(
+    df: DataFrame, key_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """Max of positive values per key (A6; reference StatFactor
+    derivation, data_from_mdc.py:284-286)."""
+    return (
+        df.filter(F.col(value_col) > 0)
+        .groupBy(*list(key_cols))
+        .agg(F.max(value_col).alias(value_col))
+    )

@@ -1,0 +1,105 @@
+"""BRANDCODE master-data derivation (A5/A6 + per-site parsing C2-C4;
+reference App/etl/extract/data_from_mdc.py:267-362,
+ref/RCO_ProficyiODS_orchestrator.R:250-340).
+
+From the production log: the most frequent metadata combination per
+brandcode (argmax-by-count), max positive StatFactor, a brandname
+chosen from the ProdDesc split, and per-site SIZE/UNITS_PER_CASE
+parsers. All parsing is regexp_extract/split — no UDFs.
+
+Site dialects (status-quo behavior, cited):
+- 'Tabler HDW' (:306-316): 'Brand/24 96oz' -> units=24ish, size before
+  space after '/';
+- 'StLouis' (:318-332): 'w/Oxi' protected, 'NameX/24ct 96 oz' ->
+  units = trailing digit before '/', size = number with 'ct' stripped;
+- 'Gebze HDW' (:334-357): 'NAME X500ML ...' -> number between 'X' and
+  'ML'/'L', litres and <100 values x1000 to mL;
+- default: SIZE null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .aggregate import argmax_by_count, max_positive_per_key
+
+
+def _brandname(df: DataFrame) -> DataFrame:
+    """BRANDNAME from ProdDesc: '-'->':', take the part after ':' when
+    the site has rich descriptions (>2 distinct suffixes), else the
+    whole ProdDesc (reference :288-299)."""
+    df = df.withColumn("__desc", F.regexp_replace("ProdDesc", "-", ":"))
+    df = df.withColumn(
+        "__b", F.coalesce(F.split("__desc", ":").getItem(1), F.col("__desc"))
+    )
+    distinct_b = df.select(F.countDistinct("__b").alias("n")).first().n
+    name = F.col("__b") if distinct_b > 2 else F.col("ProdDesc")
+    return df.withColumn("BRANDNAME", name).drop("__desc", "__b")
+
+
+def _size_stlouis(df: DataFrame) -> DataFrame:
+    protected = F.regexp_replace("BRANDNAME", r"w/Oxi", "wOxi")
+    before = F.split(protected, "/").getItem(0)
+    after = F.split(protected, "/").getItem(1)
+    units = F.substring(before, -1, 1).cast("double")
+    size = F.regexp_replace(F.split(after, " ").getItem(0), "ct", "").cast("double")
+    return df.withColumn("UNITS_PER_CASE", units).withColumn("SIZE", size)
+
+
+def _size_tabler(df: DataFrame) -> DataFrame:
+    after = F.split(F.col("BRANDNAME"), "/").getItem(1)
+    size = F.split(after, " ").getItem(0).cast("double")
+    case_count = F.element_at(F.split(F.split(F.col("BRANDNAME"), "/").getItem(0), " "), -1)
+    return df.withColumn(
+        "UNITS_PER_CASE", F.coalesce(F.col("UNITS_PER_CASE"), case_count.cast("double"))
+    ).withColumn("SIZE", size)
+
+
+def _size_gebze(df: DataFrame) -> DataFrame:
+    after_x = F.split(F.col("BRANDNAME"), "X").getItem(1)
+    head = F.substring(after_x, 1, 5)
+    unit = F.when(head.contains("ML"), "ML").when(head.contains("L"), "L").otherwise("")
+    num = F.regexp_replace(F.split(head, "M?L").getItem(0), r"[^0-9.\-]", "").cast("double")
+    # litres and sub-100 values are normalized to mL (reference :346-349)
+    size = F.when((unit == "L") | (num < 100), num * 1000).otherwise(num)
+    # no 'X' at all: parse digits out of the whole name (reference :350-356)
+    fallback_raw = F.regexp_replace("BRANDNAME", r"[^0-9.\-]", "").cast("double")
+    fallback = F.when(F.coalesce(fallback_raw, F.lit(0.0)) > 100, fallback_raw).otherwise(
+        F.coalesce(fallback_raw, F.lit(0.0)) * 1000
+    )
+    return df.withColumn("SIZE", F.when(after_x.isNull(), fallback).otherwise(size))
+
+
+_SITE_SIZE_PARSERS = {
+    "StLouis": _size_stlouis,
+    "Tabler HDW": _size_tabler,
+    "Gebze HDW": _size_gebze,
+}
+
+
+def brandcode_master(prod_data: DataFrame, server: str) -> DataFrame:
+    """Production log -> one master row per BRANDCODE."""
+    base = prod_data.na.drop(subset=["BRANDCODE"])
+    meta = argmax_by_count(
+        base,
+        key_cols=["BRANDCODE"],
+        attr_cols=["ProdDesc", "ProdFam", "ProdGroup", "FirstPackCount"],
+    )
+    stat = max_positive_per_key(base, ["BRANDCODE"], "StatFactor")
+    df = meta.join(stat, "BRANDCODE", "left")
+    if server == "Gebze HDW":
+        df = df.withColumn("BRANDNAME", F.col("ProdDesc"))
+    else:
+        df = _brandname(df)
+    df = df.withColumnRenamed("FirstPackCount", "UNITS_PER_CASE")
+    parser = _SITE_SIZE_PARSERS.get(server)
+    if parser is not None:
+        df = parser(df)
+    else:
+        df = df.withColumn("SIZE", F.lit(None).cast("double"))
+    return df.select(
+        "BRANDCODE", "BRANDNAME", "ProdFam", "ProdGroup",
+        F.col("UNITS_PER_CASE").cast("double").alias("UNITS_PER_CASE"),
+        "StatFactor", F.lit(server).alias("Server"), F.col("SIZE").cast("double"),
+    )

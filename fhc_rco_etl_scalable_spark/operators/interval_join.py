@@ -33,25 +33,35 @@ def interval_overlap_join(
     how: str = "inner",
     bucketed: bool = False,
     bucket_seconds: int = 86400,
+    point_end: str | None = None,
 ) -> DataFrame:
     """Join each interval row to every point row with the same keys and
     ``interval_start <= point_ts < interval_end`` (half-open, matching
     the reference's overlap predicates).
 
+    With ``point_end``, points become intervals and the condition is
+    strict overlap: ``point_end > interval_start AND point_ts <
+    interval_end`` (the reference's Gantt window filter,
+    machine_level.py:72-73).
+
     Column collisions between the two sides must be resolved by the
     caller (select/alias) — only ``on`` keys may be shared.
     """
     on = list(on)
+
+    def _range(iv, pt):
+        if point_end is not None:
+            return (pt[point_end] > iv[interval_start]) & (
+                pt[point_ts] < iv[interval_end]
+            )
+        return (pt[point_ts] >= iv[interval_start]) & (pt[point_ts] < iv[interval_end])
+
     if not bucketed:
         cond = None
         for k in on:
             c = intervals[k] == points[k]
             cond = c if cond is None else (cond & c)
-        cond = (
-            cond
-            & (points[point_ts] >= intervals[interval_start])
-            & (points[point_ts] < intervals[interval_end])
-        )
+        cond = cond & _range(intervals, points)
         return intervals.join(points, cond, how)
 
     # Bucketed path: equi-join on (keys, bucket) then exact filter.
@@ -65,14 +75,27 @@ def interval_overlap_join(
             )
         ),
     )
-    pt = points.withColumn("__bucket", F.floor(F.col(point_ts).cast("double") / b))
+    if point_end is not None:
+        pt = points.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(point_ts).cast("double") / b),
+                    F.floor(F.col(point_end).cast("double") / b),
+                )
+            ),
+        )
+    else:
+        pt = points.withColumn("__bucket", F.floor(F.col(point_ts).cast("double") / b))
     cond = None
     for k in on + ["__bucket"]:
         c = iv[k] == pt[k]
         cond = c if cond is None else (cond & c)
-    cond = (
-        cond
-        & (pt[point_ts] >= iv[interval_start])
-        & (pt[point_ts] < iv[interval_end])
-    )
-    return iv.join(pt, cond, how).drop(iv["__bucket"]).drop(pt["__bucket"])
+    cond = cond & _range(iv, pt)
+    joined = iv.join(pt, cond, how)
+    if point_end is not None:
+        # interval x interval can match in several buckets — dedup.
+        joined = joined.dropDuplicates(
+            on + [interval_start, interval_end, point_ts, point_end]
+        )
+    return joined.drop(iv["__bucket"]).drop(pt["__bucket"])

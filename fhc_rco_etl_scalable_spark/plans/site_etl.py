@@ -1,0 +1,104 @@
+"""Site-level orchestration: raw downtime + production logs -> all 8
+output tables (reference App/etl/overall_etl.py:52-240 +
+ref/RCO_Overall_orchestrator.R lifecycle, SURVEY §3).
+
+The reference runs sites sequentially with eager intermediates; here
+one site is ONE lazy DAG — extraction flags, the filter lattice, the
+analytical core, Gantt and per-day rollups all share the same scan of
+the downtime log, and nothing materializes until a sink action. Sites
+are embarrassingly parallel: run N of these DAGs concurrently, or
+union inputs with a Server column.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import day_start_hours, runtime_per_day
+from ..operators.brandcode import brandcode_master
+from ..operators.extract import downtime_variants, with_derived_flags
+from ..operators.gantt import gantt_analysis
+from .rco_pipeline import SiteParams, mes_etl
+
+
+def site_etl(
+    downtime: DataFrame,
+    production: DataFrame | None,
+    site: SiteParams,
+    line_config: DataFrame | None = None,
+    run_machine_level: bool = True,
+    data_update_time: datetime | None = None,
+) -> dict[str, DataFrame]:
+    """Run the complete RCO analysis for one site.
+
+    ``downtime``: raw downtime event log (canonical columns, flags
+    derived here if absent). ``production``: production event log for
+    brandcode master derivation (optional).
+    """
+    flagged = (
+        with_derived_flags(downtime, line_config)
+        if "isConstraint" not in downtime.columns or line_config is not None
+        else downtime
+    )
+    variants = downtime_variants(flagged)
+    line_dt, line_dt_full = variants["line_dt"], variants["line_dt_full"]
+    machine_dt = variants["machine_dt"]
+
+    outputs = mes_etl(line_dt=line_dt, line_dt_full=line_dt_full, site=site)
+
+    if run_machine_level:
+        gantt, event_log_for_gantt = gantt_analysis(
+            co_agg=outputs["CO_Aggregated_Data"],
+            co_event_log=outputs["CO_Event_Log"],
+            machine_dt=machine_dt,
+            line_dt=line_dt,
+            line_dt_full=line_dt_full,
+            server=site.server,
+        )
+        outputs["Gantt_Data"] = gantt
+        outputs["Event_Log_for_Gantt"] = event_log_for_gantt
+
+    outputs["Runtime_per_Day_data"] = runtime_per_day(line_dt_full, site.server)
+
+    if production is not None:
+        outputs["BRANDCODE_data"] = brandcode_master(production, site.server)
+
+    # Script_Data state row per line (reference overall_etl.py:186-232,
+    # R :236-282): watermark + data bounds + day-start hour + number of
+    # constraints.
+    bounds = line_dt_full.groupBy("LINE").agg(
+        F.min("START_TIME").alias("First_Available_Data_Point"),
+        F.max("START_TIME").alias("Last_Available_Data_Point"),
+    )
+    dsh = day_start_hours(
+        line_dt_full.withColumn("__h", F.hour("START_TIME")),
+        key_cols=["LINE"],
+        hour_col="__h",
+        prefer="max" if site.server == "Gebze HDW" else "min",
+    )
+    n_constraints = line_dt.groupBy("LINE").agg(
+        F.countDistinct("MACHINE").alias("Number_of_Constraints")
+    )
+    update_time = data_update_time or datetime.utcnow()
+    outputs["Script_Data"] = (
+        bounds.join(dsh, "LINE", "left")
+        .join(n_constraints, "LINE", "left")
+        .select(
+            F.col("LINE").alias("System"),
+            F.lit(update_time).alias("Data_Update_Time"),
+            "First_Available_Data_Point",
+            "Last_Available_Data_Point",
+            F.col("LINE").alias("MES_Line_Name"),
+            F.lit(site.server).alias("Server"),
+            F.col("Day_Start_hours").cast("double").alias("Day_Start_hours"),
+            F.lit(None).cast("string").alias("BU"),
+            F.col("Number_of_Constraints").cast("int").alias("Number_of_Constraints"),
+        )
+    )
+    return outputs
+
+
+__all__ = ["site_etl", "SiteParams"]

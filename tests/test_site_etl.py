@@ -1,0 +1,163 @@
+"""Full site ETL: all 8 outputs materialize with the canonical schemas;
+extraction flags, runtime/day, brandcode master, and Script_Data
+behaviors (A2-A6, F3-F6)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhc_rco_etl_scalable_spark.operators.aggregate import (
+    argmax_by_count,
+    day_start_hours,
+)
+from fhc_rco_etl_scalable_spark.operators.brandcode import brandcode_master
+from fhc_rco_etl_scalable_spark.operators.extract import (
+    downtime_variants,
+    with_derived_flags,
+)
+from fhc_rco_etl_scalable_spark.plans.rco_pipeline import SiteParams
+from fhc_rco_etl_scalable_spark.plans.site_etl import site_etl
+from fhc_rco_etl_scalable_spark.schemas import OUTPUT_SCHEMAS, align_to_schema
+
+T0 = datetime(2024, 1, 1, 6, 0)
+
+DT_SCHEMA = (
+    "downtime_id string, dtCategory string, LINE string, MACHINE string,"
+    " START_TIME timestamp, END_TIME timestamp, DOWNTIME double, UPTIME double,"
+    " BRANDCODE string, CAUSE_LEVELS_1_NAME string, CAUSE_LEVELS_2_NAME string,"
+    " CAUSE_LEVELS_3_NAME string, CAUSE_LEVELS_4_NAME string, LineStatus string,"
+    " OPERATOR_COMMENT string, Fault string"
+)
+
+
+def _dt(did, line, machine, start_min, dt_min, up_min, brand, c1, c2,
+        cat="DTMach-Failure", status=None):
+    s = T0 + timedelta(minutes=start_min)
+    return (did, cat, line, machine, s, s + timedelta(minutes=dt_min),
+            float(dt_min), float(up_min), brand, c1, c2, None, None, status,
+            "note", "F1")
+
+
+@pytest.fixture(scope="module")
+def site_outputs(spark):
+    rows = [
+        _dt("d1", "L1", "L1 CM", 0, 10, 30, "A", "Planned Downtime", "Changeover"),
+        _dt("d2", "L1", "L1 CM", 20, 5, 10, "B", "Planned Downtime", "Changeover"),
+        _dt("f1", "L1", "L1 CM", 60, 2, 35, "B", "Unplanned Downtime", "Failure"),
+        _dt("f2", "L1", "L1 OTHER", 70, 3, 60, "B", "Unplanned Downtime", "Failure"),
+        _dt("x1", "L1", "L1 CM", 90, 1, 15, "B", "Unplanned Downtime", "Failure",
+            status="PR Out: trial"),
+        _dt("b1", "L1", "L1 CM", 95, 1, 2, "B", "Unplanned Downtime", "Starved",
+            cat="DTMach-Starved"),
+        _dt("i1", "L1", "L1 CM", 240, 30, 120, "B", "Idle", "Idle"),
+        # second day so runtime/day survives first-day elimination
+        _dt("n1", "L1", "L1 CM", 24 * 60 + 10, 5, 400, "B", "Unplanned Downtime", "Failure"),
+    ]
+    downtime = spark.createDataFrame(rows, DT_SCHEMA)
+    line_config = spark.createDataFrame(
+        [("L1", "Dept", "CM", 1, "L1", "cfg")],
+        "MDC_Line_Name string, Department string, Constraint_Machine_String string,"
+        " SiteNameLookupId int, System string, Line_Configuration string",
+    )
+    prod = spark.createDataFrame(
+        [
+            ("p1", "A", "Brand:Alpha", "Fam", "Grp", 12.0, 2.0),
+            ("p2", "A", "Brand:Alpha", "Fam", "Grp", 12.0, 3.0),
+            ("p3", "A", "Brand:Beta", "Fam", "Grp", 12.0, -1.0),
+            ("p4", "B", "Other:Gamma", "Fam2", "Grp2", 6.0, 1.5),
+            ("p5", "B", "Other:Delta", "Fam2", "Grp2", 6.0, 0.0),
+            ("p6", "B", "Other:Gamma", "Fam2", "Grp2", 6.0, 1.0),
+        ],
+        "event_id string, BRANDCODE string, ProdDesc string, ProdFam string,"
+        " ProdGroup string, FirstPackCount double, StatFactor double",
+    )
+    site = SiteParams(server="SRV", co_trigger_parameter=30.0)
+    outs = site_etl(downtime, prod, site, line_config=line_config,
+                    data_update_time=datetime(2024, 1, 5))
+    return outs
+
+
+def test_all_eight_outputs_present_and_aligned(site_outputs):
+    assert set(site_outputs) == set(OUTPUT_SCHEMAS)
+    for name, df in site_outputs.items():
+        aligned = align_to_schema(df, OUTPUT_SCHEMAS[name])
+        assert aligned.columns == [f.name for f in OUTPUT_SCHEMAS[name].fields]
+        assert aligned.count() >= 0  # materializes
+
+
+def test_flag_lattice(spark):
+    rows = [
+        _dt("a", "L1", "L1 CM", 0, 1, 1, "A", "Planned Downtime", "CO"),
+        _dt("b", "L1", "L1 OTHER", 1, 1, 1, "A", "Unplanned Downtime", "F"),
+        _dt("c", "L1", "L1 CM", 2, 1, 1, "A", "Idle", "F", status="PR Out: x"),
+        _dt("d", "L1", "L1 CM", 3, 1, 1, "A", None, "F", cat="DTMach-Blocked"),
+    ]
+    flagged = with_derived_flags(spark.createDataFrame(rows, DT_SCHEMA),
+                                 line_config=None)
+    # no line_config -> isConstraint defaults True; test flags
+    got = {r.downtime_id: r for r in flagged.collect()}
+    assert got["a"].Planned_Stop_Check == 1 and got["a"].Idle_Check == 0
+    assert got["c"].isExcluded and got["c"].Idle_Check == 1
+    assert not got["d"].isStop
+    v = downtime_variants(flagged)
+    assert v["line_dt"].count() == 2  # a, b (c excluded, d not a stop)
+    assert v["machine_dt_full"].count() == 4
+
+
+def test_constraint_flag_via_line_config(site_outputs):
+    # CO detection ran only on constraint machine: f2 (L1 OTHER) is not
+    # in CO_Event_Log input, and sessions only from d1/d2
+    log = site_outputs["CO_Event_Log"].collect()
+    assert {r.downtime_id for r in log} == {"d1", "d2"}
+
+
+def test_runtime_per_day(site_outputs):
+    rows = site_outputs["Runtime_per_Day_data"].collect()
+    # first-day elimination leaves only day 2
+    assert len(rows) == 1
+    assert rows[0].Runtime == 400.0 and rows[0].Server == "SRV"
+
+
+def test_brandcode_master(site_outputs):
+    rows = {r.BRANDCODE: r for r in site_outputs["BRANDCODE_data"].collect()}
+    assert set(rows) == {"A", "B"}
+    # argmax by count: A -> Brand:Alpha (2 votes), B -> Other:Gamma (2)
+    assert rows["A"].BRANDNAME in ("Alpha", "Brand:Alpha")
+    assert rows["A"].StatFactor == 3.0  # max positive
+    assert rows["B"].StatFactor == 1.5
+    assert rows["A"].UNITS_PER_CASE == 12.0
+
+
+def test_script_data(site_outputs):
+    rows = site_outputs["Script_Data"].collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.System == "L1" and r.Number_of_Constraints == 1
+    assert r.First_Available_Data_Point == T0
+    assert r.Day_Start_hours is not None
+
+
+def test_day_start_hours_majority(spark):
+    df = spark.createDataFrame(
+        [("L1", 6)] * 5 + [("L1", 7)] * 3 + [("L1", 22)] * 1,
+        "LINE string, h int",
+    )
+    got = day_start_hours(df, ["LINE"], "h", prefer="min").collect()
+    # max tally 5 -> keep tallies > 2.5 -> hours {6, 7} -> min = 6
+    assert got[0].Day_Start_hours == 6
+
+
+def test_argmax_by_count_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("k", "b"), ("k", "a")], "key string, attr string"
+    )
+    got = argmax_by_count(df, ["key"], ["attr"]).collect()
+    assert got[0].attr == "a"  # tie -> attr ascending
+
+
+def test_gantt_outputs_nonempty(site_outputs):
+    assert len(site_outputs["Gantt_Data"].collect()) > 0
+    statuses = {r.Downtime_Status for r in site_outputs["Gantt_Data"].collect()}
+    assert statuses <= {1.0, 1.7, 2.0, 2.3, 3.0, 4.0}
+    assert 1.0 in statuses  # CO events coded on the constraint pass
