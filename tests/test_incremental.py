@@ -1,0 +1,131 @@
+"""Incremental sink semantics: delete-overlap+append idempotence,
+brandcode merge, script-data upsert, watermark, lookback policy."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import types as T
+
+from fhc_rco_etl_scalable_spark.sinks.incremental import (
+    ParquetIncrementalSink,
+    lookback_start,
+)
+
+T0 = datetime(2024, 1, 10, 12, 0)
+
+CO_SCHEMA = T.StructType(
+    [
+        T.StructField("CO_Identifier", T.StringType()),
+        T.StructField("LINE", T.StringType()),
+        T.StructField("CO_StartTime", T.TimestampType()),
+        T.StructField("CO_DOWNTIME", T.DoubleType()),
+        T.StructField("Server", T.StringType()),
+    ]
+)
+
+
+def _rows(spark, specs):
+    data = [
+        (cid, line, T0 + timedelta(minutes=m), dt, srv)
+        for cid, line, m, dt, srv in specs
+    ]
+    return spark.createDataFrame(data, CO_SCHEMA)
+
+
+def _collect(sink, table):
+    df = sink.read(table)
+    return sorted((r.CO_Identifier, r.LINE, r.CO_DOWNTIME) for r in df.collect())
+
+
+def test_delete_overlap_append_idempotent(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t1"))
+    wm = T0 - timedelta(minutes=30)
+    old = _rows(spark, [("old1", "L1", -120, 1.0, "S"), ("old2", "L1", -40, 2.0, "S")])
+    sink.delete_overlap_append(old, "co", CO_SCHEMA, "CO_StartTime", watermark=wm - timedelta(days=1))
+    batch = _rows(spark, [("new1", "L1", -20, 3.0, "S"), ("new2", "L1", 0, 4.0, "S")])
+    sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    first = _collect(sink, "co")
+    # old2 (-40min) is before the watermark-10s cutoff -> survives
+    assert ("old1", "L1", 1.0) in first and ("old2", "L1", 2.0) in first
+    assert ("new1", "L1", 3.0) in first
+    # re-run the same batch: identical result (idempotence)
+    sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    assert _collect(sink, "co") == first
+
+
+def test_delete_overlap_scoped_to_batch_lines(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t2"))
+    wm = T0 - timedelta(minutes=60)
+    seed = _rows(spark, [("a", "L1", 0, 1.0, "S"), ("b", "L2", 0, 1.0, "S")])
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm - timedelta(days=1))
+    # batch touches only L1; L2's overlapping row must survive
+    batch = _rows(spark, [("a2", "L1", 5, 9.0, "S")])
+    sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    got = _collect(sink, "co")
+    assert ("b", "L2", 1.0) in got and ("a2", "L1", 9.0) in got
+    assert ("a", "L1", 1.0) not in got  # overlapped, replaced
+
+
+def test_append_pads_missing_columns(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t3"))
+    partial = spark.createDataFrame(
+        [("x", "L1")], "CO_Identifier string, LINE string"
+    )
+    sink.append_aligned(partial, "co", CO_SCHEMA)
+    df = sink.read("co")
+    assert df.columns == [f.name for f in CO_SCHEMA.fields]
+    assert df.first().CO_DOWNTIME is None
+
+
+BC_SCHEMA = T.StructType(
+    [
+        T.StructField("BRANDCODE", T.StringType()),
+        T.StructField("BRANDNAME", T.StringType()),
+        T.StructField("Server", T.StringType()),
+    ]
+)
+
+
+def test_brandcode_merge(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t4"))
+    hist = spark.createDataFrame([("A", "old-A", "S"), ("B", "old-B", "S")], BC_SCHEMA)
+    sink.merge_dedup_overwrite(hist, "bc", BC_SCHEMA)
+    batch = spark.createDataFrame([("B", "new-B", "S"), ("C", "new-C", "S")], BC_SCHEMA)
+    sink.merge_dedup_overwrite(batch, "bc", BC_SCHEMA)
+    got = {r.BRANDCODE: r.BRANDNAME for r in sink.read("bc").collect()}
+    assert got == {"A": "old-A", "B": "new-B", "C": "new-C"}
+
+
+SD_SCHEMA = T.StructType(
+    [
+        T.StructField("System", T.StringType()),
+        T.StructField("Data_Update_Time", T.TimestampType()),
+        T.StructField("Server", T.StringType()),
+    ]
+)
+
+
+def test_script_data_upsert_and_watermark(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t5"))
+    assert sink.watermark("sd") is None
+    r1 = spark.createDataFrame([("L1", T0, "S")], SD_SCHEMA)
+    sink.upsert_script_data(r1, "sd", SD_SCHEMA)
+    r2 = spark.createDataFrame(
+        [("L1", T0 + timedelta(hours=1), "S"), ("L2", T0, "S")], SD_SCHEMA
+    )
+    sink.upsert_script_data(r2, "sd", SD_SCHEMA)
+    rows = {(r.System, r.Server): r.Data_Update_Time for r in sink.read("sd").collect()}
+    assert rows[("L1", "S")] == T0 + timedelta(hours=1)  # replaced
+    assert rows[("L2", "S")] == T0
+    assert sink.watermark("sd") == T0 + timedelta(hours=1)
+
+
+def test_lookback_policy():
+    now = datetime(2024, 1, 10, 1, 0)
+    wm = datetime(2024, 1, 9, 23, 0)
+    assert lookback_start(now, None) == now - timedelta(days=14)
+    assert lookback_start(now, wm) == now - timedelta(days=14)  # hour 1
+    assert lookback_start(now.replace(hour=3), wm) == now.replace(hour=3) - timedelta(days=7)
+    assert lookback_start(now.replace(hour=12), wm) == min(
+        wm, now.replace(hour=12) - timedelta(days=2)
+    )
