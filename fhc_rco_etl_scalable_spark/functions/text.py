@@ -1,0 +1,125 @@
+"""Text-analysis functions for large-scale training-data pipelines:
+tokenization, language-ID heuristic, quality scoring, fingerprinting.
+
+All native column expressions (split/filter/transform/aggregate) —
+whole-stage codegen, no Python in the hot path. Designed for the
+``documents`` table shape (doc_id, text, lang, source, n_chars) but
+column-parameterized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword seeds for the n-gram/stopword language
+# heuristic (public common-word lists).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "ein"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"),
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization with empty-token removal."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_piece_count(text: Column | str) -> Column:
+    """A BPE-flavored proxy token count: word-boundary pieces plus
+    length overhead for long words (≈ ceil(len/4) pieces per word)."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+    )
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def _hit_counter(toks: Column, words: tuple[str, ...]) -> Column:
+    # NB: a plain `lambda t, w=words:` would make F.filter treat the
+    # lambda as (element, index) and bind `w` to the index Column —
+    # close over `words` via this factory instead.
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def language_scores(text: Column | str) -> Column:
+    """Map lang -> stopword-hit count; argmax is the language guess."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    return F.map_from_arrays(
+        F.array(*[F.lit(lg) for lg in LANG_STOPWORDS]),
+        F.array(
+            *[_hit_counter(toks, words) for words in LANG_STOPWORDS.values()]
+        ),
+    )
+
+
+def detect_language(text: Column | str) -> Column:
+    """Argmax of language_scores with 'und' when nothing matches."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    scores = [
+        (lg, _hit_counter(toks, words)) for lg, words in LANG_STOPWORDS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    # earlier languages win ties (deterministic order)
+    for lg, s in reversed(scores):
+        guess = F.when(s == best_score, F.lit(lg)).otherwise(guess)
+    return F.when(best_score > 0, guess).otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(c) - F.length(stripped)) / F.greatest(F.length(c), F.lit(1))
+
+
+def quality_score(text: Column | str, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, low punct
+    density, healthy stopword ratio, mean-word-length sanity (the
+    standard Gopher/C4-style cheap filters)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = token_count(c)
+    mean_word = F.length(c) / F.greatest(n_tok, F.lit(1))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.3)
+    word_ok = F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.4)
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(c, lang) * 3, F.lit(1.0))
+    return F.round((len_ok * 0.3 + word_ok * 0.2 + punct_ok * 0.2 + stop_ok * 0.3), 4)
+
+
+def normalized_fingerprint(text: Column | str) -> Column:
+    """Content fingerprint: md5 of casefolded, punctuation-stripped,
+    whitespace-collapsed text — the exact-dup key used by dedup."""
+    c = F.col(text) if isinstance(text, str) else text
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), r"[^\p{L}\p{N}\s]", ""), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
+def rolling_hashes(text: Column | str, window: int = 5) -> Column:
+    """Winnowing-style rolling token-window hashes
+    (array<bigint>): hash of each consecutive ``window`` tokens.
+    Basis for robust near-dup fingerprints."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )

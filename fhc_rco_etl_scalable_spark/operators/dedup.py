@@ -1,0 +1,250 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Scale design:
+- exact: one shuffle on the content hash (groupBy), keep min id;
+- MinHash+LSH: per-doc signature (map-side, no shuffle) -> banding ->
+  ONE shuffle on (band, bucket-hash) -> candidate pairs verified with
+  true Jaccard. No all-pairs stage anywhere;
+- SimHash: 64-bit signature map-side; near-dup = identical signature
+  (or banded prefixes for hamming<k);
+- n-gram Jaccard: blocking on cheap keys (lang, length bucket) bounds
+  the pair space; exact Jaccard via array_intersect/union.
+
+Hash portability note: signatures use md5-derived 32-bit integers
+(``conv(substr(md5(x),1,8),16,10)``) rather than Spark's murmur3 so
+the DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_fingerprint
+
+
+def md5_int(c: Column) -> Column:
+    """First 32 bits of md5 as a non-negative bigint — reproducible in
+    any engine with md5 + hex parsing."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+# MinHash permutation family: h_i(x) = (a_i*x + b_i) mod P over the
+# 32-bit base hash. One md5 per gram total; the 16 permutations are
+# integer arithmetic (portable to any SQL oracle, overflow-safe:
+# a < 2^30, x < 2^32 -> product < 2^62).
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _perm_coeffs(i: int) -> tuple[int, int]:
+    import hashlib
+
+    a = int(hashlib.md5(f"perm-a-{i}".encode()).hexdigest()[:8], 16) & 0x3FFFFFFF
+    b = int(hashlib.md5(f"perm-b-{i}".encode()).hexdigest()[:8], 16)
+    return (a | 1, b)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = True
+) -> DataFrame:
+    """Exact-duplicate clustering: content hash -> keep the min-id doc
+    per cluster. Returns (id, fingerprint, cluster_size, keep)."""
+    fp = normalized_fingerprint(text_col) if normalized else F.md5(F.col(text_col))
+    hashed = df.select(F.col(id_col), fp.alias("fingerprint"))
+    clusters = hashed.groupBy("fingerprint").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("cluster_size")
+    )
+    return hashed.join(clusters, "fingerprint").select(
+        F.col(id_col),
+        "fingerprint",
+        "cluster_size",
+        (F.col(id_col) == F.col("keep_id")).alias("keep"),
+    )
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Distinct k-char shingles of casefolded text."""
+    norm = F.regexp_replace(F.lower(text), r"\s+", " ")
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, 1, 0) + norm.substr(i, F.lit(k))))
+
+
+def token_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct token n-grams (strings)."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def _perm_min(base_hashes: Column, i: int) -> Column:
+    a, b = _perm_coeffs(i)
+    return F.array_min(
+        F.transform(
+            base_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as an array column: min over shingles of the
+    i-th arithmetic permutation of the base md5 hash. Column-level twin
+    of the long-format path in ``minhash_lsh_candidates``."""
+    base = F.transform(shingles, lambda s: md5_int(s))
+    return F.array(*[_perm_min(base, i) for i in range(num_hashes)])
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding: docs sharing
+    any band of their signature. Returns (id_a, id_b, n_shared_bands)
+    with id_a < id_b.
+
+    One shuffle on (band, band-signature); pair explosion is bounded by
+    bucket sizes, not corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    # Long format: explode grams once, hash per (doc, perm), min-reduce.
+    # The inlined-array alternative (minhash_signature) re-evaluates the
+    # gram expression per permutation — a 16x expression blowup that
+    # falls out of whole-stage codegen; this shape is also the one that
+    # scales (hashing is map-side, one shuffle for the min-reduce).
+    grams_long = df.select(
+        F.col(id_col), F.explode(token_ngrams(F.col(text_col), ngram)).alias("__g")
+    ).withColumn("__h", md5_int(F.col("__g")))
+    mins = grams_long.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+            ).alias(f"__m{i}")
+            for i, (a, b) in ((i, _perm_coeffs(i)) for i in range(num_hashes))
+        ]
+    )
+    banded = mins.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_sig"),
+    )
+    # distinct alias names on both sides: same-lineage self-join would
+    # otherwise resolve `band == band` to one attribute (always true).
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("band").alias("band_a"),
+        F.col("band_sig").alias("bs_a"),
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band").alias("band_b"),
+        F.col("band_sig").alias("bs_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("bs_a") == F.col("bs_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs within the same block
+    (cheap-key blocking bounds the candidate space). Returns
+    (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b."""
+    # 60-bit md5 int grams: integer set ops are far cheaper than string
+    # compares through the pair join, and the hash is oracle-portable
+    # (collision odds ~1e-18 per pair at 100-gram docs).
+    g = df.select(
+        F.col(id_col),
+        *block_cols,
+        F.array_distinct(
+            F.transform(
+                token_ngrams(F.col(text_col), ngram),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("__g"),
+    )
+    a = g.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        F.col("__g").alias("__ga"),
+    )
+    b = g.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col("__g").alias("__gb"),
+    )
+    cond = a["id_a"] < b["id_b"]
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    union = F.size(F.array_union("__ga", "__gb"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column, ngram: int = 2) -> Column:
+    """64-bit SimHash over token n-grams: per-bit majority vote of
+    feature hashes (xxhash64). Near-dups have small hamming distance."""
+    feats = F.transform(token_ngrams(text, ngram), lambda g: F.xxhash64(g))
+
+    def bit_vote(i: int) -> Column:
+        mask = 1 << i
+        ones = F.size(F.filter(feats, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
+        return F.when(ones * 2 > F.size(feats), F.lit(mask)).otherwise(F.lit(0))
+
+    bits = [bit_vote(i) for i in range(63)]  # bit 63 clear: sign stays +
+    out = F.lit(0)
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+) -> DataFrame:
+    """SimHash-bucketed near-dup candidates: same signature prefix
+    blocks, exact signature equality -> near-dup pairs (id_a < id_b,
+    hamming=0 tier). A multi-probe variant would rotate prefixes."""
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    shifted = sigs.withColumn("__bucket", F.shiftrightunsigned("__sh", 64 - prefix_bits))
+    a = shifted.select(
+        F.col(id_col).alias("id_a"), F.col("__bucket").alias("ba"), F.col("__sh").alias("sa")
+    )
+    b = shifted.select(
+        F.col(id_col).alias("id_b"), F.col("__bucket").alias("bb"), F.col("__sh").alias("sb")
+    )
+    return (
+        a.join(b, (a["ba"] == b["bb"]) & (a["id_a"] < b["id_b"]))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        )
+        .select("id_a", "id_b", "hamming")
+    )

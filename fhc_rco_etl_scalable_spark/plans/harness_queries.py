@@ -393,3 +393,218 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("interval_overlap_bucketed", _INTERVAL_ORACLE)
 def q_interval_overlap_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _interval_overlap(spark, sf_dir, bucketed=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions (SURVEY §7 M7): dedup, text analysis,
+# similarity search over the documents/embeddings tables.
+# ---------------------------------------------------------------------------
+
+from ..functions import text as TX  # noqa: E402
+from ..operators import dedup as DD  # noqa: E402
+from ..operators import similarity as SIM  # noqa: E402
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "exact_dedup",
+    f"""
+    WITH h AS (SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents),
+    c AS (SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS cluster_size
+          FROM h GROUP BY fingerprint)
+    SELECT h.doc_id, h.fingerprint, c.cluster_size,
+           h.doc_id = c.keep_id AS keep
+    FROM h JOIN c USING (fingerprint)
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.exact_dedup(docs, "doc_id", "text")
+
+
+_TOKENS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_EN_STOPS = "['the','a','and','of','to','in','is','that','for','with']"
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOKENS_SQL}) AS n_tokens,
+           len(list_filter(list_transform({_TOKENS_SQL}, t -> lower(t)),
+               t -> list_contains({_EN_STOPS}, t))) AS stopword_hits,
+           round(length(text) / greatest(len({_TOKENS_SQL}), 1), 4) AS mean_word_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = TX.tokens("text")
+    low = F.transform(toks, lambda t: F.lower(t))
+    stops = list(TX.LANG_STOPWORDS["en"])
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(low, lambda t: t.isin(*stops))).alias("stopword_hits"),
+        F.round(F.length("text") / F.greatest(F.size(toks), F.lit(1)), 4).alias(
+            "mean_word_len"
+        ),
+    )
+
+
+def _lang_sql() -> str:
+    hits = []
+    for lg, words in TX.LANG_STOPWORDS.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(list_transform({_TOKENS_SQL}, t -> lower(t)),"
+            f" t -> list_contains({lst}, t))) AS h_{lg}"
+        )
+    langs = list(TX.LANG_STOPWORDS)
+    best = f"greatest({', '.join('h_' + lg for lg in langs)})"
+    case = "CASE WHEN {b} = 0 THEN 'und' ".format(b=best)
+    for lg in langs:
+        case += f"WHEN h_{lg} = {best} THEN '{lg}' "
+    case += "END"
+    return f"""
+    WITH h AS (SELECT doc_id, lang AS lang_true, {', '.join(hits)} FROM documents)
+    SELECT doc_id, lang_true, {case} AS lang_guess FROM h
+    """
+
+
+@query("lang_id", _lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        TX.detect_language("text").alias("lang_guess"),
+    )
+
+
+_MD5_INT_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+    from ..operators.dedup import MINHASH_PRIME, _perm_coeffs
+
+    rows = num_hashes // bands
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    grams = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {ngram} + 1, 1) + 1),"
+        f" i -> array_to_string(list_slice({toks}, i, i + {ngram} - 1), ' ')))"
+    )
+    base = _MD5_INT_SQL.format(x="s")
+    sig_items = ", ".join(
+        f"list_min(list_transform(g, s -> ({a}::BIGINT * {base} + {b}) % {MINHASH_PRIME})) AS m{i}"
+        for i, (a, b) in ((i, _perm_coeffs(i)) for i in range(num_hashes))
+    )
+    band_sigs = ", ".join(
+        "concat_ws(',', " + ", ".join(f"m{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS band_sig FROM sigs" for b in range(bands)
+    )
+    return f"""
+    WITH g AS (SELECT doc_id, {grams} AS g FROM documents),
+    mins AS (SELECT doc_id, {sig_items} FROM g),
+    sigs AS (SELECT *, {band_sigs} FROM mins),
+    banded AS ({band_rows})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("minhash_lsh", _minhash_sql())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.minhash_lsh_candidates(docs, "doc_id", "text")
+
+
+@query(
+    "ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id, lang, n_chars // 100 AS lb,
+             list_distinct(list_transform(list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), i, i + 2), ' ')
+             )), s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS grams
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1), 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "lb", F.expr("n_chars div 100")
+    )
+    return DD.jaccard_pairs(
+        docs, "doc_id", "text", block_cols=["lang", "lb"], threshold=0.2
+    )
+
+
+@query(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10)
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim,
+           CAST(row_number() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id)
+               AS INT) AS rank
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.query_id
+    QUALIFY rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, k=5)
+
+
+@query("embedding_topk_lsh")  # approximate: rows-only check; recall tested in pytest
+def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(emb, queries, k=5)
+
+
+@query("simhash_dups")  # signature algebra not SQL-portable; rows-only
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("simhash")
+    )
+    return sigs
+
+
+@query("multimodal_features")  # mapInPandas plumbing; rows-only
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features, fake_image_decoder
+
+    docs = load_table(spark, "documents", sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media, decoder=fake_image_decoder)

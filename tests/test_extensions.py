@@ -1,0 +1,133 @@
+"""Training-data extension operators: dedup family, similarity search,
+text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fhc_rco_etl_scalable_spark.functions import text as TX
+from fhc_rco_etl_scalable_spark.operators import dedup as DD
+from fhc_rco_etl_scalable_spark.operators import similarity as SIM
+from fhc_rco_etl_scalable_spark.operators.multimodal import (
+    extract_features,
+    fake_image_decoder,
+    frame_sample_plan,
+    not_implemented_decoder,
+)
+
+DOCS = [
+    (1, "The quick brown fox jumps over the lazy dog"),
+    (2, "the quick  brown fox jumps over the lazy dog"),  # dup modulo case/ws
+    (3, "completely different content about spark engines"),
+    (4, "The quick brown fox jumps over the lazy cat today"),  # near-dup of 1
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    out = {r.doc_id: r for r in DD.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1].fingerprint == out[2].fingerprint
+    assert out[1].keep and not out[2].keep
+    assert out[1].cluster_size == 2
+    assert out[3].cluster_size == 1 and out[3].keep
+
+
+def test_minhash_identical_docs_share_all_bands(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_bands
+        for r in DD.minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert pairs.get((1, 2)) == 4  # normalized-identical: every band
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert (1, 4) in pairs  # near-dup shares at least one band
+
+
+def test_jaccard_pairs_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d", "x"), (2, "a b c d", "x"), (3, "z z z z", "x")],
+        "doc_id long, text string, blk string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.jaccard_pairs(df, "doc_id", "text", ["blk"], threshold=0.0).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_simhash_identical_zero_hamming(spark, docs):
+    dups = DD.simhash_near_dups(docs, "doc_id", "text", prefix_bits=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in dups.collect()}
+    assert got.get((1, 2)) == 0  # normalized-identical text -> same sig?  # noqa
+    sig = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("sh")).collect()}
+    assert sig[1] >= 0 and sig[3] >= 0  # sign bit clear
+
+
+def test_lsh_recall_against_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5).collect()
+    approx = SIM.lsh_topk(emb, queries, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"LSH recall {recall}"
+
+
+def test_cosine_self_similarity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [2.0, 4.0, 6.0])], "a array<double>, b array<double>")
+    v = df.select(SIM.cosine(F.col("a"), F.col("b")).alias("c")).first().c
+    assert abs(v - 1.0) < 1e-12
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, in a house!!!",)], "text string"
+    )
+    row = df.select(
+        TX.token_count("text").alias("n"),
+        TX.detect_language("text").alias("lang"),
+        TX.quality_score("text").alias("q"),
+        TX.normalized_fingerprint("text").alias("fp"),
+        TX.rolling_hashes("text", window=3).alias("rh"),
+        TX.bpe_ish_piece_count("text").alias("bpe"),
+    ).first()
+    assert row.n == 8
+    assert row.lang == "en"
+    assert 0.0 <= row.q <= 1.0
+    assert len(row.fp) == 32
+    assert len(row.rh) == 6  # 8 tokens, window 3
+    assert row.bpe >= row.n  # pieces >= words
+
+
+def test_multimodal_plumbing(spark):
+    media = spark.createDataFrame(
+        [(1, b"hello world", "text/plain", None, None, 3500)],
+        "media_id long, payload binary, mime string, width int, height int, duration_ms long",
+    )
+    feats = extract_features(media, decoder=fake_image_decoder).collect()
+    assert len(feats) == 1
+    assert feats[0].decode_ok and len(feats[0].feat) == 8
+    assert abs(sum(feats[0].feat) - 1.0) < 1e-6
+    # stub decoder raises clearly
+    with pytest.raises(Exception):
+        extract_features(media, decoder=not_implemented_decoder).collect()
+    # frame sampling plan is metadata-only
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert len(frames) == 4  # 0,1000,2000,3000
+
+
+def test_decoder_failure_marks_row(spark):
+    def flaky(payload, mime):
+        raise ValueError("bad bytes")
+
+    media = spark.createDataFrame(
+        [(1, b"x", "image/png", None, None, None)],
+        "media_id long, payload binary, mime string, width int, height int, duration_ms long",
+    )
+    row = extract_features(media, decoder=flaky).collect()[0]
+    assert row.decode_ok is False and row.feat is None
