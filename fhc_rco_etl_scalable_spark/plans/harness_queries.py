@@ -608,3 +608,266 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
     )
     return extract_features(media, decoder=fake_image_decoder)
+
+
+# ---------------------------------------------------------------------------
+# Window-family + scalar-function coverage (SURVEY §2.6/2.8/2.9 over
+# the FIXTURES §B mapping).
+# ---------------------------------------------------------------------------
+
+@query(
+    "ffill_session",  # W3 forward-fill (reference mes_etl.py:126-129)
+    """
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type <> 'error' THEN props END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS carried_props
+    FROM events
+    """,
+)
+def q_ffill_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = F.when(F.col("event_type") != "error", F.col("props"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.last(marked, ignorenulls=True).over(w).alias("carried_props"),
+    )
+
+
+@query(
+    "cumulative_sums",  # W4 running sums (reference first_stop.py:48-60)
+    """
+    SELECT user_id, event_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING), 2) AS value_cumul,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cumul
+    FROM events
+    """,
+)
+def q_cumulative_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("value_cumul"),
+        F.count("*").over(w).alias("n_cumul"),
+    )
+
+
+@query(
+    "lead_with_boundary",  # W2 lead + synthetic edge defaults (mes_etl.py:158-174)
+    """
+    SELECT user_id, event_id, ts,
+           coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts + INTERVAL 60 MINUTE) AS next_ts
+    FROM events
+    """,
+)
+def q_lead_with_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.coalesce(
+            F.lead("ts").over(w), F.col("ts") + F.expr("INTERVAL 60 MINUTES")
+        ).alias("next_ts"),
+    )
+
+
+@query(
+    "day_start_mode",  # A4 majority-vote day-start hour (data_from_mdc.py:251-262)
+    """
+    WITH c AS (
+      SELECT user_id, hour(ts) AS h, count(*) AS tally FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT *, max(tally) OVER (PARTITION BY user_id) AS mx FROM c
+    )
+    SELECT user_id, CAST(min(h) AS INT) AS Day_Start_hours
+    FROM m WHERE tally > mx / 2 GROUP BY user_id
+    """,
+)
+def q_day_start_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import day_start_hours
+
+    ev = load_table(spark, "events", sf_dir).withColumn("h", F.hour("ts"))
+    return day_start_hours(ev, ["user_id"], "h", prefer="min").select(
+        "user_id", F.col("Day_Start_hours").cast("int").alias("Day_Start_hours")
+    )
+
+
+@query(
+    "argmax_dedup",  # A5 argmax-by-count (data_from_mdc.py:279-283)
+    """
+    WITH c AS (
+      SELECT o_custkey, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_custkey, o_orderpriority FROM c
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY cnt DESC, o_orderpriority ASC) = 1
+    """,
+)
+def q_argmax_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregate import argmax_by_count
+
+    orders = load_table(spark, "orders", sf_dir)
+    return argmax_by_count(orders, ["o_custkey"], ["o_orderpriority"])
+
+
+@query(
+    "top1_latest",  # O2 TOP 1 ORDER BY DESC (ref/RCO_Overall_orchestrator.R:320-326)
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def q_top1_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            "o_orderdate",
+        )
+    )
+
+
+@query(
+    "string_surgery",  # C2-C5 scrub/split/substr/contains
+    """
+    SELECT doc_id,
+           regexp_replace(text, '[''\r\n]+', ' ', 'g') AS scrubbed,
+           string_split(lang, '-')[1] AS lang_root,
+           substr(source, 1, 3) AS src_prefix,
+           contains(lower(text), 'spark') AS mentions_spark
+    FROM documents
+    """,
+)
+def q_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import scrub_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        scrub_text("text").alias("scrubbed"),
+        F.split("lang", "-").getItem(0).alias("lang_root"),
+        F.substring("source", 1, 3).alias("src_prefix"),
+        F.lower(F.col("text")).contains("spark").alias("mentions_spark"),
+    )
+
+
+@query(
+    "dynamic_predicate",  # F1/F2 config-driven predicate text (mes_etl.py:9-20)
+    """
+    SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS total_price
+    FROM part
+    WHERE (p_type LIKE '%BRUSHED%' OR regexp_matches(p_type, '(?i)economy'))
+      AND p_size >= 10 AND NOT p_brand = 'Brand#45'
+    GROUP BY p_brand
+    """,
+)
+def q_dynamic_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.predicates import validate_predicate
+
+    part = load_table(spark, "part", sf_dir)
+    predicate = (
+        "(p_type LIKE '%BRUSHED%' OR p_type rlike '(?i)economy')"
+        " AND p_size >= 10 AND NOT p_brand = 'Brand#45'"
+    )
+    return (
+        part.filter(validate_predicate(part, predicate))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.sum("p_retailprice"), 2).alias("total_price"))
+    )
+
+
+@query(
+    "schema_align",  # S8/U4 sink alignment (overall_etl.py:24-36)
+    """
+    SELECT c_custkey, c_name,
+           CAST(NULL AS DOUBLE) AS loyalty_score,
+           CAST(c_acctbal AS DECIMAL(18,2))::DOUBLE AS c_acctbal,
+           CAST(NULL AS TIMESTAMP) AS enrolled_at
+    FROM customer
+    """,
+)
+def q_schema_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..schemas import align_to_schema
+
+    target = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("loyalty_score", T.DoubleType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("enrolled_at", T.TimestampType()),
+        ]
+    )
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    return align_to_schema(cust, target)
+
+
+@query(
+    "union_dedup",  # O3/O4 union + composite-key dedup (data_from_mdc.py:93-94)
+    """
+    WITH u AS (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_returnflag = 'R' AND l_quantity > 25
+    )
+    SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
+    FROM u GROUP BY 1, 2
+    """,
+)
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    b = a.filter(F.col("l_quantity") > 25)
+    # dropDuplicates on the composite key (values identical across the
+    # union by construction -> deterministic)
+    return a.unionByName(b).groupBy("l_orderkey", "l_linenumber").agg(
+        F.max("l_quantity").alias("l_quantity")
+    )
+
+
+@query(
+    "multi_constraint_norm",  # A8 normalization (mes_etl.py:225-230)
+    """
+    SELECT user_id,
+           round(sum(value) / count(DISTINCT event_type), 2) AS value_per_type,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_multi_constraint_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum("value") / F.countDistinct("event_type"), 2).alias("value_per_type"),
+        F.countDistinct("event_type").cast("int").alias("n_types"),
+    )

@@ -1,0 +1,104 @@
+"""Physical-plan audit: assert the properties that matter at 100 TB.
+
+For each audited query: does the parquet scan prune columns
+(ReadSchema), do filters push down (PushedFilters), do dim joins
+broadcast (BroadcastHashJoin), and is the plan inside whole-stage
+codegen. Prints PASS/WARN per property; exit 1 on hard failures.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    stdout = sys.stdout
+    sys.stdout = buf
+    try:
+        df.explain("formatted")
+    finally:
+        sys.stdout = stdout
+    return buf.getvalue()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.plans import harness_queries as hq
+    from fhc_rco_etl_scalable_spark.session import get_spark
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    failures = []
+
+    def check(name: str, cond: bool, hard: bool = True, detail: str = ""):
+        tag = "PASS" if cond else ("FAIL" if hard else "WARN")
+        print(f"{tag} {name} {detail}")
+        if not cond and hard:
+            failures.append(name)
+
+    # 1. Column pruning: a 2-column projection must not read all columns.
+    pruned = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    p = plan_of(pruned)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    ncols = len(m.group(1).split(",")) if m else 99
+    check("column_pruning(lineitem 2-col)", ncols == 2, detail=f"read {ncols} cols")
+
+    # 2. Predicate pushdown to the parquet scan.
+    filtered = load_table(spark, "orders", sf_dir).filter(F.col("o_custkey") == 42)
+    p = plan_of(filtered)
+    check(
+        "filter_pushdown(orders)",
+        "PushedFilters: [" in p and "o_custkey" in p.split("PushedFilters:")[1][:200],
+    )
+
+    # 3. Dim join broadcasts.
+    p = plan_of(hq.q_dim_join_chain(spark, sf_dir))
+    check("broadcast(dim_join_chain)", "BroadcastHashJoin" in p)
+
+    # 4. Sessionization: exactly ONE exchange feeds the window chain
+    #    (lag + cumsum + session agg share the user_id partitioning).
+    p = plan_of(hq.q_co_sessionize(spark, sf_dir))
+    n_exchanges = p.count("Exchange")
+    check(
+        "single_shuffle(co_sessionize)",
+        n_exchanges <= 2,  # hashpartitioning + AQE final coalesce
+        detail=f"{n_exchanges} exchanges",
+    )
+    # Window execs never enter whole-stage codegen (Spark architecture);
+    # assert the agg path instead: map-side partial aggregation before
+    # the shuffle (the property that matters at scale), and codegen
+    # stages in the post-execution final plan.
+    agg_df = hq.q_runtime_per_day(spark, sf_dir)
+    pre = agg_df._jdf.queryExecution().executedPlan().toString()
+    check("partial_agg(runtime_per_day)", "partial_sum" in pre)
+    agg_df.count()  # materialize so AQE finalizes the plan
+    post = agg_df._jdf.queryExecution().executedPlan().toString()
+    check("codegen(runtime_per_day)", "WholeStageCodegen" in post, hard=False)
+
+    # 5. As-of union trick: one exchange, no join at all.
+    p = plan_of(hq.q_asof_backward(spark, sf_dir))
+    check("no_join(asof_backward)", "Join" not in p, detail="union+window form")
+
+    # 6. Interval join keeps an equi component (no pure cartesian).
+    p = plan_of(hq.q_interval_overlap(spark, sf_dir))
+    check("no_cartesian(interval_overlap)", "CartesianProduct" not in p)
+
+    # 7. Brute-force topk: corpus side not exchanged, query side broadcast.
+    p = plan_of(hq.q_embedding_topk(spark, sf_dir))
+    check("broadcast(embedding_topk queries)", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
+
+    print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
