@@ -16,6 +16,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from pyspark.sql import functions as F
+
 from fhc_rco_etl_scalable_spark.session import get_spark
 
 
@@ -23,6 +25,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
+
+    # Warm the JVM/JIT + parquet reader path so the first measured query
+    # isn't charged for session startup.
+    spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

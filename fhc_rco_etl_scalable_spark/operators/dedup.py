@@ -172,39 +172,65 @@ def jaccard_pairs(
     block_cols: list[str],
     threshold: float = 0.5,
     ngram: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs within the same block
-    (cheap-key blocking bounds the candidate space). Returns
-    (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b."""
-    # 60-bit md5 int grams: integer set ops are far cheaper than string
-    # compares through the pair join, and the hash is oracle-portable
-    # (collision odds ~1e-18 per pair at 100-gram docs).
-    g = df.select(
+    """Exact n-gram Jaccard similarity for pairs within the same block.
+    Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
+
+    ``threshold`` must be > 0: pairs sharing zero grams are never
+    emitted (they'd be the full blocked cross product of irrelevant
+    pairs).
+
+    Inverted-index formulation: explode distinct grams to long rows,
+    equi-join on (block, gram-hash) so the pair join ships only 8-byte
+    hashes (never gram arrays), and |A∩B| falls out of a groupBy count
+    with |A∪B| = |A|+|B|−|A∩B|. Exact, and the scalable shape — a
+    naive array self-join both re-evaluates the gram build per side
+    and shuffles whole arrays (measured 2x slower at sf0.1).
+
+    Grams are 60-bit md5 ints (oracle-portable; collision odds ~1e-18
+    per pair). ``materialize`` localCheckpoints the gram table so the
+    self-join reads it once; at warehouse scale persist it to a table.
+    """
+    g_long = df.select(
         F.col(id_col),
         *block_cols,
-        F.array_distinct(
-            F.transform(
-                token_ngrams(F.col(text_col), ngram),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    token_ngrams(F.col(text_col), ngram),
+                    lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+                )
             )
-        ).alias("__g"),
+        ).alias("__h"),
     )
-    a = g.select(
-        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
-        F.col("__g").alias("__ga"),
+    if materialize:
+        g_long = g_long.localCheckpoint(eager=False)
+    sizes = g_long.groupBy(id_col).agg(F.count("*").alias("__n"))
+
+    a = g_long.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        F.col("__h").alias("__ha"),
     )
-    b = g.select(
-        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
-        F.col("__g").alias("__gb"),
+    b = g_long.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col("__h").alias("__hb"),
     )
-    cond = a["id_a"] < b["id_b"]
+    cond = (F.col("id_a") < F.col("id_b")) & (F.col("__ha") == F.col("__hb"))
     for c in block_cols:
         cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
-    inter = F.size(F.array_intersect("__ga", "__gb"))
-    union = F.size(F.array_union("__ga", "__gb"))
-    jac = inter / F.greatest(union, F.lit(1))
+    inter = a.join(b, cond).groupBy("id_a", "id_b").agg(F.count("*").alias("__i"))
+
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__i") / F.greatest(
+        F.col("__na") + F.col("__nb") - F.col("__i"), F.lit(1)
+    )
     return (
-        a.join(b, cond)
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

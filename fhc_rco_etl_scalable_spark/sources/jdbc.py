@@ -1,0 +1,71 @@
+"""JDBC source adapters (S3 in SURVEY §2.1).
+
+The reference embeds the time predicate in SQL text per table
+(ref/RCO_Maple_orchestrator.R:36-41,102-107,131-136) against SQL
+Server. Spark-first: ``spark.read.jdbc`` with an explicit column list
+and window predicate — Catalyst pushes both to the database, and
+``partitionColumn`` bounds give parallel range scans instead of the
+reference's single-cursor read.
+
+No database is reachable in this container, so the adapter exposes the
+reader *construction* (query text + options) separately from the
+connect step; tests cover the construction, deployments call
+``load()``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+
+@dataclass
+class JdbcWindowScan:
+    """A windowed table scan: SELECT <cols> FROM t WHERE ts > start AND
+    ts < end, optionally range-partitioned for parallel extraction."""
+
+    url: str
+    table: str
+    columns: list[str]
+    ts_col: str
+    start: str
+    end: str
+    extra_predicates: list[str] = field(default_factory=list)
+    num_partitions: int | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def query(self) -> str:
+        preds = [
+            f"{self.ts_col} > '{self.start}'",
+            f"{self.ts_col} < '{self.end}'",
+            *self.extra_predicates,
+        ]
+        cols = ", ".join(self.columns) if self.columns else "*"
+        return f"SELECT {cols} FROM {self.table} WHERE {' AND '.join(preds)}"
+
+    def reader(self, spark: SparkSession) -> DataFrameReader:
+        r = (
+            spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", self.query())
+        )
+        for k, v in self.properties.items():
+            r = r.option(k, v)
+        if self.num_partitions:
+            # parallel range extraction over the window
+            r = (
+                spark.read.format("jdbc")
+                .option("url", self.url)
+                .option("dbtable", f"({self.query()}) src")
+                .option("partitionColumn", self.ts_col)
+                .option("lowerBound", self.start)
+                .option("upperBound", self.end)
+                .option("numPartitions", str(self.num_partitions))
+            )
+            for k, v in self.properties.items():
+                r = r.option(k, v)
+        return r
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        return self.reader(spark).load()

@@ -52,10 +52,10 @@ def test_jaccard_pairs_values(spark):
     )
     got = {
         (r.id_a, r.id_b): r.jaccard
-        for r in DD.jaccard_pairs(df, "doc_id", "text", ["blk"], threshold=0.0).collect()
+        for r in DD.jaccard_pairs(df, "doc_id", "text", ["blk"], threshold=0.1).collect()
     }
     assert got[(1, 2)] == 1.0
-    assert got[(1, 3)] == 0.0
+    assert (1, 3) not in got  # zero shared grams -> never emitted
 
 
 def test_simhash_identical_zero_hamming(spark, docs):

