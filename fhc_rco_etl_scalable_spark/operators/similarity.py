@@ -17,6 +17,8 @@ from __future__ import annotations
 import hashlib
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -89,6 +91,33 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _signature_udf(tables: list[list[list[float]]]):
+    """Vectorized sign-bit signatures for ALL tables in one Arrow batch:
+    (batch x dim) @ (dim x tables*planes) numpy matmul, then bit-pack.
+    Dense linear algebra is the one place a Pandas UDF beats nested
+    zip_with/aggregate expressions (which also fall out of codegen at
+    32 nested folds)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    mat = np.array([p for t in tables for p in t], dtype=np.float64).T  # dim x (T*k)
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)  # batch x dim
+        bits = (v @ mat) > 0  # batch x (T*k)
+        out = []
+        weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
+        for t in range(n_tables):
+            chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+            out.append(chunk @ weights + (t << 16))
+        arr = np.stack(out, axis=1)  # batch x T
+        return pd.Series(list(arr))
+
+    return sigs
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -112,23 +141,27 @@ def lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed=f"spark-graft-t{t}") for t in range(n_tables)
     ]
+    sig_udf = _signature_udf(tables)
 
-    def bucket_array(vec: Column, with_probes: bool) -> Column:
-        buckets = []
-        for t, planes in enumerate(tables):
-            sig = lsh_signature(vec, planes) + F.lit(t << 16)
-            buckets.append(sig)
-            if with_probes and multiprobe_bits >= 1:
-                buckets += [sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-        return F.array(*buckets)
+    def with_probes(sig_arr: Column) -> Column:
+        # per table signature s: probe s itself + every single-bit flip
+        probes = F.flatten(
+            F.transform(
+                sig_arr,
+                lambda s: F.array(
+                    s, *[s.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+                ),
+            )
+        )
+        return probes if multiprobe_bits >= 1 else sig_arr
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__bucket", F.explode(bucket_array(F.col("__cv"), False)))
+    ).withColumn("__bucket", F.explode(sig_udf(F.col("__cv"))))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__bucket", F.explode(bucket_array(F.col("__qv"), True)))
+    ).withColumn("__bucket", F.explode(with_probes(sig_udf(F.col("__qv")))))
 
     cand = c.join(F.broadcast(q), "__bucket").filter(
         F.col("query_id") != F.col("neighbor_id")

@@ -1,0 +1,60 @@
+"""Multi-site orchestration: concurrent site DAGs, per-site failure
+isolation, run-log shape."""
+
+from datetime import datetime, timedelta
+
+from fhc_rco_etl_scalable_spark.plans.multi_site import SiteRun, run_all_sites
+from fhc_rco_etl_scalable_spark.plans.rco_pipeline import SiteParams
+
+T0 = datetime(2024, 1, 1, 6, 0)
+
+SCHEMA = (
+    "downtime_id string, LINE string, START_TIME timestamp, END_TIME timestamp,"
+    " DOWNTIME double, UPTIME double, BRANDCODE string, CAUSE_LEVELS_1_NAME string,"
+    " CAUSE_LEVELS_2_NAME string, CAUSE_LEVELS_3_NAME string, CAUSE_LEVELS_4_NAME string,"
+    " MACHINE string, OPERATOR_COMMENT string, Planned_Stop_Check int, Idle_Check int,"
+    " isExcluded boolean, isConstraint boolean, isStop boolean, dtCategory string,"
+    " LineStatus string, Fault string"
+)
+
+
+def _dt(spark, line="L1"):
+    rows = [
+        ("d1", line, T0, T0 + timedelta(minutes=5), 5.0, 20.0, "A",
+         "Planned Downtime", "Changeover", None, None, f"{line} CM", "c",
+         0, 0, False, True, True, "DTMach-Failure", None, "F"),
+        ("d2", line, T0 + timedelta(minutes=20), T0 + timedelta(minutes=25),
+         5.0, 10.0, "B", "Planned Downtime", "Changeover", None, None,
+         f"{line} CM", "c", 0, 0, False, True, True, "DTMach-Failure", None, "F"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_run_all_sites_success_and_isolation(spark):
+    loaded: dict[str, dict] = {}
+
+    def load(server, outs):
+        loaded[server] = {k: v.count() for k, v in outs.items()}
+
+    good = SiteRun(SiteParams(server="S1"), _dt(spark, "L1"))
+    # bad predicate -> this site fails at plan time; others unaffected
+    bad = SiteRun(
+        SiteParams(server="S2", co_predicate="NO_SUCH_COLUMN = 1"), _dt(spark, "L2")
+    )
+    log = run_all_sites([good, bad], load, max_parallel_sites=2)
+    assert log["S1"] == "Success"
+    assert isinstance(log["S2"], dict) and "Failure" in log["S2"]
+    assert "NO_SUCH_COLUMN" in log["S2"]["Failure"]
+    assert loaded["S1"]["CO_Aggregated_Data"] == 1
+    assert "S2" not in loaded
+
+
+def test_run_all_sites_parallel(spark):
+    loaded = {}
+    runs = [
+        SiteRun(SiteParams(server=f"S{i}"), _dt(spark, f"L{i}")) for i in range(3)
+    ]
+    log = run_all_sites(runs, lambda s, o: loaded.setdefault(s, o["CO_Aggregated_Data"].count()),
+                        max_parallel_sites=3)
+    assert all(v == "Success" for v in log.values())
+    assert set(loaded) == {"S0", "S1", "S2"}
