@@ -871,3 +871,79 @@ def q_multi_constraint_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value") / F.countDistinct("event_type"), 2).alias("value_per_type"),
         F.countDistinct("event_type").cast("int").alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-resistant aggregation: the salted two-stage plan must produce
+# byte-identical results to the plain groupBy — the oracle IS the
+# plain formulation (SURVEY §4 shuffle/skew notes).
+# ---------------------------------------------------------------------------
+
+@query(
+    "salted_aggregate",
+    """
+    SELECT user_id, round(sum(value), 2) AS total_value,
+           count(*) AS n_events, round(max(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, "events", sf_dir)
+    out = salted_aggregate(
+        ev,
+        ["user_id"],
+        partial_aggs={
+            "total_value": F.sum("value"),
+            "n_events": F.count("*"),
+            "max_value": F.max("value"),
+        },
+        merge_aggs={
+            "total_value": F.sum("total_value"),
+            "n_events": F.sum("n_events"),
+            "max_value": F.max("max_value"),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.round("total_value", 2).alias("total_value"),
+        "n_events",
+        F.round("max_value", 2).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session boundary points: interval -> boundary-row expansion via
+# arrays + posexplode (the Gantt U2 pattern, oracle-checkable shape).
+# ---------------------------------------------------------------------------
+
+_BOUNDARY_ORACLE = (
+    _SESSIONIZE_ORACLE.split("ids AS (")[0].rstrip().rstrip(",")
+    + """
+, intervals AS (
+  SELECT user_id, session_num, min(ts) AS s, max(ts) AS e, count(*) AS n
+  FROM sess GROUP BY user_id, session_num HAVING count(*) >= 2
+)
+SELECT user_id, session_num, s AS point_ts, 'start' AS kind FROM intervals
+UNION ALL
+SELECT user_id, session_num, e AS point_ts, 'end' AS kind FROM intervals
+"""
+)
+
+
+@query("session_boundary_points", _BOUNDARY_ORACLE)
+def q_session_boundary_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionized_events(spark, sf_dir)
+    intervals = (
+        sess.groupBy("user_id", "session_num")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    points = F.array(
+        F.struct(F.col("s").alias("point_ts"), F.lit("start").alias("kind")),
+        F.struct(F.col("e").alias("point_ts"), F.lit("end").alias("kind")),
+    )
+    return intervals.select(
+        "user_id", "session_num", F.explode(points).alias("__p")
+    ).select("user_id", "session_num", "__p.point_ts", "__p.kind")
