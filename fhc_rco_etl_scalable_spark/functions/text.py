@@ -118,7 +118,10 @@ def rolling_hashes(text: Column | str, window: int = 5) -> Column:
     Basis for robust near-dup fingerprints."""
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(0)))
+    # lower bound 1, not 0: sequence(1, 0) would step DOWN to index 0
+    # and slice(toks, 0, ..) throws; short texts get one window over
+    # all available tokens.
+    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
     return F.transform(
         idx,
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),

@@ -68,7 +68,7 @@ def char_shingles(text: Column, k: int = 8) -> Column:
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, 1, 0) + norm.substr(i, F.lit(k))))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
 def token_ngrams(text: Column, n: int = 3) -> Column:
@@ -228,11 +228,14 @@ def jaccard_pairs(
     jac = F.col("__i") / F.greatest(
         F.col("__na") + F.col("__nb") - F.col("__i"), F.lit(1)
     )
+    # threshold on the RAW value (rounding only for display/compare) —
+    # filtering the rounded value would admit pairs half an ulp below
+    # the threshold and disagree with the oracle's WHERE clause.
     return (
         inter.join(na, "id_a")
         .join(nb, "id_b")
+        .filter(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -254,11 +257,17 @@ def simhash64(text: Column, ngram: int = 2) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, prefix_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix_bits: int = 16,
+    max_hamming: int | None = None,
 ) -> DataFrame:
-    """SimHash-bucketed near-dup candidates: same signature prefix
-    blocks, exact signature equality -> near-dup pairs (id_a < id_b,
-    hamming=0 tier). A multi-probe variant would rotate prefixes."""
+    """SimHash-bucketed CANDIDATE pairs: documents sharing the top
+    ``prefix_bits`` of their signature, with the full hamming distance
+    attached (id_a < id_b). Callers decide the near-dup cutoff —
+    ``max_hamming`` filters in-engine (0 = identical signatures).
+    A multi-probe variant would rotate which bits form the prefix."""
     sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
     shifted = sigs.withColumn("__bucket", F.shiftrightunsigned("__sh", 64 - prefix_bits))
     a = shifted.select(
@@ -267,10 +276,13 @@ def simhash_near_dups(
     b = shifted.select(
         F.col(id_col).alias("id_b"), F.col("__bucket").alias("bb"), F.col("__sh").alias("sb")
     )
-    return (
+    out = (
         a.join(b, (a["ba"] == b["bb"]) & (a["id_a"] < b["id_b"]))
         .withColumn(
             "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
         )
         .select("id_a", "id_b", "hamming")
     )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out

@@ -12,7 +12,7 @@ needs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 BLOCKED_STARVED = ("DTMach-Blocked", "DTMach-Starved")
@@ -51,27 +51,54 @@ def with_derived_flags(
             "isExcluded",
             F.col("LineStatus").isNotNull() & (F.col("LineStatus") != "None"),
         )
-        .withColumn("isStop", ~F.coalesce(F.col("dtCategory").isin(*BLOCKED_STARVED), F.lit(False)))
+        # substring containment, not exact match (data_from_mdc.py:80:
+        # ``any(item in x ...)``) — 'DTMach-Blocked: upstream' is still
+        # blocked propagation, not a stop.
+        .withColumn(
+            "isStop",
+            ~F.coalesce(
+                F.col("dtCategory").rlike("|".join(BLOCKED_STARVED)), F.lit(False)
+            ),
+        )
+        # 'Planned' substring of the CATEGORY (data_from_mdc.py:83-84;
+        # the port's per-char loop is a noted bug — the commented
+        # np.where shows the intent).
         .withColumn(
             "Planned_Stop_Check",
-            F.when(F.coalesce(F.col("CAUSE_LEVELS_1_NAME"), F.lit("")).contains("Planned"), 1).otherwise(0),
+            F.when(
+                F.coalesce(F.col("dtCategory"), F.lit("")).contains("Planned"), 1
+            ).otherwise(0),
         )
-        .withColumn(
-            "Idle_Check",
-            F.when(F.coalesce(F.col("CAUSE_LEVELS_1_NAME"), F.lit("")).contains("Idle"), 1).otherwise(0),
-        )
+        # Idle_Check mirrors isExcluded (data_from_mdc.py:85:
+        # np.where(isExcluded, 1, 0)).
+        .withColumn("Idle_Check", F.when(F.col("isExcluded"), 1).otherwise(0))
     )
 
 
-def downtime_variants(flagged: DataFrame) -> dict[str, DataFrame]:
+def downtime_variants(
+    flagged: DataFrame, multi_constraint: bool = False
+) -> dict[str, DataFrame]:
     """The reference's four extraction outputs (data_from_mdc.py:89-111):
-    line-level vs machine-level x strict (non-excluded real stops) vs
-    full. All lazy views over one frame."""
+
+    - line_dt_full: constraint-machine stops;
+    - line_dt: the above minus excluded rows (null START dropped);
+    - machine_dt_full: every stop (constraint machines REMOVED unless
+      the site runs multi-constraint, :106-108);
+    - machine_dt: the above minus excluded rows.
+
+    All lazy views over one frame; ``isStop`` is informational (used by
+    downstream filters, not the lattice — faithful to the reference).
+    """
     constraint = F.col("isConstraint")
-    clean: Column = (~F.col("isExcluded")) & F.col("isStop")
+    line_dt_full = flagged.filter(constraint)
+    line_dt = line_dt_full.filter(~F.col("isExcluded")).na.drop(subset=["START_TIME"])
+    machine_dt_full = flagged.na.drop(subset=["START_TIME"])
+    if not multi_constraint:
+        machine_dt_full = machine_dt_full.filter(~constraint)
+    machine_dt = machine_dt_full.filter(~F.col("isExcluded"))
     return {
-        "line_dt": flagged.filter(constraint & clean),
-        "line_dt_full": flagged.filter(constraint),
-        "machine_dt": flagged.filter(clean),
-        "machine_dt_full": flagged,
+        "line_dt": line_dt,
+        "line_dt_full": line_dt_full,
+        "machine_dt": machine_dt,
+        "machine_dt_full": machine_dt_full,
     }

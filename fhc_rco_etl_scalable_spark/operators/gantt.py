@@ -92,9 +92,14 @@ def generate_gantt_points(
     w = Window.partitionBy(*g).orderBy("START_TIME", "downtime_id")
     w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    dt_s = F.col("DOWNTIME") * 60.0  # minutes -> seconds (machine_level.py:85)
-    up_s = F.col("UPTIME") * 60.0
+    dt_s = F.coalesce(F.col("DOWNTIME"), F.lit(0.0)) * 60.0  # min -> s (machine_level.py:85)
+    up_s = F.coalesce(F.col("UPTIME"), F.lit(0.0)) * 60.0
     start, end = F.col("START_TIME"), F.col("END_TIME")
+    # NULL UPTIME behaves like the reference's NaT comparison (False):
+    # coalescing to 0 makes prev_uptime_end = START, so the
+    # window-start-in-uptime branch is cleanly false rather than NULL
+    # (a NULL condition would emit NO first point yet still advance
+    # the last-emitted anchor — a phantom +1s anchor downstream).
     prev_uptime_end = _plus_s(start, -up_s)
 
     df = windowed.withColumn("__S", status).withColumn("__k", F.row_number().over(w) - 1)

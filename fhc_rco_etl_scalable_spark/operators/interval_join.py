@@ -65,6 +65,13 @@ def interval_overlap_join(
         return intervals.join(points, cond, how)
 
     # Bucketed path: equi-join on (keys, bucket) then exact filter.
+    # A naive outer join would null-extend an exploded interval once
+    # per unmatched bucket (duplicate left rows) — 'left' is built as
+    # inner + null-safe anti-join for the unmatched intervals.
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"bucketed interval join supports how in ('inner','left') (got {how!r})"
+        )
     b = F.lit(bucket_seconds)
     iv = intervals.withColumn(
         "__bucket",
@@ -92,10 +99,34 @@ def interval_overlap_join(
         c = iv[k] == pt[k]
         cond = c if cond is None else (cond & c)
     cond = cond & _range(iv, pt)
-    joined = iv.join(pt, cond, how)
+    inner = iv.join(pt, cond, "inner").drop(iv["__bucket"]).drop(pt["__bucket"])
     if point_end is not None:
-        # interval x interval can match in several buckets — dedup.
-        joined = joined.dropDuplicates(
-            on + [interval_start, interval_end, point_ts, point_end]
-        )
-    return joined.drop(iv["__bucket"]).drop(pt["__bucket"])
+        # interval x interval can match in several buckets — dedup on
+        # the FULL row so rows distinguished by any column survive
+        # (a key-subset dedup would collapse distinct interval ids;
+        # fully-identical input rows collapse — multiset caveat).
+        inner = inner.dropDuplicates()
+    if how == "inner":
+        return inner
+    # left: append a single null-extended row per interval that matched
+    # nothing (null-safe full-row anti-join; never-null window bounds
+    # make this exact for distinct interval rows). Matched keys are
+    # alias-prefixed — inner shares lineage with `intervals`, and bare
+    # column refs would collapse the anti-join condition to true.
+    pt_only = [c for c in points.columns if c not in intervals.columns]
+    inner_proj = inner.select(
+        *[iv[c] for c in intervals.columns], *[pt[c] for c in pt_only]
+    )
+    matched = inner.select(
+        *[iv[c].alias(f"__m_{c}") for c in intervals.columns]
+    ).dropDuplicates()
+    anti_cond = None
+    for c in intervals.columns:
+        eq = intervals[c].eqNullSafe(F.col(f"__m_{c}"))
+        anti_cond = eq if anti_cond is None else (anti_cond & eq)
+    unmatched = intervals.join(matched, anti_cond, "left_anti")
+    null_ext = unmatched.select(
+        *[F.col(c) for c in intervals.columns],
+        *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in pt_only],
+    )
+    return inner_proj.unionByName(null_ext)

@@ -61,10 +61,18 @@ def detect_changeovers(line_dt: DataFrame, site: SiteParams) -> DataFrame:
     co = line_dt.filter(F.expr(site.co_predicate))
     if site.run_multi_constraint_analysis:
         # Multi-constraint lines record one stop per constraint machine;
-        # dedup on (START_TIME, LINE) keeps the session chain single
-        # (reference data_from_mdc.py:93-94; R semantics — the Python
-        # inplace bug is documented, not replicated).
-        co = co.dropDuplicates(["START_TIME", "LINE"])
+        # keep ONE row per (START_TIME, LINE) — deterministically, by
+        # min downtime_id (bare dropDuplicates keeps an arbitrary row,
+        # which would make sessions/downtime sums run-dependent and
+        # break load idempotence; reference data_from_mdc.py:93-94, R
+        # semantics — the Python inplace bug is documented, not
+        # replicated).
+        w_dedup = Window.partitionBy("LINE", "START_TIME").orderBy("downtime_id")
+        co = (
+            co.withColumn("__dd", F.row_number().over(w_dedup))
+            .filter(F.col("__dd") == 1)
+            .drop("__dd")
+        )
     co = (
         co.na.drop(subset=["START_TIME"])
         .withColumn("CO_Trigger_Column", co_trigger_column())

@@ -43,7 +43,9 @@ def site_etl(
         if "isConstraint" not in downtime.columns or line_config is not None
         else downtime
     )
-    variants = downtime_variants(flagged)
+    variants = downtime_variants(
+        flagged, multi_constraint=site.run_multi_constraint_analysis
+    )
     line_dt, line_dt_full = variants["line_dt"], variants["line_dt_full"]
     machine_dt = variants["machine_dt"]
 

@@ -45,26 +45,20 @@ class JdbcWindowScan:
         return f"SELECT {cols} FROM {self.table} WHERE {' AND '.join(preds)}"
 
     def reader(self, spark: SparkSession) -> DataFrameReader:
-        r = (
-            spark.read.format("jdbc")
-            .option("url", self.url)
-            .option("query", self.query())
-        )
-        for k, v in self.properties.items():
-            r = r.option(k, v)
+        r = spark.read.format("jdbc").option("url", self.url)
         if self.num_partitions:
             # parallel range extraction over the window
             r = (
-                spark.read.format("jdbc")
-                .option("url", self.url)
-                .option("dbtable", f"({self.query()}) src")
+                r.option("dbtable", f"({self.query()}) src")
                 .option("partitionColumn", self.ts_col)
                 .option("lowerBound", self.start)
                 .option("upperBound", self.end)
                 .option("numPartitions", str(self.num_partitions))
             )
-            for k, v in self.properties.items():
-                r = r.option(k, v)
+        else:
+            r = r.option("query", self.query())
+        for k, v in self.properties.items():
+            r = r.option(k, v)
         return r
 
     def load(self, spark: SparkSession) -> DataFrame:

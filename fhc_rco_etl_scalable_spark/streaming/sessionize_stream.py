@@ -95,10 +95,12 @@ def make_session_fn(p_minutes: float):
                 new_session = True
                 if last_end is not None:
                     gap_min = (start_ts - last_end) / 60.0
+                    # null-safe brand equality (None == None is 'same'),
+                    # matching the batch trigger's eqNullSafe semantics
                     new_session = not _continues(
                         gap_min,
                         trig_col == last_trig,
-                        brand is not None and brand == last_brand,
+                        brand == last_brand,
                         p_minutes,
                     )
                 if new_session:

@@ -88,21 +88,32 @@ def test_all_eight_outputs_present_and_aligned(site_outputs):
 
 def test_flag_lattice(spark):
     rows = [
-        _dt("a", "L1", "L1 CM", 0, 1, 1, "A", "Planned Downtime", "CO"),
+        _dt("a", "L1", "L1 CM", 0, 1, 1, "A", "Planned Downtime", "CO",
+            cat="Planned-CO"),
         _dt("b", "L1", "L1 OTHER", 1, 1, 1, "A", "Unplanned Downtime", "F"),
         _dt("c", "L1", "L1 CM", 2, 1, 1, "A", "Idle", "F", status="PR Out: x"),
-        _dt("d", "L1", "L1 CM", 3, 1, 1, "A", None, "F", cat="DTMach-Blocked"),
+        # substring containment: category with a suffix is still blocked
+        _dt("d", "L1", "L1 CM", 3, 1, 1, "A", None, "F",
+            cat="DTMach-Blocked: upstream"),
     ]
     flagged = with_derived_flags(spark.createDataFrame(rows, DT_SCHEMA),
                                  line_config=None)
     # no line_config -> isConstraint defaults True; test flags
     got = {r.downtime_id: r for r in flagged.collect()}
+    # Planned check reads the CATEGORY (data_from_mdc.py:83-84)
     assert got["a"].Planned_Stop_Check == 1 and got["a"].Idle_Check == 0
+    assert got["b"].Planned_Stop_Check == 0
+    # Idle_Check mirrors isExcluded (data_from_mdc.py:85)
     assert got["c"].isExcluded and got["c"].Idle_Check == 1
-    assert not got["d"].isStop
+    assert not got["d"].isStop  # substring, not exact match
     v = downtime_variants(flagged)
-    assert v["line_dt"].count() == 2  # a, b (c excluded, d not a stop)
-    assert v["machine_dt_full"].count() == 4
+    # lattice: isStop is NOT a lattice filter; only exclusion is
+    assert v["line_dt"].count() == 3  # a, b, d (c excluded)
+    # non-multi-constraint: constraint machines removed from machine set
+    assert v["machine_dt_full"].count() == 0
+    v_mc = downtime_variants(flagged, multi_constraint=True)
+    assert v_mc["machine_dt_full"].count() == 4
+    assert v_mc["machine_dt"].count() == 3  # c excluded
 
 
 def test_constraint_flag_via_line_config(site_outputs):
