@@ -947,3 +947,85 @@ def q_session_boundary_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return intervals.select(
         "user_id", "session_num", F.explode(points).alias("__p")
     ).select("user_id", "session_num", "__p.point_ts", "__p.kind")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function coverage C6-C12: timestamp parse/format, interval
+# arithmetic, nested conditional status coding.
+# ---------------------------------------------------------------------------
+
+@query(
+    "timestamp_roundtrip",  # C6 parse + format (mes_etl.py:57,177)
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_text,
+           strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS reparsed,
+           CAST(ts AS DATE) AS day
+    FROM events
+    """,
+)
+def q_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    return ev.select(
+        "event_id",
+        iso.alias("iso_text"),
+        F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss").alias("reparsed"),
+        F.to_date("ts").alias("day"),
+    )
+
+
+@query(
+    "interval_arithmetic",  # C8/C9 (mes_etl.py:62,182-183; machine_level.py:67-69)
+    """
+    SELECT event_id,
+           ts + to_microseconds(CAST(trunc(value * 60000000) AS BIGINT)) AS end_time,
+           ts - INTERVAL 5 MINUTE AS win_start,
+           ts + INTERVAL 30 DAY AS horizon,
+           round(epoch(ts - TIMESTAMP '2024-01-01') / 3600.0, 4) AS hours_since_epoch0
+    FROM events
+    """,
+)
+def q_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import minutes_between, ts_plus_minutes
+
+    ev = load_table(spark, "events", sf_dir)
+    anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return ev.select(
+        "event_id",
+        ts_plus_minutes(F.col("ts"), F.col("value")).alias("end_time"),
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("horizon"),
+        F.round(minutes_between(F.col("ts"), anchor) / 60.0, 4).alias(
+            "hours_since_epoch0"
+        ),
+    )
+
+
+@query(
+    "conditional_status",  # C12 nested 4-way status (machine_level.py:280)
+    """
+    SELECT event_id,
+           CAST(CASE WHEN event_type = 'purchase' THEN 1.0
+                WHEN event_type = 'signup' THEN 1.7
+                WHEN value >= 50 THEN 2.3
+                ELSE 4.0 END AS DOUBLE) AS status,
+           coalesce(nullif(props, '{"k": 1}'), 'default') AS props_or_default
+    FROM events
+    """,
+)
+def q_conditional_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    status = (
+        F.when(F.col("event_type") == "purchase", 1.0)
+        .when(F.col("event_type") == "signup", 1.7)
+        .when(F.col("value") >= 50, 2.3)
+        .otherwise(4.0)
+    )
+    return ev.select(
+        "event_id",
+        status.alias("status"),
+        F.coalesce(
+            F.nullif("props", F.lit('{"k": 1}')), F.lit("default")
+        ).alias("props_or_default"),
+    )
