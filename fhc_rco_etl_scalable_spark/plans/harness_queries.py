@@ -1029,3 +1029,183 @@ def q_conditional_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif("props", F.lit('{"k": 1}')), F.lit("default")
         ).alias("props_or_default"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_gantt_points — the FULL Gantt boundary-point emitter (U2/U3;
+# machine_level.py:93-196,388-394) against a DuckDB transcription of
+# the same recurrence: first-row branches, <=1s/<2s skips, running
+# last-emitted anchor, window-end sentinels, final clamp, -1s repair.
+# Stops are synthesized from events (DOWNTIME = value/20 min, UPTIME =
+# gap to previous stop end); windows are the >=2-event sessions.
+# ---------------------------------------------------------------------------
+
+_GANTT_ORACLE = (
+    _SESSIONIZE_ORACLE.split("ids AS (")[0].rstrip().rstrip(",")
+    + """
+, wins AS (
+  SELECT CAST(user_id AS VARCHAR) AS line,
+         concat_ws('-', user_id, session_num) AS co_id,
+         min(ts) - INTERVAL 5 MINUTE  AS ws,
+         max(ts) + INTERVAL 15 MINUTE AS we
+  FROM sess GROUP BY user_id, session_num HAVING count(*) >= 2
+),
+stops0 AS (
+  SELECT CAST(user_id AS VARCHAR) AS line, ts AS start,
+         ts + to_microseconds(CAST(trunc((value/20.0) * 60000000) AS BIGINT)) AS "end",
+         (value/20.0) AS dt_min,
+         lpad(CAST(event_id AS VARCHAR), 12, '0') AS sid,
+         lag(ts + to_microseconds(CAST(trunc((value/20.0) * 60000000) AS BIGINT)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_end
+  FROM events
+),
+stops AS (
+  SELECT line, start, "end", dt_min, sid,
+         CASE WHEN prev_end IS NULL THEN 1e9
+              ELSE epoch_us(start - prev_end) / 60000000.0 END AS up_min
+  FROM stops0
+),
+win_stops AS (
+  SELECT w.co_id, w.line, w.ws, w.we, s.start, s."end", s.sid,
+         s.dt_min * 60.0 AS dt_s, s.up_min * 60.0 AS up_s,
+         s.start - to_microseconds(CAST(trunc(s.up_min * 60.0 * 1000000) AS BIGINT)) AS prev_up_end
+  FROM wins w JOIN stops s
+    ON s.line = w.line AND s."end" > w.ws AND s.start < w.we
+),
+ordered AS (
+  SELECT *, row_number() OVER g - 1 AS k,
+         lead(start) OVER g IS NULL AS is_last
+  FROM win_stops
+  WINDOW g AS (PARTITION BY co_id ORDER BY start, sid)
+),
+cand AS (
+  SELECT *,
+    CASE WHEN dt_s > 1 THEN "end"
+         WHEN k = 0 THEN (CASE WHEN ws < start AND ws > prev_up_end THEN start ELSE ws END)
+         WHEN up_s >= 2 THEN start - INTERVAL 1 SECOND
+         ELSE NULL END AS c
+  FROM ordered
+),
+runlast0 AS (
+  SELECT *,
+    last_value(c IGNORE NULLS) OVER (PARTITION BY co_id ORDER BY k
+        ROWS UNBOUNDED PRECEDING) AS last_emit
+  FROM cand
+),
+runlast AS (
+  SELECT *, lag(last_emit) OVER (PARTITION BY co_id ORDER BY k) AS anchor
+  FROM runlast0
+),
+pts AS (
+  SELECT co_id, line, we, k, 0 AS pos, ws AS pt, 3.0 AS st, sid FROM runlast
+   WHERE k = 0 AND ws < start AND ws > prev_up_end
+  UNION ALL
+  SELECT co_id, line, we, k, 1, start - INTERVAL 1 SECOND, 3.0, sid FROM runlast
+   WHERE k = 0 AND ws < start AND ws > prev_up_end
+  UNION ALL
+  SELECT co_id, line, we, k, 2, start, 2.0, sid FROM runlast
+   WHERE k = 0 AND ws < start AND ws > prev_up_end
+  UNION ALL
+  SELECT co_id, line, we, k, 0, ws, 2.0, sid FROM runlast
+   WHERE k = 0 AND NOT (ws < start AND ws > prev_up_end)
+  UNION ALL
+  SELECT co_id, line, we, k, 3, "end", 2.0, sid FROM runlast
+   WHERE k = 0 AND dt_s > 1
+  UNION ALL
+  SELECT co_id, line, we, k, 0, anchor + INTERVAL 1 SECOND, 3.0, sid FROM runlast
+   WHERE k > 0 AND up_s >= 2
+  UNION ALL
+  SELECT co_id, line, we, k, 1, start - INTERVAL 1 SECOND, 3.0, sid FROM runlast
+   WHERE k > 0 AND up_s >= 2
+  UNION ALL
+  SELECT co_id, line, we, k, 2, start, 2.0, sid FROM runlast
+   WHERE k > 0 AND dt_s > 1
+  UNION ALL
+  SELECT co_id, line, we, k, 3, "end", 2.0, sid FROM runlast
+   WHERE k > 0 AND dt_s > 1
+  UNION ALL
+  SELECT co_id, line, we, k, 98, last_emit + INTERVAL 1 SECOND, 3.0, '' FROM runlast
+   WHERE is_last AND last_emit <= we
+  UNION ALL
+  SELECT co_id, line, we, k, 99, we, 3.0, '' FROM runlast
+   WHERE is_last AND last_emit <= we
+),
+clamped AS (
+  SELECT *, row_number() OVER (PARTITION BY co_id ORDER BY k DESC, pos DESC) AS rn_desc
+  FROM pts
+),
+fixed AS (
+  SELECT co_id, line, k, pos,
+    CASE WHEN rn_desc = 1 AND pt > we THEN we ELSE pt END AS pt, st, sid
+  FROM clamped
+),
+repaired AS (
+  SELECT *,
+    lead(pt) OVER e AS nxt_pt, lead(st) OVER e AS nxt_st, lag(pt) OVER e AS prv_pt
+  FROM fixed
+  WINDOW e AS (PARTITION BY co_id ORDER BY k, pos)
+)
+SELECT
+  CASE WHEN nxt_pt IS NOT NULL AND pt > nxt_pt AND st <> nxt_st
+            AND (prv_pt IS NULL OR pt > prv_pt + INTERVAL 1 SECOND)
+       THEN pt - INTERVAL 1 SECOND ELSE pt END AS StartTime,
+  line AS Line, 'M' AS Machine, CAST(st AS DOUBLE) AS Downtime_Status,
+  sid AS downtime_id, co_id AS CO_Identifier
+FROM repaired
+"""
+)
+
+
+@query("gantt_points", _GANTT_ORACLE)
+def q_gantt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gantt import attach_stops_to_windows, generate_gantt_points
+
+    sess = sessionized_events(spark, sf_dir)
+    co_agg = (
+        sess.groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("CO_StartTime"),
+            F.max("ts").alias("CO_EndTime"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("user_id").cast("string").alias("LINE"),
+            F.concat_ws("-", F.col("user_id"), F.col("session_num")).alias(
+                "CO_Identifier"
+            ),
+            "CO_StartTime",
+            "CO_EndTime",
+        )
+    )
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stops = (
+        ev.withColumn("DOWNTIME", F.col("value") / 20.0)
+        .withColumn(
+            "END_TIME",
+            F.timestamp_micros(
+                F.unix_micros("ts") + (F.col("DOWNTIME") * 60e6).cast("long")
+            ),
+        )
+        .withColumn("__prev_end", F.lag("END_TIME").over(w))
+        .withColumn(
+            "UPTIME",
+            F.when(F.col("__prev_end").isNull(), F.lit(1e9)).otherwise(
+                (F.unix_micros("ts") - F.unix_micros("__prev_end")) / 60e6
+            ),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("LINE"),
+            F.lit("M").alias("MACHINE"),
+            F.col("ts").alias("START_TIME"),
+            "END_TIME",
+            "DOWNTIME",
+            "UPTIME",
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("downtime_id"),
+        )
+    )
+    windowed = attach_stops_to_windows(co_agg, stops)
+    return generate_gantt_points(windowed, status=F.lit(2.0)).select(
+        "StartTime", "Line", "Machine", "Downtime_Status", "downtime_id", "CO_Identifier"
+    )
