@@ -53,7 +53,11 @@ def compile_rule(rule: dict) -> Column:
             out = c if out is None else (out | c)
         return out
     if "not" in rule:
-        return ~compile_rule(rule["not"])
+        # null-safe negation: the catalog's none-of rules must accept
+        # rows where the column is NULL (grepl(NA) is no-match, so
+        # !no-match passes); bare ~NULL would three-valued-logic the
+        # row out of existence.
+        return ~F.coalesce(compile_rule(rule["not"]), F.lit(False))
 
     name = rule.get("col")
     if not name:

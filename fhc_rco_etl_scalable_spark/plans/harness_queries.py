@@ -1209,3 +1209,159 @@ def q_gantt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return generate_gantt_points(windowed, status=F.lit(2.0)).select(
         "StartTime", "Line", "Machine", "Downtime_Status", "downtime_id", "CO_Identifier"
     )
+
+
+# ---------------------------------------------------------------------------
+# q_first_stop — the first-stop-after-CO sub-analysis shape (W4 + J8 +
+# A9; reference first_stop.py:22-94): sessions as changeovers, events
+# as stops, 'error' events as the unplanned kind.
+# ---------------------------------------------------------------------------
+
+_FIRST_STOP_ORACLE = (
+    _SESSIONIZE_ORACLE.split("ids AS (")[0].rstrip().rstrip(",")
+    + """
+, cos AS (
+  SELECT user_id, session_num,
+         concat_ws('-', user_id, session_num) AS co_id,
+         min(ts) AS co_start, max(ts) AS co_end
+  FROM sess GROUP BY user_id, session_num
+),
+ctx AS (
+  SELECT *,
+    coalesce(lead(co_start) OVER (PARTITION BY user_id ORDER BY co_start, co_id),
+             co_end + INTERVAL 30 DAY) AS next_co_start
+  FROM cos
+),
+slice AS (
+  SELECT c.co_id, c.user_id, e.ts, e.event_id, e.event_type, e.value
+  FROM ctx c JOIN events e
+    ON e.user_id = c.user_id AND e.ts >= c.co_end AND e.ts < c.next_co_start
+),
+cum AS (
+  SELECT *,
+    round(sum(value) OVER (PARTITION BY co_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING), 2) AS value_cumul
+  FROM slice
+),
+firsts AS (
+  SELECT co_id, user_id, ts AS first_stop_ts, event_id AS first_stop_id,
+         value_cumul AS value_before_first_stop,
+         row_number() OVER (PARTITION BY co_id ORDER BY ts, event_id) AS rn
+  FROM cum WHERE event_type = 'error'
+)
+SELECT co_id AS CO_Identifier, user_id, first_stop_ts, first_stop_id,
+       value_before_first_stop
+FROM firsts WHERE rn = 1
+"""
+)
+
+
+@query("first_stop", _FIRST_STOP_ORACLE)
+def q_first_stop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess = sessionized_events(spark, sf_dir)
+    w_next = Window.partitionBy("user_id").orderBy("co_start", "co_id")
+    cos = (
+        sess.groupBy("user_id", "session_num")
+        .agg(F.min("ts").alias("co_start"), F.max("ts").alias("co_end"))
+        .withColumn(
+            "co_id", F.concat_ws("-", F.col("user_id"), F.col("session_num"))
+        )
+        .withColumn(
+            "next_co_start",
+            F.coalesce(
+                F.lead("co_start").over(w_next),
+                F.col("co_end") + F.expr("INTERVAL 30 DAYS"),
+            ),
+        )
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("user_id").alias("__e_user"), "ts", "event_id", "event_type", "value"
+    )
+    sl = cos.join(
+        ev,
+        (cos["user_id"] == ev["__e_user"])
+        & (ev["ts"] >= cos["co_end"])
+        & (ev["ts"] < cos["next_co_start"]),
+        "inner",
+    )
+    w_cum = (
+        Window.partitionBy("co_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sl = sl.withColumn("value_cumul", F.round(F.sum("value").over(w_cum), 2))
+    w_first = Window.partitionBy("co_id").orderBy("ts", "event_id")
+    return (
+        sl.filter(F.col("event_type") == "error")
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("co_id").alias("CO_Identifier"),
+            "user_id",
+            F.col("ts").alias("first_stop_ts"),
+            F.col("event_id").alias("first_stop_id"),
+            F.col("value_cumul").alias("value_before_first_stop"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_asof_preferenced — the J5 preference-tiered as-of pick (reference
+# mes_etl.py:198-207 prefers rows whose uptime started pre-CO): last
+# view before each purchase, PREFERRING views with value > 50.
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_preferenced",
+    """
+    WITH purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts AS p_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ranked AS (
+      SELECT p.purchase_id, p.user_id, p.p_ts, v.event_id AS picked_view_id,
+             round(v.value, 2) AS picked_value,
+             row_number() OVER (PARTITION BY p.purchase_id
+                 ORDER BY (v.value > 50) DESC, v.ts DESC, v.event_id DESC) AS rn
+      FROM purchases p JOIN events v
+        ON v.user_id = p.user_id AND v.event_type = 'view'
+       AND v.ts > p.p_ts - INTERVAL 7 DAY AND v.ts <= p.p_ts
+    )
+    SELECT purchase_id, user_id, p_ts, picked_view_id, picked_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_preferenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_range
+
+    ev = load_table(spark, "events", sf_dir)
+    anchors = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withColumn("__anchor_id", F.col("purchase_id"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_range(
+        anchors,
+        views,
+        on=["user_id"],
+        lower=F.col("p_ts") - F.expr("INTERVAL 7 DAYS"),
+        upper=F.col("p_ts"),
+        event_ts="ts",
+        pick="last",
+        order_cols=[F.col("ev_event_id")],
+        prefer=F.col("ev_value") > 50,
+    )
+    return out.filter(F.col("ev_event_id").isNotNull()).select(
+        "purchase_id",
+        "user_id",
+        "p_ts",
+        F.col("ev_event_id").alias("picked_view_id"),
+        F.round("ev_value", 2).alias("picked_value"),
+    )
