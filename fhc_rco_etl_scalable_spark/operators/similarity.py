@@ -118,6 +118,71 @@ def _signature_udf(tables: list[list[list[float]]]):
     return sigs
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: every (id_a < id_b) with
+    ``cosine >= threshold``. Returns (id_a, id_b, cos_sim).
+
+    ``method="exact"`` — upper-triangle comparison. The correctness
+    baseline, and the right choice when one side broadcasts or the
+    threshold is low (low thresholds make LSH buckets huge, so the
+    bucket join degenerates toward the cross product anyway).
+
+    ``method="lsh"`` — multi-table sign-bit buckets generate candidate
+    pairs, exact cosine verifies. The 100 TB path for true near-dup
+    thresholds (cos >= ~0.8): per-plane agreement p = 1 - theta/pi is
+    high, so few planes isolate tiny buckets and the equi bucket join
+    replaces the O(n^2) cross product; signatures (one numpy matmul
+    per Arrow batch) are the only thing that shuffles besides the
+    surviving candidates. Precision is exact for both methods because
+    every candidate is verified; lsh recall is 1-(1-p^planes)^tables
+    (property-tested on planted near-dups in test_extensions).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    if method == "exact":
+        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        tables = [
+            _hyperplanes(dim, n_planes, seed=f"spark-graft-nd{t}")
+            for t in range(n_tables)
+        ]
+        sig = base.withColumn(
+            "__bucket", F.explode(_signature_udf(tables)(F.col("__v")))
+        )
+        a = sig.select(
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__bucket").alias("__ba"),
+        )
+        b = sig.select(
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+            F.col("__bucket").alias("__bb"),
+        )
+        pairs = a.join(
+            b, (F.col("__ba") == F.col("__bb")) & (F.col("id_a") < F.col("id_b"))
+        ).dropDuplicates(["id_a", "id_b"])
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -578,6 +578,25 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.brute_force_topk(emb, queries, k=5)
 
 
+@query(
+    "embedding_near_dups",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact method: the synthetic embeddings have no planted near-dups
+    # (max pairwise cos ~0.51), so the data-appropriate threshold is
+    # 0.4 — too low for LSH buckets to beat the upper triangle. The
+    # lsh method is exercised on planted near-dups in pytest.
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.embedding_near_dups(emb, threshold=0.4, method="exact")
+
+
 @query("embedding_topk_lsh")  # approximate: rows-only check; recall tested in pytest
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)

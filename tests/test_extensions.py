@@ -131,3 +131,28 @@ def test_decoder_failure_marks_row(spark):
     )
     row = extract_features(media, decoder=flaky).collect()[0]
     assert row.decode_ok is False and row.feat is None
+
+
+def test_embedding_near_dups_lsh_vs_exact_on_planted(spark):
+    # planted near-dups: 40 base vectors + a jittered copy of each
+    # (cos >> 0.9), plus the bases themselves pairwise ~orthogonal.
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        w = v + 0.05 * rng.randn(64)
+        w /= np.linalg.norm(w)
+        rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = SIM.embedding_near_dups(emb, threshold=0.9, method="exact").collect()
+    lsh = SIM.embedding_near_dups(emb, threshold=0.9, method="lsh").collect()
+    exact_set = {(r.id_a, r.id_b) for r in exact}
+    lsh_set = {(r.id_a, r.id_b) for r in lsh}
+    assert len(exact_set) == 40  # every planted pair found by the baseline
+    assert lsh_set <= exact_set  # verification step => exact precision
+    recall = len(lsh_set & exact_set) / len(exact_set)
+    assert recall >= 0.95, f"near-dup LSH recall {recall}"
