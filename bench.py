@@ -30,6 +30,22 @@ def main() -> None:
     # isn't charged for session startup.
     spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # ... and the Arrow/Python worker pool (one worker per core forks on
+    # first Pandas-UDF use — a one-time cost that would otherwise land
+    # on whichever measured query hits a UDF first).
+    # Exercising numpy + the Arrow array path matters: workers import
+    # numpy/pandas lazily on first UDF unpickle, which would otherwise
+    # bill ~100ms x 32 contending forks to the first LSH query.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _warm(s):
+        arr = np.stack([s.to_numpy(), s.to_numpy()], axis=1)
+        return pd.Series(list(arr))
+
+    spark.range(10_000).repartition(64).select(_warm(F.col("id"))).count()
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}

@@ -50,8 +50,10 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact-duplicate clustering: content hash -> keep the min-id doc
     per cluster. Returns (id, fingerprint, cluster_size, keep)."""
+    from .skew import spread
+
     fp = normalized_fingerprint(text_col) if normalized else F.md5(F.col(text_col))
-    hashed = df.select(F.col(id_col), fp.alias("fingerprint"))
+    hashed = spread(df, id_col).select(F.col(id_col), fp.alias("fingerprint"))
     clusters = hashed.groupBy("fingerprint").agg(
         F.min(id_col).alias("keep_id"), F.count("*").alias("cluster_size")
     )
@@ -119,6 +121,9 @@ def minhash_lsh_candidates(
     # gram expression per permutation — a 16x expression blowup that
     # falls out of whole-stage codegen; this shape is also the one that
     # scales (hashing is map-side, one shuffle for the min-reduce).
+    from .skew import spread
+
+    df = spread(df, id_col)
     grams_long = df.select(
         F.col(id_col), F.explode(token_ngrams(F.col(text_col), ngram)).alias("__g")
     ).withColumn("__h", md5_int(F.col("__g")))
@@ -192,6 +197,9 @@ def jaccard_pairs(
     per pair). ``materialize`` localCheckpoints the gram table so the
     self-join reads it once; at warehouse scale persist it to a table.
     """
+    from .skew import spread
+
+    df = spread(df, id_col)
     g_long = df.select(
         F.col(id_col),
         *block_cols,
@@ -268,7 +276,11 @@ def simhash_near_dups(
     attached (id_a < id_b). Callers decide the near-dup cutoff —
     ``max_hamming`` filters in-engine (0 = identical signatures).
     A multi-probe variant would rotate which bits form the prefix."""
-    sigs = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("__sh"))
+    from .skew import spread
+
+    sigs = spread(df, id_col).select(
+        F.col(id_col), simhash64(F.col(text_col)).alias("__sh")
+    )
     shifted = sigs.withColumn("__bucket", F.shiftrightunsigned("__sh", 64 - prefix_bits))
     a = shifted.select(
         F.col(id_col).alias("id_a"), F.col("__bucket").alias("ba"), F.col("__sh").alias("sa")

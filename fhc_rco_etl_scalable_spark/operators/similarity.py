@@ -32,8 +32,23 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two equal-length double arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
 def _as_double(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
+
+
+def _unit(c: Column) -> Column:
+    """Cast to double and scale to unit L2 norm — done ONCE per row so
+    every pairwise cosine downstream is a bare dot product instead of
+    re-deriving both norms per pair (a 3x expression saving that
+    multiplies by the pair count, not the row count)."""
+    d = _as_double(c)
+    n = F.sqrt(F.aggregate(d, F.lit(0.0), lambda s, v: s + v * v))
+    return F.transform(d, lambda x: x / n)
 
 
 def brute_force_topk(
@@ -45,17 +60,19 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self-matches by id).
     Returns (query_id, neighbor_id, cos_sim, rank)."""
+    from .skew import spread
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__cv")
     )
     # corpus stays partitioned; the query set broadcasts.
     scored = c.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = scored.withColumn("cos_sim", cosine(F.col("__qv"), F.col("__cv")))
+    scored = scored.withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -146,8 +163,10 @@ def embedding_near_dups(
     every candidate is verified; lsh recall is 1-(1-p^planes)^tables
     (property-tested on planted near-dups in test_extensions).
     """
-    base = df.select(
-        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    from .skew import spread
+
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v")
     )
     if method == "exact":
         a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
@@ -177,7 +196,7 @@ def embedding_near_dups(
     else:
         raise ValueError(f"unknown method {method!r}")
     return (
-        pairs.withColumn("cos_sim", cosine(F.col("__va"), F.col("__vb")))
+        pairs.withColumn("cos_sim", dot(F.col("__va"), F.col("__vb")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -220,19 +239,23 @@ def lsh_topk(
         )
         return probes if multiprobe_bits >= 1 else sig_arr
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    from .skew import spread
+
+    # sign-bit buckets are invariant to positive scaling, so bucketing
+    # the unit vectors is identical to bucketing the raw ones.
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__cv")
     ).withColumn("__bucket", F.explode(sig_udf(F.col("__cv"))))
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
     ).withColumn("__bucket", F.explode(with_probes(sig_udf(F.col("__qv")))))
 
     cand = c.join(F.broadcast(q), "__bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     cand = cand.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
-        "cos_sim", cosine(F.col("__qv"), F.col("__cv"))
+        "cos_sim", dot(F.col("__qv"), F.col("__cv"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (

@@ -27,6 +27,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, *key_cols: str, factor: int = 1) -> DataFrame:
+    """Pin an explicit N-way hash repartition ahead of a compute-dense
+    projection (gram explosion, signature matmul, 64-way bit votes).
+
+    Two failure modes make this necessary rather than decorative:
+    single-file inputs arrive as ONE scan partition (parquet can't
+    split below a row group), and AQE's partition coalescing will
+    shrink an un-numbered ``repartition(col)`` right back to one task
+    when the *data* is small — even though the *compute* per row is
+    the expensive part. Pinning ``defaultParallelism`` keeps the heavy
+    expression on every core; at cluster scale the same hash
+    partitioning is exactly what a downstream per-key groupBy reuses,
+    so the exchange is never wasted.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    if key_cols:
+        return df.repartition(n, *[F.col(c) for c in key_cols])
+    return df.repartition(n)
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],

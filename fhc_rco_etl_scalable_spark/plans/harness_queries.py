@@ -606,8 +606,10 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simhash_dups")  # signature algebra not SQL-portable; rows-only
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import spread
+
     docs = load_table(spark, "documents", sf_dir)
-    sigs = docs.select(
+    sigs = spread(docs, "doc_id").select(
         "doc_id", DD.simhash64(F.col("text")).alias("simhash")
     )
     return sigs
