@@ -72,6 +72,14 @@ def interval_overlap_join(
         raise ValueError(
             f"bucketed interval join supports how in ('inner','left') (got {how!r})"
         )
+    if how == "left":
+        # the left path reads `intervals` twice (probe side + unmatched
+        # anti-join) and `inner` twice (projection + matched keys);
+        # without a materialization barrier Spark re-executes the whole
+        # upstream lineage — for windowed session inputs that tripled
+        # the query. localCheckpoint keeps attribute ids, so the
+        # iv[c]/pt[c] references below still resolve.
+        intervals = intervals.localCheckpoint(eager=False)
     b = F.lit(bucket_seconds)
     iv = intervals.withColumn(
         "__bucket",
@@ -108,6 +116,7 @@ def interval_overlap_join(
         inner = inner.dropDuplicates()
     if how == "inner":
         return inner
+    inner = inner.localCheckpoint(eager=False)
     # left: append a single null-extended row per interval that matched
     # nothing (null-safe full-row anti-join; never-null window bounds
     # make this exact for distinct interval rows). Matched keys are
