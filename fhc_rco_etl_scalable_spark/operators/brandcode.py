@@ -31,7 +31,7 @@ def _brandname(df: DataFrame) -> DataFrame:
     whole ProdDesc (reference :288-299)."""
     df = df.withColumn("__desc", F.regexp_replace("ProdDesc", "-", ":"))
     df = df.withColumn(
-        "__b", F.coalesce(F.split("__desc", ":").getItem(1), F.col("__desc"))
+        "__b", F.coalesce(F.get(F.split("__desc", ":"), 1), F.col("__desc"))
     )
     distinct_b = df.select(F.countDistinct("__b").alias("n")).first().n
     name = F.col("__b") if distinct_b > 2 else F.col("ProdDesc")
@@ -41,14 +41,16 @@ def _brandname(df: DataFrame) -> DataFrame:
 def _size_stlouis(df: DataFrame) -> DataFrame:
     protected = F.regexp_replace("BRANDNAME", r"w/Oxi", "wOxi")
     before = F.split(protected, "/").getItem(0)
-    after = F.split(protected, "/").getItem(1)
+    # index 1 may not exist (no "/" in the name): F.get -> NULL, while
+    # ANSI getItem(1) would fault the whole job on one malformed row.
+    after = F.get(F.split(protected, "/"), 1)
     units = F.substring(before, -1, 1).cast("double")
     size = F.regexp_replace(F.split(after, " ").getItem(0), "ct", "").cast("double")
     return df.withColumn("UNITS_PER_CASE", units).withColumn("SIZE", size)
 
 
 def _size_tabler(df: DataFrame) -> DataFrame:
-    after = F.split(F.col("BRANDNAME"), "/").getItem(1)
+    after = F.get(F.split(F.col("BRANDNAME"), "/"), 1)
     size = F.split(after, " ").getItem(0).cast("double")
     case_count = F.element_at(F.split(F.split(F.col("BRANDNAME"), "/").getItem(0), " "), -1)
     return df.withColumn(
@@ -57,7 +59,7 @@ def _size_tabler(df: DataFrame) -> DataFrame:
 
 
 def _size_gebze(df: DataFrame) -> DataFrame:
-    after_x = F.split(F.col("BRANDNAME"), "X").getItem(1)
+    after_x = F.get(F.split(F.col("BRANDNAME"), "X"), 1)
     head = F.substring(after_x, 1, 5)
     unit = F.when(head.contains("ML"), "ML").when(head.contains("L"), "L").otherwise("")
     num = F.regexp_replace(F.split(head, "M?L").getItem(0), r"[^0-9.\-]", "").cast("double")

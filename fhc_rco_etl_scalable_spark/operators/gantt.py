@@ -255,7 +255,12 @@ def gantt_analysis(
     ]
 
     # --- non-constraint pass ---
-    nc_windowed = attach_stops_to_windows(co_agg, machine_dt.select(*stop_cols))
+    # Each *_windowed frame feeds both its Gantt emitter and the event
+    # log; each gantt output feeds the union AND the constraint-machine
+    # removal — lazy barriers keep every pass single-execution.
+    nc_windowed = attach_stops_to_windows(
+        co_agg, machine_dt.select(*stop_cols)
+    ).localCheckpoint(eager=False)
     nc_gantt = generate_gantt_points(nc_windowed, status=F.lit(2.0))
 
     # --- constraint pass (single-constraint lines) ---
@@ -266,8 +271,12 @@ def gantt_analysis(
         .join(co_flag, ["LINE", "downtime_id"], "left")
         .na.fill(0, ["CO_Event"])
     )
-    c_windowed = attach_stops_to_windows(co_agg, line_stops)
-    c_gantt = generate_gantt_points(c_windowed, status=constraint_status())
+    c_windowed = attach_stops_to_windows(co_agg, line_stops).localCheckpoint(
+        eager=False
+    )
+    c_gantt = generate_gantt_points(c_windowed, status=constraint_status()).localCheckpoint(
+        eager=False
+    )
 
     # Remove constraint machines from the non-constraint output on
     # single-constraint lines (machine_level.py:366-375).

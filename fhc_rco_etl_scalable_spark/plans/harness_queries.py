@@ -1386,3 +1386,128 @@ def q_asof_preferenced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ev_event_id").alias("picked_view_id"),
         F.round("ev_value", 2).alias("picked_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_site_etl_full — the WHOLE site pipeline (SURVEY §3 E2: extraction
+# flags -> filter lattice -> mes_etl analytical core -> Gantt ->
+# per-day rollups -> brandcode master -> Script_Data state), end to
+# end on the harness event log, as ONE bench entry. The baseline
+# comparison point: the reference runs this per site in 0.2-0.4 min
+# single-threaded (BASELINE.md). Every stage is individually
+# DuckDB-oracled elsewhere (co_sessionize, gantt_points, first_stop,
+# runtime_per_day, day_start_mode, argmax_dedup...); the full
+# randomized-input pipeline oracle lives in test_pipeline_oracle.py —
+# this entry is the throughput measurement, so it is rows-only.
+# ---------------------------------------------------------------------------
+
+
+def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the harness event stream onto the canonical downtime-log
+    schema (SURVEY §1.4): deterministic, every pipeline feature
+    exercised — changeovers (signup), failures (error), blocked/starved
+    propagation (view), excluded PR-Out stretches, brandcoded rows,
+    constraint + non-constraint machines."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_min = F.round(F.col("value") / 20.0, 2)
+    end = F.timestamp_micros(
+        F.unix_micros("ts") + (dt_min * 60e6).cast("long")
+    )
+    line = F.col("user_id").cast("string")
+    cause2 = (
+        F.when(F.col("event_type") == "signup", "Changeover")
+        .when(F.col("event_type") == "error", "Failure")
+        .when(F.col("event_type") == "view", "Blocked upstream")
+        .when(F.col("event_type") == "purchase", "Jam")
+        .otherwise("Short stop")
+    )
+    out = (
+        ev.withColumn("__end", end)
+        .withColumn("__prev_end", F.lag("__end").over(w))
+        .select(
+            F.lpad(F.col("event_id").cast("string"), 12, "0").alias("downtime_id"),
+            line.alias("LINE"),
+            F.col("ts").alias("START_TIME"),
+            F.col("__end").alias("END_TIME"),
+            dt_min.alias("DOWNTIME"),
+            F.when(F.col("__prev_end").isNull(), F.lit(1e6))
+            .otherwise(
+                F.round(
+                    (F.unix_micros("ts") - F.unix_micros("__prev_end")) / 60e6, 2
+                )
+            )
+            .alias("UPTIME"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.concat(F.lit("B"), F.pmod("event_id", F.lit(7)).cast("string")),
+            ).alias("BRANDCODE"),
+            F.when(cause2 == "Changeover", "Planned Downtime")
+            .otherwise("Unplanned Downtime")
+            .alias("CAUSE_LEVELS_1_NAME"),
+            cause2.alias("CAUSE_LEVELS_2_NAME"),
+            F.lit(None).cast("string").alias("CAUSE_LEVELS_3_NAME"),
+            F.lit(None).cast("string").alias("CAUSE_LEVELS_4_NAME"),
+            F.when(
+                F.pmod("event_id", F.lit(4)) == 0, F.concat_ws(" ", line, F.lit("CM"))
+            )
+            .otherwise(F.concat(F.lit("M"), F.pmod("event_id", F.lit(3)).cast("string")))
+            .alias("MACHINE"),
+            F.col("props").alias("OPERATOR_COMMENT"),
+            F.concat(F.lit("F"), F.pmod("event_id", F.lit(11)).cast("string")).alias(
+                "Fault"
+            ),
+            F.when(
+                (F.col("event_type") == "click") & (F.col("value") > 95), "PR-Out"
+            ).alias("LineStatus"),
+            F.when(cause2 == "Changeover", "Planned")
+            .when(cause2 == "Blocked upstream", "DTMach-Blocked: upstream")
+            .otherwise("Unplanned")
+            .alias("dtCategory"),
+        )
+    )
+    return out
+
+
+@query("site_etl_full")  # throughput entry; every stage oracled separately
+def q_site_etl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from .site_etl import site_etl
+    from .rco_pipeline import SiteParams
+
+    downtime = harness_downtime_log(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    production = (
+        downtime.filter(F.col("BRANDCODE").isNotNull())
+        .select(
+            "BRANDCODE",
+            F.concat(F.lit("Product "), F.col("BRANDCODE")).alias("ProdDesc"),
+            F.substring("BRANDCODE", 1, 2).alias("ProdFam"),
+            F.lit("G1").alias("ProdGroup"),
+            (F.pmod(F.length("OPERATOR_COMMENT"), F.lit(24)) + 1).alias(
+                "FirstPackCount"
+            ),
+            F.col("DOWNTIME").alias("StatFactor"),
+        )
+    )
+    outputs = site_etl(
+        downtime,
+        production,
+        SiteParams(server="HARNESS"),
+        line_config=line_config,
+    )
+    counted = [
+        df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("output_table"), "n_rows"
+        )
+        for name, df in sorted(outputs.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), counted)

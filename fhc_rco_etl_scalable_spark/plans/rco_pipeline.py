@@ -279,6 +279,9 @@ def first_stop_analysis(
         "UptimeDowntime_cumul",
         F.sum(F.col("UPTIME") + F.col("DOWNTIME")).over(cum),
     )
+    # consumed by both the first-stop pick and the backfill sum — one
+    # barrier, or the CO x stop range join runs twice.
+    sl = sl.localCheckpoint(eager=False)
 
     unplanned = (
         (F.col("Planned_Stop_Check") == 0)
@@ -334,7 +337,15 @@ def mes_etl(
     detection input). ``line_dt_full``: every line-level stop event
     (the brandcode/first-stop context).
     """
-    co_events = detect_changeovers(line_dt, site)
+    # Materialization barriers on the SMALL fan-out frames (CO events
+    # and per-CO aggregates are ~10^3 smaller than the stop log): the
+    # event-log, aggregate, first-stop and Gantt branches all consume
+    # them, and without a barrier each branch re-runs the
+    # sessionization windows from the raw scan. The big frames
+    # (line_dt / line_dt_full) are deliberately NOT checkpointed —
+    # at 100 TB a parquet re-scan with pushdown is cheaper than
+    # caching the full log.
+    co_events = detect_changeovers(line_dt, site).localCheckpoint(eager=False)
     # First event's UPTIME per session rides along for the A9 backfill.
     w_sess = (
         Window.partitionBy("LINE", "CO_Identifier")
@@ -348,10 +359,12 @@ def mes_etl(
         "CO_Identifier",
     )
     co_agg = with_neighbor_context(co_agg, site)
-    co_agg = resolve_brandcodes(co_agg, line_dt_full)
+    co_agg = resolve_brandcodes(co_agg, line_dt_full).localCheckpoint(eager=False)
 
     outputs: dict[str, DataFrame] = {}
-    outputs["CO_Event_Log"] = build_co_event_log(co_events, co_agg, site)
+    outputs["CO_Event_Log"] = build_co_event_log(co_events, co_agg, site).localCheckpoint(
+        eager=False
+    )
 
     if site.run_first_stop_analysis:
         firsts, backfill = first_stop_analysis(co_agg, line_dt_full, site)
