@@ -1410,7 +1410,13 @@ def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint + non-constraint machines."""
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    dt_min = F.round(F.col("value") / 20.0, 2)
+    # NO decimal ROUND on intermediates: Spark ROUND goes through the
+    # shortest-decimal repr (2.4449999... -> "2.445" -> 2.45) while
+    # DuckDB rounds the binary value (-> 2.44). Integer truncation is
+    # bit-identical in both engines AND makes DOWNTIME an exact 0.01
+    # multiple, so downstream sum-then-round never lands within
+    # summation-order error of a .xx5 boundary.
+    dt_min = (F.col("value") * 5).cast("long") / 100.0
     end = F.timestamp_micros(
         F.unix_micros("ts") + (dt_min * 60e6).cast("long")
     )
@@ -1432,11 +1438,7 @@ def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__end").alias("END_TIME"),
             dt_min.alias("DOWNTIME"),
             F.when(F.col("__prev_end").isNull(), F.lit(1e6))
-            .otherwise(
-                F.round(
-                    (F.unix_micros("ts") - F.unix_micros("__prev_end")) / 60e6, 2
-                )
-            )
+            .otherwise((F.unix_micros("ts") - F.unix_micros("__prev_end")) / 60e6)
             .alias("UPTIME"),
             F.when(
                 F.col("event_type") == "purchase",
@@ -1511,3 +1513,170 @@ def q_site_etl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, df in sorted(outputs.items())
     ]
     return reduce(lambda a, b: a.unionByName(b), counted)
+
+
+# ---------------------------------------------------------------------------
+# q_co_aggregated_harness — the mes_etl analytical core (M2: the
+# hardest correctness piece) on the harness event log, под the FULL
+# DuckDB oracle: adapter transcription + 4-clause trigger +
+# sessionization + neighbor context + both as-of brandcode picks +
+# status. Upgrades the driver-facing evidence for the pipeline from
+# rows-only (site_etl_full) to hash-checked.
+# ---------------------------------------------------------------------------
+
+_CO_AGG_HARNESS_ORACLE = """
+WITH base AS (
+  SELECT
+    lpad(CAST(event_id AS VARCHAR), 12, '0') AS downtime_id,
+    CAST(user_id AS VARCHAR) AS LINE,
+    user_id, event_id, event_type, value,
+    CAST(ts AS TIMESTAMP) AS START_TIME,
+    CAST(ts AS TIMESTAMP)
+      + to_microseconds(CAST(trunc((CAST(trunc(value * 5) AS BIGINT) / 100.0)
+                                   * 60000000) AS BIGINT)) AS END_TIME,
+    CAST(trunc(value * 5) AS BIGINT) / 100.0 AS DOWNTIME,
+    CASE WHEN event_type = 'purchase'
+         THEN 'B' || CAST(event_id % 7 AS VARCHAR) END AS BRANDCODE,
+    CASE WHEN event_type = 'signup' THEN 'Planned Downtime'
+         ELSE 'Unplanned Downtime' END AS C1,
+    CASE WHEN event_type = 'signup' THEN 'Changeover'
+         WHEN event_type = 'error' THEN 'Failure'
+         WHEN event_type = 'view' THEN 'Blocked upstream'
+         WHEN event_type = 'purchase' THEN 'Jam'
+         ELSE 'Short stop' END AS C2,
+    (event_id % 4 = 0) AS is_constraint,
+    (event_type = 'click' AND value > 95) AS is_excluded
+  FROM events
+),
+ds AS (
+  SELECT *,
+    CASE WHEN lag(END_TIME) OVER w IS NULL THEN 1000000.0
+         ELSE (epoch_us(START_TIME) - epoch_us(lag(END_TIME) OVER w))
+              / 60000000.0 END AS UPTIME
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY START_TIME, event_id)
+),
+line_dt AS (
+  SELECT * FROM ds
+  WHERE is_constraint AND NOT is_excluded AND START_TIME IS NOT NULL
+),
+line_dt_full AS (SELECT * FROM ds WHERE is_constraint),
+co AS (SELECT * FROM line_dt WHERE C2 LIKE '%Changeover%'),
+lagged AS (
+  SELECT *,
+    concat_ws(' - ', coalesce(C1, ''), coalesce(C2, ''), '') AS trig_col,
+    lag(END_TIME) OVER w AS prev_end,
+    lag(concat_ws(' - ', coalesce(C1, ''), coalesce(C2, ''), '')) OVER w AS prev_trig,
+    lag(BRANDCODE) OVER w AS prev_brand
+  FROM co
+  WINDOW w AS (PARTITION BY LINE ORDER BY START_TIME, downtime_id)
+),
+trig AS (
+  SELECT *,
+    CASE WHEN prev_end IS NULL THEN 1
+         WHEN (
+            (trig_col = prev_trig
+             AND (epoch(START_TIME) - epoch(prev_end)) / 60.0 < 30.0)
+         OR (trig_col = prev_trig AND (BRANDCODE IS NOT DISTINCT FROM prev_brand)
+             AND (epoch(START_TIME) - epoch(prev_end)) / 60.0 < 30.0 * 4 / 3)
+         OR ((BRANDCODE IS NOT DISTINCT FROM prev_brand)
+             AND (epoch(START_TIME) - epoch(prev_end)) / 60.0 < 30.0)
+         OR ((epoch(START_TIME) - epoch(prev_end)) / 60.0 < 30.0 * 2 / 3)
+         ) THEN 0 ELSE 1 END AS trg
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(trg) OVER (PARTITION BY LINE ORDER BY START_TIME, downtime_id
+                           ROWS UNBOUNDED PRECEDING) AS sn
+  FROM trig
+),
+sid AS (
+  SELECT *,
+    first_value(concat_ws(' - ', LINE, strftime(START_TIME, '%Y-%m-%d'), downtime_id))
+        OVER (PARTITION BY LINE, sn ORDER BY START_TIME, downtime_id
+              ROWS UNBOUNDED PRECEDING) AS co_id,
+    first_value(downtime_id)
+        OVER (PARTITION BY LINE, sn ORDER BY START_TIME, downtime_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_id,
+    last_value(downtime_id)
+        OVER (PARTITION BY LINE, sn ORDER BY START_TIME, downtime_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_id
+  FROM sess
+),
+agg AS (
+  SELECT LINE, co_id, min(START_TIME) AS co_start, max(END_TIME) AS co_end,
+         round(sum(DOWNTIME), 2) AS co_downtime, count(*) AS n_events,
+         min(first_id) AS first_id, min(last_id) AS last_id
+  FROM sid GROUP BY LINE, co_id
+),
+ctx AS (
+  SELECT *,
+    coalesce(lag(co_end) OVER wl, co_start - INTERVAL 60 MINUTE) AS prev_co_end,
+    coalesce(lead(co_start) OVER wl, co_end + INTERVAL 60 MINUTE) AS next_co_start
+  FROM agg
+  WINDOW wl AS (PARTITION BY LINE ORDER BY co_start, co_id)
+),
+ev AS (
+  SELECT LINE, START_TIME, BRANDCODE, downtime_id,
+         START_TIME + to_microseconds(CAST(trunc(-UPTIME * 60000000) AS BIGINT))
+           AS uptime_start
+  FROM line_dt_full WHERE START_TIME IS NOT NULL
+),
+cur AS (
+  SELECT c.co_id, e.BRANDCODE,
+         row_number() OVER (PARTITION BY c.co_id
+             ORDER BY (e.uptime_start < c.co_start) DESC, e.START_TIME DESC,
+                      e.downtime_id DESC) AS rn
+  FROM ctx c JOIN ev e
+    ON e.LINE = c.LINE AND e.START_TIME > c.prev_co_end
+   AND e.START_TIME <= c.co_start
+),
+cur1 AS (SELECT co_id, BRANDCODE AS current_brand FROM cur WHERE rn = 1),
+nxt AS (
+  SELECT c.co_id, e.BRANDCODE,
+         row_number() OVER (PARTITION BY c.co_id
+             ORDER BY e.uptime_start ASC, e.downtime_id ASC) AS rn
+  FROM ctx c
+  LEFT JOIN cur1 ON cur1.co_id = c.co_id
+  JOIN ev e
+    ON e.LINE = c.LINE AND e.uptime_start > c.co_start
+   AND e.uptime_start < c.next_co_start
+   AND e.BRANDCODE IS DISTINCT FROM cur1.current_brand
+),
+nxt1 AS (SELECT co_id, BRANDCODE AS next_brand_raw FROM nxt WHERE rn = 1)
+SELECT a.co_id AS CO_Identifier, a.LINE, a.co_start AS CO_StartTime,
+       a.co_end AS CO_EndTime, a.co_downtime AS CO_DOWNTIME,
+       a.n_events AS Number_of_CO_Events,
+       a.first_id AS First_CO_Event_ID, a.last_id AS Last_CO_Event_ID,
+       cur1.current_brand AS Current_BRANDCODE,
+       coalesce(nxt1.next_brand_raw, cur1.current_brand) AS Next_BRANDCODE,
+       CASE WHEN cur1.current_brand IS DISTINCT FROM
+                 coalesce(nxt1.next_brand_raw, cur1.current_brand)
+            THEN 'Changed' ELSE 'Not Changed' END AS Brandcode_Status,
+       'HARNESS' AS Server
+FROM agg a LEFT JOIN cur1 USING (co_id) LEFT JOIN nxt1 USING (co_id)
+"""
+
+
+@query("co_aggregated_harness", _CO_AGG_HARNESS_ORACLE)
+def q_co_aggregated_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import downtime_variants, with_derived_flags
+    from .rco_pipeline import SiteParams, mes_etl
+
+    downtime = harness_downtime_log(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    flagged = with_derived_flags(downtime, line_config)
+    v = downtime_variants(flagged)
+    outs = mes_etl(
+        v["line_dt"],
+        v["line_dt_full"],
+        SiteParams(server="HARNESS", run_first_stop_analysis=False),
+    )
+    return outs["CO_Aggregated_Data"].drop("Total_Uptime_till_Next_CO")
