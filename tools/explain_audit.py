@@ -96,6 +96,55 @@ def main() -> int:
     p = plan_of(hq.q_embedding_topk(spark, sf_dir))
     check("broadcast(embedding_topk queries)", "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p)
 
+    # 8. Compute-dense dedup ops pin an explicit N-way hash repartition
+    #    (skew.spread): single-file scans arrive as one partition and an
+    #    un-numbered repartition would be AQE-coalesced right back.
+    from fhc_rco_etl_scalable_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "lb", F.expr("n_chars div 100")
+    )
+    # materialize=False: the production path hides the exchange behind
+    # its localCheckpoint barrier; audit the raw plan.
+    for qname, df in [
+        (
+            "ngram_jaccard",
+            jaccard_pairs(
+                docs, "doc_id", "text", block_cols=["lang", "lb"],
+                threshold=0.2, materialize=False,
+            ),
+        ),
+        ("minhash_lsh", hq.q_minhash_lsh(spark, sf_dir)),
+    ]:
+        p = plan_of(df)
+        check(
+            f"pinned_spread({qname})",
+            re.search(r"hashpartitioning\(doc_id[^)]*, \d+\), REPARTITION_BY_NUM", p)
+            is not None,
+        )
+
+    # 9. Bucketed-left interval join: the materialization barriers must
+    #    keep sessionization single-execution — the FINAL plan reads the
+    #    checkpointed RDDs, never the parquet scan multiple times.
+    p = plan_of(hq.q_interval_overlap_bucketed(spark, sf_dir))
+    n_scans = p.count("Scan parquet")
+    check(
+        "barrier(interval_overlap_bucketed)",
+        n_scans == 0,
+        detail=f"{n_scans} parquet scans in final plan (lineage behind barriers)",
+    )
+
+    # 10. Near-dup verification stays a bare dot product: the unit
+    #     normalization must happen below the pair join (one sqrt per
+    #     ROW, not per pair).
+    p = plan_of(hq.q_embedding_near_dups(spark, sf_dir))
+    n_sqrt = p.count("SQRT")
+    check(
+        "row_side_normalize(embedding_near_dups)",
+        0 < n_sqrt <= 4,
+        detail=f"{n_sqrt} sqrt sites",
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
