@@ -161,3 +161,97 @@ def test_pipeline_matches_duckdb_oracle(spark, seed):
     )
     for cid in got:
         assert got[cid] == want[cid], f"{cid}: spark={got[cid]} duck={want[cid]}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-constraint mode (A8 + the detect-dedup; reference
+# data_from_mdc.py:93-94, mes_etl.py:225-230): lines record one stop
+# per constraint machine — dedup CO rows on (LINE, START_TIME) keeping
+# min downtime_id, and normalize CO_DOWNTIME by the number of distinct
+# machines in the session.
+# ---------------------------------------------------------------------------
+
+def _gen_mc_events(seed: int, n: int = 150):
+    rng = random.Random(seed)
+    rows = []
+    for line in ("L1", "L2"):
+        t = 0.0
+        for i in range(n // 2):
+            t += rng.choice([5, 15, 25, 35, 90, 300])
+            dt = rng.choice([0.5, 2.0, 5.0])
+            up = rng.choice([1.0, 30.0])
+            cause2 = rng.choice(["Changeover", "Changeover", "Failure"])
+            brand = rng.choice(["A", "B", None])
+            start = T0 + timedelta(minutes=t)
+            machine = f"{line} CM{1 + i % 2}"  # alternate constraint machines
+            rows.append(
+                (
+                    f"{line}-e{i:03d}a", line, start,
+                    start + timedelta(minutes=dt), dt, up, brand,
+                    "Planned Downtime" if cause2 == "Changeover" else "Unplanned Downtime",
+                    cause2, None, None, machine, "c", 0, 0, False,
+                )
+            )
+            if i % 3 == 0:  # duplicate stop recorded by the OTHER machine
+                rows.append(
+                    (
+                        f"{line}-e{i:03d}b", line, start,
+                        start + timedelta(minutes=dt), dt, up, brand,
+                        "Planned Downtime" if cause2 == "Changeover" else "Unplanned Downtime",
+                        cause2, None, None, f"{line} CM{2 - i % 2}", "c", 0, 0, False,
+                    )
+                )
+            t += dt
+    return rows
+
+
+MC_ORACLE_SQL = ORACLE_SQL.replace(
+    """),
+lagged AS (""",
+    """),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY LINE, START_TIME
+                                 ORDER BY downtime_id) AS __dd
+    FROM co
+  ) WHERE __dd = 1
+),
+lagged AS (""",
+).replace(
+    "  FROM co\n  WINDOW w AS", "  FROM dd\n  WINDOW w AS"
+).replace(
+    "round(sum(DOWNTIME), 2) AS co_downtime",
+    "round(sum(DOWNTIME) / count(DISTINCT MACHINE), 2) AS co_downtime",
+)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_multi_constraint_pipeline_matches_oracle(spark, seed):
+    rows = _gen_mc_events(seed)
+    df = spark.createDataFrame(rows, SCHEMA)
+    outs = mes_etl(
+        df, df,
+        SiteParams(server="S", co_trigger_parameter=P,
+                   run_multi_constraint_analysis=True,
+                   run_first_stop_analysis=False),
+    )
+    got = {
+        r.CO_Identifier: (
+            r.LINE, r.CO_StartTime, r.CO_EndTime, round(r.CO_DOWNTIME, 2),
+            r.Number_of_CO_Events, r.Current_BRANDCODE, r.Next_BRANDCODE,
+        )
+        for r in outs["CO_Aggregated_Data"].collect()
+    }
+    con = duckdb.connect()
+    con.register("events_src", con.from_df(__import__("pandas").DataFrame(
+        rows, columns=[c.split()[0] for c in SCHEMA.split(",")])))
+    con.execute("CREATE VIEW events AS SELECT * FROM events_src")
+    want = {
+        r[0]: (r[1], r[2], r[3], float(r[4]), r[5], r[6], r[7])
+        for r in con.execute(MC_ORACLE_SQL).fetchall()
+    }
+    assert set(got) == set(want), (
+        f"session sets differ: extra={set(got)-set(want)} missing={set(want)-set(got)}"
+    )
+    for cid in got:
+        assert got[cid] == want[cid], f"{cid}: spark={got[cid]} duck={want[cid]}"
