@@ -127,3 +127,50 @@ def test_simple_gap_sessionize(spark):
     out = sessionize_simple_gap(df, "START_TIME", ["LINE"], gap_minutes=30.0, order_by=["START_TIME", "id"])
     nums = [r.session_num for r in out.orderBy("START_TIME").collect()]
     assert nums == [1, 1, 2]
+
+
+def test_changeover_failure_suppression_gap(spark):
+    # Lima SUD rule (reference mes_etl.py:119-122, R:134-139): a
+    # 'Changeover Failure' within the suppression gap continues the
+    # session even when every normal continuation clause fails.
+    from datetime import datetime, timedelta
+
+    from fhc_rco_etl_scalable_spark.plans.rco_pipeline import (
+        SiteParams,
+        detect_changeovers,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    schema = (
+        "downtime_id string, LINE string, START_TIME timestamp, END_TIME timestamp,"
+        " DOWNTIME double, UPTIME double, BRANDCODE string,"
+        " CAUSE_LEVELS_1_NAME string, CAUSE_LEVELS_2_NAME string,"
+        " CAUSE_LEVELS_3_NAME string, CAUSE_LEVELS_4_NAME string,"
+        " MACHINE string, OPERATOR_COMMENT string"
+    )
+
+    def row(i, start_min, c2):
+        start = t0 + timedelta(minutes=start_min)
+        return (
+            f"e{i}", "L1", start, start + timedelta(minutes=5.0), 5.0, 1.0,
+            "A", "Planned Downtime", c2, None, None, "L1 CM", "c",
+        )
+
+    rows = [
+        row(0, 0, "Changeover"),
+        # gap 50 min: cause differs so clauses 1-2 fail, clause 3
+        # (same brand, gap<P=30) fails, clause 4 (gap<20) fails.
+        row(1, 55, "Changeover Failure"),
+        # gap 75 min from e1's end (65): beyond the suppression gap,
+        # and the cause no longer mentions 'Changeover Failure'.
+        row(2, 140, "Changeover"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    plain = detect_changeovers(df, SiteParams())
+    assert plain.select("CO_Identifier").distinct().count() == 3
+
+    suppressed = detect_changeovers(
+        df, SiteParams(changeover_failure_suppression_gap_min=60.0)
+    )
+    assert suppressed.select("CO_Identifier").distinct().count() == 2
