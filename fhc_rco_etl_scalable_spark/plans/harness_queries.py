@@ -1408,7 +1408,12 @@ def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised — changeovers (signup), failures (error), blocked/starved
     propagation (view), excluded PR-Out stretches, brandcoded rows,
     constraint + non-constraint machines."""
-    ev = load_table(spark, "events", sf_dir)
+    return downtime_log_from_events(load_table(spark, "events", sf_dir))
+
+
+def downtime_log_from_events(ev: DataFrame) -> DataFrame:
+    """DataFrame-level body of :func:`harness_downtime_log` (also used
+    by tools/scale_probe.py on N-times-replicated inputs)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # NO decimal ROUND on intermediates: Spark ROUND goes through the
     # shortest-decimal repr (2.4449999... -> "2.445" -> 2.45) while
