@@ -108,12 +108,17 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def _signature_udf(tables: list[list[list[float]]]):
+def _signature_udf(tables: list[list[list[float]]], probe_bits: int = 0):
     """Vectorized sign-bit signatures for ALL tables in one Arrow batch:
     (batch x dim) @ (dim x tables*planes) numpy matmul, then bit-pack.
     Dense linear algebra is the one place a Pandas UDF beats nested
     zip_with/aggregate expressions (which also fall out of codegen at
-    32 nested folds)."""
+    32 nested folds).
+
+    ``probe_bits > 0`` emits, per table, the signature PLUS every
+    single-bit flip (multi-probe) — in numpy, because the equivalent
+    transform/bitwiseXOR expression tree made query compilation the
+    dominant cost of the whole LSH search at test scale."""
     from pyspark.sql.functions import pandas_udf
 
     n_tables = len(tables)
@@ -128,8 +133,12 @@ def _signature_udf(tables: list[list[list[float]]]):
         weights = np.array([1 << i for i in range(n_planes)], dtype=np.int64)
         for t in range(n_tables):
             chunk = bits[:, t * n_planes : (t + 1) * n_planes]
-            out.append(chunk @ weights + (t << 16))
-        arr = np.stack(out, axis=1)  # batch x T
+            base = chunk @ weights + (t << 16)
+            out.append(base)
+            if probe_bits:
+                for i in range(n_planes):  # tag bits (>=16) never flip
+                    out.append(base ^ (1 << i))
+        arr = np.stack(out, axis=1)  # batch x T or T*(1+planes)
         return pd.Series(list(arr))
 
     return sigs
@@ -226,18 +235,7 @@ def lsh_topk(
         _hyperplanes(dim, n_planes, seed=f"spark-graft-t{t}") for t in range(n_tables)
     ]
     sig_udf = _signature_udf(tables)
-
-    def with_probes(sig_arr: Column) -> Column:
-        # per table signature s: probe s itself + every single-bit flip
-        probes = F.flatten(
-            F.transform(
-                sig_arr,
-                lambda s: F.array(
-                    s, *[s.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
-                ),
-            )
-        )
-        return probes if multiprobe_bits >= 1 else sig_arr
+    probe_udf = _signature_udf(tables, probe_bits=multiprobe_bits)
 
     from .skew import spread
 
@@ -249,7 +247,7 @@ def lsh_topk(
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
-    ).withColumn("__bucket", F.explode(with_probes(sig_udf(F.col("__qv")))))
+    ).withColumn("__bucket", F.explode(probe_udf(F.col("__qv"))))
 
     cand = c.join(F.broadcast(q), "__bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
