@@ -17,7 +17,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.aggregate import day_start_hours, runtime_per_day
+from ..operators.aggregate import runtime_per_day
 from ..operators.brandcode import brandcode_master
 from ..operators.extract import downtime_variants, with_derived_flags
 from ..operators.gantt import gantt_analysis
@@ -71,23 +71,37 @@ def site_etl(
     # Script_Data state row per line (reference overall_etl.py:186-232,
     # R :236-282): watermark + data bounds + day-start hour + number of
     # constraints.
-    bounds = line_dt_full.groupBy("LINE").agg(
-        F.min("START_TIME").alias("First_Available_Data_Point"),
-        F.max("START_TIME").alias("Last_Available_Data_Point"),
+    # Bounds ride the day-start (LINE, hour) pre-aggregate: one scan,
+    # and the hour-tally exchange is the only one Script_Data adds
+    # (same tally/majority semantics as aggregate.day_start_hours,
+    # incl. NULL-hour groups from null START_TIME rows).
+    from pyspark.sql import Window
+
+    pre = line_dt_full.groupBy("LINE", F.hour("START_TIME").alias("__h")).agg(
+        F.count("*").alias("__tally"),
+        F.min("START_TIME").alias("__min_st"),
+        F.max("START_TIME").alias("__max_st"),
     )
-    dsh = day_start_hours(
-        line_dt_full.withColumn("__h", F.hour("START_TIME")),
-        key_cols=["LINE"],
-        hour_col="__h",
-        prefer="max" if site.server == "Gebze HDW" else "min",
+    w_line = Window.partitionBy("LINE")
+    hour_pick = F.max("__h") if site.server == "Gebze HDW" else F.min("__h")
+    bounds_dsh = (
+        pre.withColumn("__max_tally", F.max("__tally").over(w_line))
+        .withColumn("__first", F.min("__min_st").over(w_line))
+        .withColumn("__last", F.max("__max_st").over(w_line))
+        .filter(F.col("__tally") > F.col("__max_tally") / 2)
+        .groupBy("LINE")
+        .agg(
+            hour_pick.alias("Day_Start_hours"),
+            F.min("__first").alias("First_Available_Data_Point"),
+            F.max("__last").alias("Last_Available_Data_Point"),
+        )
     )
     n_constraints = line_dt.groupBy("LINE").agg(
         F.countDistinct("MACHINE").alias("Number_of_Constraints")
     )
     update_time = data_update_time or datetime.utcnow()
     outputs["Script_Data"] = (
-        bounds.join(dsh, "LINE", "left")
-        .join(n_constraints, "LINE", "left")
+        bounds_dsh.join(n_constraints, "LINE", "left")
         .select(
             F.col("LINE").alias("System"),
             F.lit(update_time).alias("Data_Update_Time"),
