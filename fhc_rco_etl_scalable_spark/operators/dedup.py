@@ -52,16 +52,19 @@ def exact_dedup(
     per cluster. Returns (id, fingerprint, cluster_size, keep)."""
     from .skew import spread
 
+    from pyspark.sql import Window
+
     fp = normalized_fingerprint(text_col) if normalized else F.md5(F.col(text_col))
     hashed = spread(df, id_col).select(F.col(id_col), fp.alias("fingerprint"))
-    clusters = hashed.groupBy("fingerprint").agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("cluster_size")
-    )
-    return hashed.join(clusters, "fingerprint").select(
+    # Window over the fingerprint instead of groupBy + join back: ONE
+    # normalization pass, ONE exchange, no self-join to re-execute the
+    # regex lineage (measured 2x at sf0.1; same shuffle key at 100 TB).
+    w = Window.partitionBy("fingerprint")
+    return hashed.select(
         F.col(id_col),
         "fingerprint",
-        "cluster_size",
-        (F.col(id_col) == F.col("keep_id")).alias("keep"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
     )
 
 
@@ -149,6 +152,9 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     )
+    # barrier: the self-join reads `banded` twice — without it the gram
+    # explode + 16-permutation min-reduce execute once per side.
+    banded = banded.localCheckpoint(eager=False)
     # distinct alias names on both sides: same-lineage self-join would
     # otherwise resolve `band == band` to one attribute (always true).
     a = banded.select(
