@@ -261,3 +261,94 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, n_cells: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd iterations on a fixed, id-ordered sample.
+    No RNG: init = the first ``n_cells`` sample vectors, ties in
+    assignment break to the lower cell index. Centroids re-normalized
+    per iteration so cell assignment is by cosine (max dot on unit
+    vectors)."""
+    c = sample[:n_cells].copy()
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        assign = np.argmax(sample @ c.T, axis=1)
+        for j in range(n_cells):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    return c
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 512,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse k-means
+    quantizer partitions the corpus into ``n_cells`` cells; each query
+    probes its ``n_probe`` nearest cells and exact cosine re-ranks the
+    candidates. The classic ANN scale path alongside ``lsh_topk``:
+    the corpus shuffles ONCE on cell id, queries broadcast, and the
+    per-query candidate set is |corpus| * n_probe / n_cells instead of
+    |corpus|.
+
+    Centroids are trained driver-side on a deterministic id-ordered
+    sample (k-means over <=``sample_size`` vectors is microscopic next
+    to the corpus scan; at 100 TB you train on the same sample and
+    broadcast the matrix — the quantizer is data, not data-scale).
+    ``n_probe == n_cells`` degenerates to exhaustive search and must
+    match ``brute_force_topk`` exactly (asserted in pytest).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .skew import spread
+
+    sample_rows = (
+        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
+        .orderBy("sid")
+        .limit(sample_size)
+        .collect()
+    )
+    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
+
+    @pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(v @ cents.T, axis=1).astype(np.int32))
+
+    n_probe_eff = min(n_probe, len(cents))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe_eff].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cell", assign_cell(F.col("__cv")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
+    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
+
+    cand = c.join(F.broadcast(q), "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = cand.withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )

@@ -604,6 +604,14 @@ def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=5)
 
 
+@query("embedding_topk_ivf")  # approximate: rows-only; exactness at
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n_probe==n_cells and recall bounds are pytest-asserted
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 @query("simhash_dups")  # signature algebra not SQL-portable; rows-only
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import spread

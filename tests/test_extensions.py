@@ -156,3 +156,19 @@ def test_embedding_near_dups_lsh_vs_exact_on_planted(spark):
     assert lsh_set <= exact_set  # verification step => exact precision
     recall = len(lsh_set & exact_set) / len(exact_set)
     assert recall >= 0.95, f"near-dup LSH recall {recall}"
+
+
+def test_ivf_probe_all_equals_brute_force(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in SIM.brute_force_topk(emb, queries, k=5).collect()}
+    # probing every cell degenerates to exhaustive search
+    ivf_all = {(r.query_id, r.rank): r.neighbor_id
+               for r in SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=8).collect()}
+    assert ivf_all == exact
+
+    approx = SIM.ivf_topk(emb, queries, k=5, n_cells=8, n_probe=3).collect()
+    exact_set = set(exact.values())
+    recall = len({r.neighbor_id for r in approx} & exact_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall {recall}"
