@@ -253,21 +253,32 @@ def jaccard_pairs(
     )
 
 
-def simhash64(text: Column, ngram: int = 2) -> Column:
-    """64-bit SimHash over token n-grams: per-bit majority vote of
-    feature hashes (xxhash64). Near-dups have small hamming distance."""
-    feats = F.transform(token_ngrams(text, ngram), lambda g: F.xxhash64(g))
+def simhash64(text: Column, ngram: int = 2, hasher=None, bits: int = 63) -> Column:
+    """SimHash over token n-grams: per-bit majority vote of feature
+    hashes. Near-dups have small hamming distance.
+
+    Default ``hasher`` is xxhash64 with 63 voted bits (bit 63 clear so
+    the sign stays +). Pass ``hasher=md5_60`` (below) with ``bits=60``
+    for an oracle-portable variant DuckDB reproduces bit-for-bit."""
+    feats = F.transform(token_ngrams(text, ngram), hasher or (lambda g: F.xxhash64(g)))
 
     def bit_vote(i: int) -> Column:
         mask = 1 << i
         ones = F.size(F.filter(feats, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
         return F.when(ones * 2 > F.size(feats), F.lit(mask)).otherwise(F.lit(0))
 
-    bits = [bit_vote(i) for i in range(63)]  # bit 63 clear: sign stays +
+    votes = [bit_vote(i) for i in range(bits)]
     out = F.lit(0)
-    for b in bits:
+    for b in votes:
         out = out.bitwiseOR(b)
     return out
+
+
+def md5_60(g: Column) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT — same family as
+    the jaccard gram hash; DuckDB twin: ``('0x'||substr(md5(g),1,15))
+    ::BIGINT``."""
+    return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
 
 
 def simhash_near_dups(

@@ -612,15 +612,44 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
 
 
-@query("simhash_dups")  # signature algebra not SQL-portable; rows-only
+_SIMHASH_VOTES = ",\n             ".join(
+    f"CASE WHEN sum(CASE WHEN (gh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN {1 << i} ELSE 0 END AS b{i}"
+    for i in range(60)
+)
+
+_SIMHASH_ORACLE = f"""
+    WITH gl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) - 2, 1) + 1),
+               i -> array_to_string(list_slice(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), i, i + 2), ' ')
+             )), s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)) AS grams
+      FROM documents
+    ),
+    hg AS (SELECT doc_id, unnest(grams) AS gh FROM gl),
+    v AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM hg GROUP BY doc_id
+    )
+    SELECT doc_id, ({" | ".join(f"b{i}" for i in range(60))}) AS simhash FROM v
+"""
+
+
+@query("simhash_dups", _SIMHASH_ORACLE)
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # md5-60 feature hashes (not xxhash64) so the signature algebra is
+    # reproducible in DuckDB — the signatures themselves hash-checked.
     from ..operators.skew import spread
 
     docs = load_table(spark, "documents", sf_dir)
-    sigs = spread(docs, "doc_id").select(
-        "doc_id", DD.simhash64(F.col("text")).alias("simhash")
+    return spread(docs, "doc_id").select(
+        "doc_id",
+        DD.simhash64(F.col("text"), ngram=3, hasher=DD.md5_60, bits=60).alias(
+            "simhash"
+        ),
     )
-    return sigs
 
 
 @query("multimodal_features")  # mapInPandas plumbing; rows-only
