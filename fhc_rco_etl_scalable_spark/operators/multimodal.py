@@ -34,7 +34,10 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, mime string, n_bytes int, feat array<float>, decode_ok boolean"
+    # feat is double: decoders hand back python floats, and float32
+    # truncation would diverge from any engine-independent oracle of
+    # the same arithmetic.
+    "media_id long, mime string, n_bytes int, feat array<double>, decode_ok boolean"
 )
 
 

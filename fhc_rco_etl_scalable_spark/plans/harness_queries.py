@@ -652,7 +652,38 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # mapInPandas plumbing; rows-only
+_MULTIMODAL_ORACLE = f"""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             (('0x' || substring(hx, CAST(2 * i - 1 AS BIGINT), 2))::INT >> 5)
+               AS bucket
+      FROM b, unnest(range(1, n + 1)) AS t(i)
+    ),
+    hist AS (
+      SELECT doc_id, bucket, count(*) AS c FROM bytes GROUP BY doc_id, bucket
+    ),
+    feat AS (
+      SELECT doc_id,
+             [{", ".join(
+                 f"(sum(CASE WHEN bucket = {k} THEN c ELSE 0 END))::DOUBLE"
+                 for k in range(8)
+             )}] AS counts
+      FROM hist GROUP BY doc_id
+    )
+    SELECT b.doc_id AS media_id, 'text/plain' AS mime, b.n AS n_bytes,
+           CASE WHEN b.n = 0 THEN [{", ".join(["0.0"] * 8)}]
+                ELSE list_transform(feat.counts, c -> c / b.n) END AS feat,
+           TRUE AS decode_ok
+    FROM b LEFT JOIN feat USING (doc_id)
+"""
+
+
+@query("multimodal_features", _MULTIMODAL_ORACLE)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import extract_features, fake_image_decoder
 
