@@ -1753,3 +1753,69 @@ def q_co_aggregated_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         SiteParams(server="HARNESS", run_first_stop_analysis=False),
     )
     return outs["CO_Aggregated_Data"].drop("Total_Uptime_till_Next_CO")
+
+
+# ---------------------------------------------------------------------------
+# q_first_stop_harness — First_Stop_after_CO_Data from the REAL
+# pipeline (mes_etl run_first_stop_analysis) on harness data, under
+# the full DuckDB oracle. Reuses the co_aggregated_harness CTE chain
+# through `ctx`; the unplanned filter uses the adapter's flag algebra
+# (planned_check=1 only for changeover rows — note 'Planned' is NOT a
+# case-sensitive substring of 'Unplanned'; idle_check == isExcluded).
+# ---------------------------------------------------------------------------
+
+_FIRST_STOP_HARNESS_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nev AS (")[0] + """,
+fsa AS (
+  SELECT LINE, co_id, co_start, co_end,
+         coalesce(lead(co_start) OVER (PARTITION BY LINE ORDER BY co_start, co_id),
+                  co_end + INTERVAL 43200 MINUTE) AS nxt
+  FROM agg
+),
+fs_slice AS (
+  SELECT f.co_id, f.LINE, f.co_end, e.START_TIME, e.downtime_id, e.UPTIME,
+         e.DOWNTIME,
+         CASE WHEN e.event_type = 'signup' THEN 1 ELSE 0 END AS planned_check,
+         CASE WHEN e.is_excluded THEN 1 ELSE 0 END AS idle_check,
+         e.is_excluded
+  FROM fsa f JOIN line_dt_full e
+    ON e.LINE = f.LINE AND e.START_TIME >= f.co_end AND e.START_TIME < f.nxt
+  WHERE e.START_TIME IS NOT NULL
+),
+fs_cum AS (
+  SELECT *, sum(UPTIME) OVER (PARTITION BY co_id ORDER BY START_TIME, downtime_id
+                              ROWS UNBOUNDED PRECEDING) AS upt_cum
+  FROM fs_slice
+),
+fs_first AS (
+  SELECT *, row_number() OVER (PARTITION BY co_id
+                               ORDER BY START_TIME, downtime_id) AS rn
+  FROM fs_cum
+  WHERE planned_check = 0 AND idle_check = 0 AND NOT is_excluded
+)
+SELECT co_id AS CO_Identifier, LINE, co_end AS CO_EndTime,
+       START_TIME AS First_Stop_Time, downtime_id AS First_Stop_downtime_id,
+       round(upt_cum, 2) AS Uptime_before_First_Stop,
+       round(DOWNTIME, 2) AS First_Stop_DOWNTIME,
+       'HARNESS' AS Server
+FROM fs_first WHERE rn = 1
+"""
+
+
+@query("first_stop_harness", _FIRST_STOP_HARNESS_ORACLE)
+def q_first_stop_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import downtime_variants, with_derived_flags
+    from .rco_pipeline import SiteParams, mes_etl
+
+    downtime = harness_downtime_log(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    flagged = with_derived_flags(downtime, line_config)
+    v = downtime_variants(flagged)
+    outs = mes_etl(v["line_dt"], v["line_dt_full"], SiteParams(server="HARNESS"))
+    return outs["First_Stop_after_CO_Data"]
