@@ -1618,7 +1618,10 @@ WITH base AS (
          WHEN event_type = 'purchase' THEN 'Jam'
          ELSE 'Short stop' END AS C2,
     (event_id % 4 = 0) AS is_constraint,
-    (event_type = 'click' AND value > 95) AS is_excluded
+    (event_type = 'click' AND value > 95) AS is_excluded,
+    CASE WHEN event_id % 4 = 0 THEN CAST(user_id AS VARCHAR) || ' CM'
+         ELSE 'M' || CAST(event_id % 3 AS VARCHAR) END AS MACHINE,
+    props AS OPERATOR_COMMENT
   FROM events
 ),
 ds AS (
@@ -1819,3 +1822,46 @@ def q_first_stop_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = downtime_variants(flagged)
     outs = mes_etl(v["line_dt"], v["line_dt_full"], SiteParams(server="HARNESS"))
     return outs["First_Stop_after_CO_Data"]
+
+
+# ---------------------------------------------------------------------------
+# q_co_event_log_harness — CO_Event_Log from the real pipeline on
+# harness data (projection + surviving-session semi-join + comment
+# scrub; reference mes_etl.py:240-254), full DuckDB oracle reusing the
+# co_aggregated_harness CTE chain through `sid`.
+# ---------------------------------------------------------------------------
+
+_CO_EVENT_LOG_HARNESS_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nagg AS (")[0] + """
+SELECT downtime_id, co_id AS CO_Identifier, LINE, MACHINE, START_TIME,
+       END_TIME, DOWNTIME,
+       C1 AS CAUSE_LEVELS_1_NAME, C2 AS CAUSE_LEVELS_2_NAME,
+       NULL::VARCHAR AS CAUSE_LEVELS_3_NAME,
+       NULL::VARCHAR AS CAUSE_LEVELS_4_NAME,
+       regexp_replace(OPERATOR_COMMENT, '[''\r\n]+', ' ', 'g') AS OPERATOR_COMMENT,
+       'HARNESS' AS Server
+FROM sid
+"""
+
+
+@query("co_event_log_harness", _CO_EVENT_LOG_HARNESS_ORACLE)
+def q_co_event_log_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import downtime_variants, with_derived_flags
+    from .rco_pipeline import SiteParams, mes_etl
+
+    downtime = harness_downtime_log(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    flagged = with_derived_flags(downtime, line_config)
+    v = downtime_variants(flagged)
+    outs = mes_etl(
+        v["line_dt"],
+        v["line_dt_full"],
+        SiteParams(server="HARNESS", run_first_stop_analysis=False),
+    )
+    return outs["CO_Event_Log"]
