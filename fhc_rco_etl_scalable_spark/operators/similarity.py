@@ -115,15 +115,27 @@ def _signature_udf(tables: list[list[list[float]]], probe_bits: int = 0):
     zip_with/aggregate expressions (which also fall out of codegen at
     32 nested folds).
 
-    ``probe_bits > 0`` emits, per table, the signature PLUS every
-    single-bit flip (multi-probe) — in numpy, because the equivalent
-    transform/bitwiseXOR expression tree made query compilation the
-    dominant cost of the whole LSH search at test scale."""
+    ``probe_bits = d`` emits, per table, the signature PLUS every flip
+    of up to ``d`` plane bits (multi-probe to hamming depth d; d ==
+    n_planes enumerates all 2^n_planes buckets, i.e. probe-all) — in
+    numpy, because the equivalent transform/bitwiseXOR expression tree
+    made query compilation the dominant cost of the whole LSH search
+    at test scale."""
+    from itertools import combinations
+
     from pyspark.sql.functions import pandas_udf
 
     n_tables = len(tables)
     n_planes = len(tables[0])
+    # table tag rides at bit 16+, so plane bits must fit below it.
+    assert n_planes <= 16, f"n_planes={n_planes} collides with table tag bits"
     mat = np.array([p for t in tables for p in t], dtype=np.float64).T  # dim x (T*k)
+    masks = [0]
+    for depth in range(1, min(probe_bits, n_planes) + 1):
+        masks += [
+            sum(1 << i for i in combo)
+            for combo in combinations(range(n_planes), depth)
+        ]
 
     @pandas_udf("array<long>")
     def sigs(vecs: pd.Series) -> pd.Series:
@@ -134,11 +146,9 @@ def _signature_udf(tables: list[list[list[float]]], probe_bits: int = 0):
         for t in range(n_tables):
             chunk = bits[:, t * n_planes : (t + 1) * n_planes]
             base = chunk @ weights + (t << 16)
-            out.append(base)
-            if probe_bits:
-                for i in range(n_planes):  # tag bits (>=16) never flip
-                    out.append(base ^ (1 << i))
-        arr = np.stack(out, axis=1)  # batch x T or T*(1+planes)
+            for m in masks:  # tag bits (>=16) never flip
+                out.append(base ^ m)
+        arr = np.stack(out, axis=1)  # batch x (T * len(masks))
         return pd.Series(list(arr))
 
     return sigs
@@ -225,11 +235,15 @@ def lsh_topk(
     """Approximate top-k: standard multi-table random-hyperplane LSH —
     ``n_tables`` independent tables of ``n_planes`` sign bits each; a
     corpus vector is a candidate when it shares ANY table's bucket with
-    the query (single-bit probes included), then exact cosine re-ranks.
+    the query (probes up to ``multiprobe_bits`` bit flips included),
+    then exact cosine re-ranks.
 
     Recall ≈ 1-(1-p^k)^T for per-plane agreement p — tunable without
     touching the data layout. Property-tested against the brute-force
-    baseline.
+    baseline. ``multiprobe_bits == n_planes`` probes every bucket of
+    every table (probe-all), which is deterministically exact — equal
+    to ``brute_force_topk`` — at cross-product cost; used as the
+    oracle-checkable configuration.
     """
     tables = [
         _hyperplanes(dim, n_planes, seed=f"spark-graft-t{t}") for t in range(n_tables)

@@ -557,9 +557,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "embedding_topk",
-    """
+_TOPK_ORACLE = """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                FROM embeddings WHERE vec_id < 10)
     SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -570,8 +568,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings e CROSS JOIN q
     WHERE e.vec_id <> q.query_id
     QUALIFY rank <= 5
-    """,
-)
+    """
+
+
+@query("embedding_topk", _TOPK_ORACLE)
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -597,19 +597,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_near_dups(emb, threshold=0.4, method="exact")
 
 
-@query("embedding_topk_lsh")  # approximate: rows-only check; recall tested in pytest
+@query("embedding_topk_lsh", _TOPK_ORACLE)
 def q_embedding_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Probe-all configuration (multiprobe_bits == n_planes enumerates
+    # all 2^4 buckets of the single table), which is deterministically
+    # exact — the full LSH machinery (signatures, bucket join, re-rank)
+    # runs under the brute-force oracle. Approximate configs (recall
+    # < 1) stay pytest-bounded in test_extensions.py.
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.lsh_topk(emb, queries, k=5)
+    return SIM.lsh_topk(
+        emb, queries, k=5, n_planes=4, n_tables=1, multiprobe_bits=4
+    )
 
 
-@query("embedding_topk_ivf")  # approximate: rows-only; exactness at
+@query("embedding_topk_ivf", _TOPK_ORACLE)
 def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # n_probe==n_cells and recall bounds are pytest-asserted
+    # Probe-all (n_probe == n_cells) degenerates to exhaustive search:
+    # deterministically equal to brute force, so the IVF machinery
+    # (quantizer train, cell shuffle, candidate re-rank) runs under the
+    # brute-force oracle. Approximate n_probe recall is pytest-bounded.
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+    return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=16)
 
 
 _SIMHASH_VOTES = ",\n             ".join(
@@ -676,8 +686,11 @@ _MULTIMODAL_ORACLE = f"""
       FROM hist GROUP BY doc_id
     )
     SELECT b.doc_id AS media_id, 'text/plain' AS mime, b.n AS n_bytes,
-           CASE WHEN b.n = 0 THEN [{", ".join(["0.0"] * 8)}]
-                ELSE list_transform(feat.counts, c -> c / b.n) END AS feat,
+           {", ".join(
+               f"CASE WHEN b.n = 0 THEN 0.0 ELSE feat.counts[{k + 1}] / b.n END"
+               f" AS feat_{k}"
+               for k in range(8)
+           )},
            TRUE AS decode_ok
     FROM b LEFT JOIN feat USING (doc_id)
 """
@@ -696,7 +709,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
-    return extract_features(media, decoder=fake_image_decoder)
+    feats = extract_features(media, decoder=fake_image_decoder)
+    # The driver canonicalizer sorts rows column-wise and cannot hash an
+    # array cell, so the vector is projected to 8 scalar columns here;
+    # the operator itself keeps the array<double> schema.
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        *[F.get("feat", k).alias(f"feat_{k}") for k in range(8)],
+        "decode_ok",
+    )
 
 
 # ---------------------------------------------------------------------------
