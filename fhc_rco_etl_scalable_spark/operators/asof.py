@@ -47,7 +47,11 @@ def asof_join(
     for forward (deterministic given a unique tie_break).
 
     Implementation: union-tag + windowed last/first(ignorenulls) —
-    one shuffle, linear scan per partition, whole-stage codegen.
+    one shuffle, linear scan per partition, whole-stage codegen. All
+    ``value_cols`` ride in ONE struct so the nearest right row wins
+    atomically: a genuinely-NULL field of that row stays NULL instead
+    of an older row's value leaking through, and multiple value
+    columns can never be picked from different right rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -55,13 +59,18 @@ def asof_join(
     value_cols = list(value_cols)
     tie_break = list(tie_break)
 
+    from pyspark.sql import types as T
+
+    v_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     left_keep = [c for c in left.columns]
     # Left rows carry NULL markers; right rows carry only keys+values.
     l_tag = left.select(
         *[F.col(c) for c in left_keep],
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(v_struct_type).alias("__v"),
         *[F.lit(None).cast(right.schema[c].dataType if c in right.columns else "string").alias(f"__tb_{c}") for c in tie_break],
     )
     r_tag = right.select(
@@ -69,7 +78,7 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
         *[F.col(c).alias(f"__tb_{c}") for c in tie_break],
     ).select(*l_tag.columns)
 
@@ -87,18 +96,15 @@ def asof_join(
     w = Window.partitionBy(*on).orderBy(*order)
     if direction == "backward":
         frame = w.rowsBetween(Window.unboundedPreceding, 0)
-        picks = {c: F.last(f"__v_{c}", ignorenulls=True).over(frame) for c in value_cols}
+        pick = F.last("__v", ignorenulls=True).over(frame)
     else:
         frame = w.rowsBetween(0, Window.unboundedFollowing)
-        picks = {c: F.first(f"__v_{c}", ignorenulls=True).over(frame) for c in value_cols}
+        pick = F.first("__v", ignorenulls=True).over(frame)
 
-    out = unioned
-    for c, expr in picks.items():
-        out = out.withColumn(f"__pick_{c}", expr)
-    out = out.filter(F.col("__is_left") == 1)
+    out = unioned.withColumn("__pick", pick).filter(F.col("__is_left") == 1)
     return out.select(
         *[F.col(c) for c in left_keep],
-        *[F.col(f"__pick_{c}").alias(c) for c in value_cols],
+        *[F.col("__pick").getField(c).alias(c) for c in value_cols],
     )
 
 

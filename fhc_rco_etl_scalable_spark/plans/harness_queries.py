@@ -1751,7 +1751,7 @@ SELECT a.co_id AS CO_Identifier, a.LINE, a.co_start AS CO_StartTime,
        coalesce(nxt1.next_brand_raw, cur1.current_brand) AS Next_BRANDCODE,
        CASE WHEN cur1.current_brand IS DISTINCT FROM
                  coalesce(nxt1.next_brand_raw, cur1.current_brand)
-            THEN 'Changed' ELSE 'Not Changed' END AS Brandcode_Status,
+            THEN 'OK' ELSE 'Not Changed' END AS Brandcode_Status,
        'HARNESS' AS Server
 FROM agg a LEFT JOIN cur1 USING (co_id) LEFT JOIN nxt1 USING (co_id)
 """

@@ -205,13 +205,16 @@ def resolve_brandcodes(co_agg: DataFrame, line_dt_full: DataFrame) -> DataFrame:
         "Next_BRANDCODE", F.coalesce(F.col("ev_BRANDCODE"), F.col("Current_BRANDCODE"))
     ).select(*cur.columns, "Next_BRANDCODE")
 
-    # Null-safe inequality (documented engine choice; pandas NaN != NaN
-    # would say 'Changed', R propagates NA — SURVEY §2.7 notes).
+    # 'OK' = brandcode changed, matching the reference table format
+    # (mes_etl.py:221, RCO_MES_ETL.R:229) so downstream consumers of
+    # CO_Aggregated_Data (e.g. PowerBI filters) keep working.
+    # Null-safe inequality is a documented engine choice (pandas
+    # NaN != NaN would say 'OK', R propagates NA — SURVEY §2.7 notes).
     return nxt.withColumn(
         "Brandcode_Status",
         F.when(
             ~F.col("Current_BRANDCODE").eqNullSafe(F.col("Next_BRANDCODE")),
-            F.lit("Changed"),
+            F.lit("OK"),
         ).otherwise(F.lit("Not Changed")),
     )
 

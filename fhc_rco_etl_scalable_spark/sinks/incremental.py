@@ -38,21 +38,24 @@ from ..schemas import align_to_schema
 
 def lookback_start(now: datetime, watermark: datetime | None) -> datetime:
     """Reference lookback policy (App/utils/time_utils.py:25-51): the
-    re-extraction window depends on the run hour — nightly runs take
-    deeper lookbacks (2/3/7/14 days); parameterized on the stored
-    watermark, never wall-clock inside the pipeline."""
-    if watermark is None:
-        return now - timedelta(days=14)
+    re-extraction window depends on the run hour — hour 3 → 7 d,
+    20 → 2 d, 21 → 14 d, 22 → 7 d, else 3 d — and is always anchored
+    at ``watermark - days`` (never wall-clock), so late modifications
+    just before a stale watermark are still re-extracted.  With no
+    watermark the reference falls back to ``now`` as the anchor."""
     hour = now.hour
-    if hour == 1:
-        days = 14
-    elif hour in (2, 3):
+    if hour == 3:
         days = 7
-    elif hour < 6:
-        days = 3
-    else:
+    elif hour == 20:
         days = 2
-    return min(watermark, now - timedelta(days=days))
+    elif hour == 21:
+        days = 14
+    elif hour == 22:
+        days = 7
+    else:
+        days = 3
+    anchor = watermark if watermark is not None else now
+    return anchor - timedelta(days=days)
 
 
 class ParquetIncrementalSink:
@@ -116,7 +119,11 @@ class ParquetIncrementalSink:
             return
         cutoff = watermark - timedelta(seconds=pad_seconds)
         keys = new_aligned.select(*partition_cols).distinct()
-        overlap = F.col(ts_col) >= F.lit(cutoff)
+        # coalesce: `ts >= cutoff` is NULL for NULL-ts rows and the
+        # survivor filter `~(in_batch & overlap)` would silently drop
+        # them every load; the reference DELETE (`ts >= cutoff`) keeps
+        # NULL-ts rows, so must we.
+        overlap = F.coalesce(F.col(ts_col) >= F.lit(cutoff), F.lit(False))
         # survivors: rows outside the overlap window, or for partition
         # keys not in this batch
         in_batch = None

@@ -125,3 +125,26 @@ def test_interval_overlap_bucketed_matches_plain(spark):
     a = sorted((r.iid, r.pid) for r in plain.collect())
     b = sorted((r.iid, r.pid) for r in bucketed.select("iid", "pid").collect())
     assert a == b
+
+
+def test_asof_null_value_and_multi_col_atomicity(spark):
+    # ADVICE r1: the nearest right row must win ATOMICALLY — a NULL
+    # field of that row stays NULL (no older value leaking through),
+    # and multiple value_cols always come from the same right row.
+    left = spark.createDataFrame(
+        [("k1", _ts(25), "a1")], "k string, lts timestamp, lid string"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts(0), "old", 1.0),
+            ("k1", _ts(20), None, 2.0),  # nearest row: NULL rid, real val
+        ],
+        "k string, rts timestamp, rid string, val double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid", "val"], direction="backward", tie_break=["val"],
+    )
+    row = out.collect()[0]
+    assert row.rid is None  # NOT 'old' — nearest row's NULL is kept
+    assert row.val == 2.0  # both picks from the same (nearest) row

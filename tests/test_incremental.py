@@ -121,11 +121,33 @@ def test_script_data_upsert_and_watermark(spark, tmp_path):
 
 
 def test_lookback_policy():
+    # Reference mapping (App/utils/time_utils.py:25-51): 3→7d, 20→2d,
+    # 21→14d, 22→7d, else 3d, anchored at the watermark (now if none).
     now = datetime(2024, 1, 10, 1, 0)
     wm = datetime(2024, 1, 9, 23, 0)
-    assert lookback_start(now, None) == now - timedelta(days=14)
-    assert lookback_start(now, wm) == now - timedelta(days=14)  # hour 1
-    assert lookback_start(now.replace(hour=3), wm) == now.replace(hour=3) - timedelta(days=7)
-    assert lookback_start(now.replace(hour=12), wm) == min(
-        wm, now.replace(hour=12) - timedelta(days=2)
+    assert lookback_start(now, None) == now - timedelta(days=3)
+    assert lookback_start(now.replace(hour=3), wm) == wm - timedelta(days=7)
+    assert lookback_start(now.replace(hour=20), wm) == wm - timedelta(days=2)
+    assert lookback_start(now.replace(hour=21), wm) == wm - timedelta(days=14)
+    assert lookback_start(now.replace(hour=22), wm) == wm - timedelta(days=7)
+    assert lookback_start(now.replace(hour=12), wm) == wm - timedelta(days=3)
+    # a stale watermark still gets its full pre-watermark lookback
+    stale = datetime(2023, 12, 1, 0, 0)
+    assert lookback_start(now.replace(hour=12), stale) == stale - timedelta(days=3)
+
+
+def test_delete_overlap_keeps_null_ts_rows(spark, tmp_path):
+    # ADVICE r1: `ts >= cutoff` is NULL for NULL-ts rows; the survivor
+    # filter must not silently delete them (reference DELETE keeps them).
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t4"))
+    wm = T0 - timedelta(minutes=30)
+    seed = spark.createDataFrame(
+        [("nullts", "L1", None, 1.0, "S"), ("ok", "L1", T0 - timedelta(days=2), 2.0, "S")],
+        CO_SCHEMA,
     )
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm - timedelta(days=1))
+    batch = _rows(spark, [("new1", "L1", 0, 3.0, "S")])
+    sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    got = _collect(sink, "co")
+    assert ("nullts", "L1", 1.0) in got
+    assert ("ok", "L1", 2.0) in got and ("new1", "L1", 3.0) in got

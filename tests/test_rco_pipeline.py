@@ -80,12 +80,12 @@ def test_brandcode_resolution(outputs):
     # backward: f01 @ -30 in (-60, 0]; forward: d02 uptime-start 15 in (0,120), B != A
     assert s1.Current_BRANDCODE == "A"
     assert s1.Next_BRANDCODE == "B"
-    assert s1.Brandcode_Status == "Changed"
+    assert s1.Brandcode_Status == "OK"
     s2 = agg["L1 - 2024-01-01 - d04"]
     # backward: f02 @ 90 in (65, 120]; forward: f03 uptime-start 150 in (120, 200), C != B
     assert s2.Current_BRANDCODE == "B"
     assert s2.Next_BRANDCODE == "C"
-    assert s2.Brandcode_Status == "Changed"
+    assert s2.Brandcode_Status == "OK"
     s3 = agg["L2 - 2024-01-01 - e01"]
     # backward: g01 @ 10 in (-10, 50]; forward: no different brand -> falls back
     assert s3.Current_BRANDCODE == "X"
