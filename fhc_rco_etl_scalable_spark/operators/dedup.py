@@ -285,32 +285,74 @@ def simhash_near_dups(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    prefix_bits: int = 16,
+    n_bands: int = 4,
     max_hamming: int | None = None,
+    ngram: int = 2,
+    hasher=None,
+    bits: int = 63,
 ) -> DataFrame:
-    """SimHash-bucketed CANDIDATE pairs: documents sharing the top
-    ``prefix_bits`` of their signature, with the full hamming distance
-    attached (id_a < id_b). Callers decide the near-dup cutoff —
-    ``max_hamming`` filters in-engine (0 = identical signatures).
-    A multi-probe variant would rotate which bits form the prefix."""
+    """SimHash-bucketed CANDIDATE pairs with band rotation: the
+    signature splits into ``n_bands`` contiguous bands and documents
+    sharing ANY band exactly become candidates, with the full hamming
+    distance attached (id_a < id_b). Pigeonhole guarantee: a pair
+    within hamming <= n_bands - 1 differs in at most n_bands - 1
+    bands, so at least one band matches — recall 1.0 up to that
+    distance (a single-prefix bucket misses pairs differing in a
+    prefix bit). Callers decide the near-dup cutoff — ``max_hamming``
+    filters in-engine (0 = identical signatures).
+
+    Scale shape: band extraction is map-side (posexplode), candidates
+    come from ONE equi-join shuffle on (band index, band value) — a
+    hot prefix now splits across n_bands buckets instead of pinning
+    one unsplittable task. ``ngram``/``hasher``/``bits`` pass through
+    to :func:`simhash64` (use ``hasher=md5_60, bits=60`` for the
+    oracle-portable signature family).
+    """
     from .skew import spread
 
+    band_bits = -(-bits // n_bands)  # ceil: last band may be narrower
     sigs = spread(df, id_col).select(
-        F.col(id_col), simhash64(F.col(text_col)).alias("__sh")
+        F.col(id_col),
+        simhash64(F.col(text_col), ngram=ngram, hasher=hasher, bits=bits).alias("__sh"),
     )
-    shifted = sigs.withColumn("__bucket", F.shiftrightunsigned("__sh", 64 - prefix_bits))
-    a = shifted.select(
-        F.col(id_col).alias("id_a"), F.col("__bucket").alias("ba"), F.col("__sh").alias("sa")
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("__sh"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__sh", b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("__band", "__bv"),
     )
-    b = shifted.select(
-        F.col(id_col).alias("id_b"), F.col("__bucket").alias("bb"), F.col("__sh").alias("sb")
+    # barrier: the self-join reads the signature frame twice; without
+    # it the n-gram explode + bit votes execute once per side.
+    banded = banded.localCheckpoint(eager=False)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__band").alias("band_a"),
+        F.col("__bv").alias("bv_a"), F.col("__sh").alias("sa"),
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__band").alias("band_b"),
+        F.col("__bv").alias("bv_b"), F.col("__sh").alias("sb"),
     )
     out = (
-        a.join(b, (a["ba"] == b["bb"]) & (a["id_a"] < b["id_b"]))
-        .withColumn(
-            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("bv_a") == F.col("bv_b"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "hamming")
+        # a pair sharing several bands appears once per shared band —
+        # collapse before computing hamming
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count("*").alias("n_shared_bands"))
+        .withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .select("id_a", "id_b", "hamming", "n_shared_bands")
     )
     if max_hamming is not None:
         out = out.filter(F.col("hamming") <= max_hamming)

@@ -628,7 +628,7 @@ _SIMHASH_VOTES = ",\n             ".join(
     for i in range(60)
 )
 
-_SIMHASH_ORACLE = f"""
+_SIMHASH_SIG_CTES = f"""
     WITH gl AS (
       SELECT doc_id,
              list_distinct(list_transform(list_distinct(list_transform(
@@ -642,8 +642,14 @@ _SIMHASH_ORACLE = f"""
       SELECT doc_id,
              {_SIMHASH_VOTES}
       FROM hg GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, ({" | ".join(f"b{i}" for i in range(60))}) AS simhash FROM v
     )
-    SELECT doc_id, ({" | ".join(f"b{i}" for i in range(60))}) AS simhash FROM v
+"""
+
+_SIMHASH_ORACLE = _SIMHASH_SIG_CTES + """
+    SELECT doc_id, simhash FROM sig
 """
 
 
@@ -659,6 +665,34 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.simhash64(F.col("text"), ngram=3, hasher=DD.md5_60, bits=60).alias(
             "simhash"
         ),
+    )
+
+
+# 60-bit signature / 4 bands -> 15-bit bands; mask = 2^15 - 1.
+_SIMHASH_NEAR_ORACLE = _SIMHASH_SIG_CTES + """
+    , banded AS (
+      SELECT doc_id, simhash, t.b AS band,
+             (simhash >> (t.b * 15)) & 32767 AS bv
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS b) t
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming,
+           count(*) AS n_shared_bands
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.simhash, b.simhash
+"""
+
+
+@query("simhash_near_dups", _SIMHASH_NEAR_ORACLE)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Band-rotation candidates over the oracle-portable md5-60
+    # signature family: every pair sharing any 15-bit band, with full
+    # hamming distance — the ENTIRE candidate set is hash-checked
+    # against DuckDB (recall guarantee: hamming <= 3 always surfaces).
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.simhash_near_dups(
+        docs, "doc_id", "text", n_bands=4, ngram=3, hasher=DD.md5_60, bits=60
     )
 
 

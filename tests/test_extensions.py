@@ -59,12 +59,48 @@ def test_jaccard_pairs_values(spark):
 
 
 def test_simhash_identical_zero_hamming(spark, docs):
-    dups = DD.simhash_near_dups(docs, "doc_id", "text", prefix_bits=8)
+    dups = DD.simhash_near_dups(docs, "doc_id", "text", n_bands=4)
     got = {(r.id_a, r.id_b): r.hamming for r in dups.collect()}
     assert got.get((1, 2)) == 0  # normalized-identical text -> same sig?  # noqa
     sig = {r.doc_id: r.sh for r in docs.select(
         "doc_id", DD.simhash64(F.col("text")).alias("sh")).collect()}
     assert sig[1] >= 0 and sig[3] >= 0  # sign bit clear
+
+
+def test_simhash_band_rotation_recall(spark):
+    # Pigeonhole guarantee: EVERY pair within hamming <= n_bands - 1
+    # must surface as a candidate, wherever the differing bits fall —
+    # including the top bits a single-prefix bucket would miss.
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    corpus = [(0, "the quick brown fox jumps over the lazy dog " * 3)]
+    words = corpus[0][1].split()
+    for i in range(1, 40):  # perturbed variants + random docs
+        if i % 2:
+            w = list(words)
+            for _ in range(rng.randint(1, 2)):
+                w[rng.randrange(len(w))] = rng.choice(["cat", "dot", "fig", "gnu"])
+            corpus.append((i, " ".join(w)))
+        else:
+            corpus.append((i, " ".join(rng.choice(words) for _ in range(30))))
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    sig = {r.doc_id: r.sh for r in docs.select(
+        "doc_id", DD.simhash64(F.col("text")).alias("sh")).collect()}
+    want = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in DD.simhash_near_dups(
+            docs, "doc_id", "text", n_bands=4, max_hamming=3
+        ).collect()
+    }
+    assert want, "fixture produced no hamming<=3 pairs"
+    assert want == got  # recall 1.0 AND no pairs beyond the cutoff
 
 
 def test_lsh_recall_against_brute_force(spark):
