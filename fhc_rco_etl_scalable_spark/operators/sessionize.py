@@ -138,6 +138,128 @@ def sessionize(
     return out
 
 
+def sessionize_stitched(
+    df: DataFrame,
+    trigger: Column,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    bucket: Column,
+    prev_cols: dict[str, str],
+    session_col: str = "session_num",
+    session_id: Column | None = None,
+    session_id_col: str = "session_id",
+) -> DataFrame:
+    """Composite-partition sessionization with boundary stitching —
+    the 100 TB formulation of :func:`sessionize`.
+
+    Plain sessionization partitions the window by ``partition_by``
+    alone (e.g. LINE); when key cardinality ≪ cores, one hot key is
+    one unsplittable task. Here the window partitions by
+    ``(partition_by, bucket)`` — ``bucket`` must be monotone
+    non-decreasing in ``order_by`` (e.g. ``date_trunc('week', ts)``)
+    — so a hot key splits across time buckets, and the cross-boundary
+    session merges are stitched back deterministically.
+
+    ``prev_cols`` maps each previous-row column name the ``trigger``
+    expression references (unresolved ``F.col`` names) to its source
+    column; the trigger MUST evaluate to 1 when all prev columns are
+    NULL (first row ever). Cost shape: ONE window pass over the full
+    data (lag + pass-1 trigger + running sum in a single sort), then
+    all boundary correction happens on two tiny frames (one row per
+    non-empty (key, bucket)): the previous bucket's last row re-enters
+    the SAME trigger expression to decide whether the first pass-1
+    session of a bucket continues the previous bucket's last session,
+    and a per-bucket offset/delta pair — broadcast back — converts
+    pass-1 local session numbers into global ones:
+
+        session = local_cumsum + delta(bucket) + offset(prior buckets)
+
+    where delta is 0/-1 (first-row trigger corrected) and offset is
+    the cumulative corrected session count of earlier buckets. Session
+    numbering is identical to :func:`sessionize` (verified by oracle
+    twin `co_sessionize_stitched` and property tests). The pass-1
+    ``prev_*`` columns are dropped from the output (they are NULL at
+    bucket boundaries, not the true previous row).
+    """
+    partition_by = list(partition_by)
+    order_by = list(order_by)
+    base = df.withColumn("__bkt", bucket)
+    wb = Window.partitionBy(*partition_by, "__bkt").orderBy(*order_by)
+    for pname, src in prev_cols.items():
+        base = base.withColumn(pname, F.lag(src).over(wb))
+    base = (
+        base.withColumn("__rn_b", F.row_number().over(wb))
+        .withColumn("__n_b", F.count("*").over(Window.partitionBy(*partition_by, "__bkt")))
+        .withColumn("__trig_p1", trigger)
+        .withColumn(
+            "__local_p1",
+            F.sum("__trig_p1").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    # barrier: the tiny boundary frames below re-read this stage; at
+    # warehouse scale persist it to a table instead.
+    base = base.localCheckpoint(eager=False)
+
+    # One row per non-empty (key, bucket): its LAST row's attributes
+    # (the boundary carrier) and its pass-1 session total.
+    wp = Window.partitionBy(*partition_by).orderBy("__bkt")
+    last = base.filter(F.col("__rn_b") == F.col("__n_b")).select(
+        *partition_by,
+        "__bkt",
+        F.col("__local_p1").alias("__tot_p1"),
+        *[F.col(src).alias(f"__last_{p}") for p, src in prev_cols.items()],
+    )
+    carry = last.select(
+        *partition_by,
+        "__bkt",
+        *[F.lag(f"__last_{p}").over(wp).alias(p) for p in prev_cols],
+    )
+    # Re-evaluate the SAME trigger on each bucket's first row with the
+    # previous bucket's last row as context: 1 = genuinely new session
+    # (delta 0), 0 = continues across the boundary (delta -1).
+    firsts = (
+        base.filter(F.col("__rn_b") == 1)
+        .drop(*prev_cols)
+        .join(carry, [*partition_by, "__bkt"], "left")
+        .select(*partition_by, "__bkt", (trigger - 1).alias("__delta"))
+    )
+    tots = last.select(*partition_by, "__bkt", "__tot_p1").join(
+        firsts, [*partition_by, "__bkt"]
+    )
+    offs = tots.select(
+        *partition_by,
+        "__bkt",
+        "__delta",
+        F.coalesce(
+            F.sum(F.col("__tot_p1") + F.col("__delta")).over(
+                wp.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    out = base.join(F.broadcast(offs), [*partition_by, "__bkt"], "left").withColumn(
+        session_col, (F.col("__local_p1") + F.col("__delta") + F.col("__off")).cast("long")
+    )
+    if session_id is not None:
+        trig_corr = F.when(
+            F.col("__rn_b") == 1, F.col("__trig_p1") + F.col("__delta")
+        ).otherwise(F.col("__trig_p1"))
+        starts = out.filter(trig_corr == 1).select(
+            *partition_by,
+            F.col(session_col).alias("__start_sess"),
+            session_id.alias(session_id_col),
+        )
+        out = out.join(
+            starts.withColumnRenamed("__start_sess", session_col),
+            [*partition_by, session_col],
+            "left",
+        )
+    return out.drop(
+        "__bkt", "__rn_b", "__n_b", "__trig_p1", "__local_p1", "__delta", "__off",
+        *prev_cols,
+    )
+
+
 def sessionize_simple_gap(
     df: DataFrame,
     ts_col: str,

@@ -98,6 +98,23 @@ GROUP BY user_id, session_num
 """
 
 
+def harness_session_trigger() -> F.Column:
+    """The RCO 4-clause trigger over the events fixture's lag columns
+    (unresolved names — applies to any frame carrying prev_ts /
+    prev_type / prev_props). Integer-microsecond gap: exact parity
+    with the DuckDB oracle (float division could flip a boundary
+    comparison)."""
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    p_us = F.lit(P_MINUTES * 60_000_000).cast("long")
+    return rco_session_trigger(
+        gap_minutes=gap_us / F.lit(60_000_000.0),
+        same_line=F.lit(True),
+        same_trigger_col=F.col("event_type") == F.col("prev_type"),
+        same_brandcode=F.col("props") == F.col("prev_props"),
+        p=p_us / F.lit(60_000_000.0),
+    )
+
+
 def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → lag context → RCO trigger → session number/bounds.
 
@@ -111,29 +128,16 @@ def sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prev_type", F.lag("event_type").over(w))
         .withColumn("prev_props", F.lag("props").over(w))
     )
-    # Integer-microsecond gap: exact parity with the DuckDB oracle
-    # (float division could flip a boundary comparison).
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
-    p_us = F.lit(P_MINUTES * 60_000_000).cast("long")
-    trigger = rco_session_trigger(
-        gap_minutes=gap_us / F.lit(60_000_000.0),
-        same_line=F.lit(True),
-        same_trigger_col=F.col("event_type") == F.col("prev_type"),
-        same_brandcode=F.col("props") == F.col("prev_props"),
-        p=p_us / F.lit(60_000_000.0),
-    )
     return sessionize(
         lagged,
-        trigger,
+        harness_session_trigger(),
         partition_by=["user_id"],
         order_by=["ts", "event_id"],
         session_col="session_num",
     )
 
 
-@query("co_sessionize", _SESSIONIZE_ORACLE)
-def q_co_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sess = sessionized_events(spark, sf_dir)
+def _session_rollup(sess: DataFrame) -> DataFrame:
     w_sess = (
         Window.partitionBy("user_id", "session_num")
         .orderBy("ts", "event_id")
@@ -152,6 +156,33 @@ def q_co_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("last_event_id").alias("last_event_id"),
         )
     )
+
+
+@query("co_sessionize", _SESSIONIZE_ORACLE)
+def q_co_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _session_rollup(sessionized_events(spark, sf_dir))
+
+
+@query("co_sessionize_stitched", _SESSIONIZE_ORACLE)
+def q_co_sessionize_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The composite-partition formulation under the SAME oracle as
+    # co_sessionize: windows partition by (user_id, week-bucket) so a
+    # hot key splits across buckets, and cross-boundary sessions are
+    # stitched back — session numbering must come out identical to the
+    # single-partition plan (§2.7 scale escalation, now tested code).
+    from ..operators.sessionize import sessionize_stitched
+
+    ev = load_table(spark, "events", sf_dir)
+    sess = sessionize_stitched(
+        ev,
+        harness_session_trigger(),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        bucket=F.date_trunc("week", F.col("ts")),
+        prev_cols={"prev_ts": "ts", "prev_type": "event_type", "prev_props": "props"},
+        session_col="session_num",
+    )
+    return _session_rollup(sess)
 
 
 # ---------------------------------------------------------------------------

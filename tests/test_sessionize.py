@@ -174,3 +174,75 @@ def test_changeover_failure_suppression_gap(spark):
         df, SiteParams(changeover_failure_suppression_gap_min=60.0)
     )
     assert suppressed.select("CO_Identifier").distinct().count() == 2
+
+
+def _stitched_vs_plain(spark, rows, bucket_minutes):
+    """Run plain and stitched sessionization (with session IDs) on the
+    same fixture; return both [(id, session_num, session_id)] lists."""
+    from fhc_rco_etl_scalable_spark.operators.sessionize import sessionize_stitched
+
+    df = _frame(spark, rows)
+    trig_expr = rco_session_trigger(
+        gap_minutes=(F.col("START_TIME").cast("double") - F.col("prev_end").cast("double")) / 60.0,
+        same_line=F.lit(True),
+        same_trigger_col=F.col("cause").eqNullSafe(F.col("prev_cause")),
+        same_brandcode=F.col("BRANDCODE").eqNullSafe(F.col("prev_brand")),
+        p=P,
+    )
+    sess_id = F.concat_ws("-", F.col("LINE"), F.col("id"))
+
+    w = Window.partitionBy("LINE").orderBy("START_TIME", "id")
+    plain = sessionize(
+        df.withColumn("prev_end", F.lag("END_TIME").over(w))
+        .withColumn("prev_cause", F.lag("cause").over(w))
+        .withColumn("prev_brand", F.lag("BRANDCODE").over(w)),
+        trig_expr, ["LINE"], ["START_TIME", "id"],
+        session_id=sess_id,
+    )
+    stitched = sessionize_stitched(
+        df, trig_expr, ["LINE"], ["START_TIME", "id"],
+        bucket=F.window("START_TIME", f"{bucket_minutes} minutes").getField("start"),
+        prev_cols={"prev_end": "END_TIME", "prev_cause": "cause", "prev_brand": "BRANDCODE"},
+        session_id=sess_id,
+    )
+    key = lambda out: [
+        (r.id, r.session_num, r.session_id)
+        for r in out.orderBy("LINE", "START_TIME", "id").collect()
+    ]
+    return key(plain), key(stitched)
+
+
+def test_stitched_equals_plain_across_boundaries(spark):
+    # Sessions deliberately straddle 60-min buckets; L2 has a long gap
+    # spanning EMPTY buckets (carry must come from the last non-empty
+    # bucket, not the adjacent one).
+    rows = [
+        ("L1", 0, "CO", "A"), ("L1", 50, "CO", "A"), ("L1", 75, "CO", "A"),
+        ("L1", 100, "CO", "A"),  # one session across 2 boundaries
+        ("L1", 200, "XX", "B"), ("L1", 215, "XX", "B"),  # new session
+        ("L2", 30, "CO", "A"), ("L2", 59, "CO", "A"),
+        ("L2", 400, "CO", "A"),  # 5+ empty buckets later -> new session
+        ("L2", 410, "CO", "A"),
+    ]
+    plain, stitched = _stitched_vs_plain(spark, rows, bucket_minutes=60)
+    assert plain == stitched
+    nums = dict((i, n) for i, n, _ in plain)
+    # e1@50..e3@100 (gaps 25) straddle the 60- and 120-min boundaries
+    assert nums["e1"] == nums["e3"]  # straddling session stayed merged
+    assert nums["e0"] != nums["e1"]  # gap 50 splits (all clauses miss)
+
+
+def test_stitched_equals_plain_randomized(spark):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for line in ("A", "B", "C"):
+        t = 0.0
+        for _ in range(60):
+            t += rng.choice([3, 10, 25, 45, 70])
+            rows.append(
+                (line, t, rng.choice(["CO", "ST"]), rng.choice(["X", "Y"]))
+            )
+    plain, stitched = _stitched_vs_plain(spark, rows, bucket_minutes=47)
+    assert plain == stitched
