@@ -1678,7 +1678,7 @@ def q_site_etl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q_co_aggregated_harness — the mes_etl analytical core (M2: the
-# hardest correctness piece) on the harness event log, под the FULL
+# hardest correctness piece) on the harness event log, under the FULL
 # DuckDB oracle: adapter transcription + 4-clause trigger +
 # sessionization + neighbor context + both as-of brandcode picks +
 # status. Upgrades the driver-facing evidence for the pipeline from
@@ -1953,3 +1953,178 @@ def q_co_event_log_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         SiteParams(server="HARNESS", run_first_stop_analysis=False),
     )
     return outs["CO_Event_Log"]
+
+
+# ---------------------------------------------------------------------------
+# Harness oracles for the remaining site_etl outputs: every one of the
+# 8 output tables is now hash-verified on the SAME harness downtime
+# log site_etl_full consumes (reference emitters:
+# data_from_mdc.py:191-362, overall_etl.py:186-232).
+# ---------------------------------------------------------------------------
+
+# Shared CTE prefixes carved from the co_aggregated oracle chain:
+# through line_dt_full (adapter + flags) and through agg (sessions).
+_HARNESS_BASE = _CO_AGG_HARNESS_ORACLE.split(",\nco AS (")[0]
+
+
+def _harness_inputs(spark: SparkSession, sf_dir: str):
+    """downtime log -> (variants dict, line_config) for harness entries."""
+    from ..operators.extract import downtime_variants, with_derived_flags
+
+    downtime = harness_downtime_log(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    return downtime_variants(with_derived_flags(downtime, line_config)), downtime
+
+
+_RUNTIME_HARNESS_ORACLE = _HARNESS_BASE + """,
+daily AS (
+  SELECT CAST(START_TIME AS DATE) AS Date, LINE,
+         least(sum(UPTIME), 1440.0) AS Runtime
+  FROM line_dt_full
+  WHERE START_TIME IS NOT NULL
+  GROUP BY 1, 2
+),
+fd AS (SELECT *, min(Date) OVER (PARTITION BY LINE) AS __md FROM daily)
+SELECT Date, LINE, round(Runtime, 2) AS Runtime, 'HARNESS' AS Server
+FROM fd WHERE Date > __md
+"""
+
+
+@query("runtime_per_day_harness", _RUNTIME_HARNESS_ORACLE)
+def q_runtime_per_day_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Runtime_per_Day_data exactly as site_etl emits it (A3/F10/F11 on
+    # the harness log; reference data_from_mdc.py:237-249).
+    from ..operators.aggregate import runtime_per_day
+
+    v, _ = _harness_inputs(spark, sf_dir)
+    out = runtime_per_day(v["line_dt_full"], "HARNESS")
+    return out.select(
+        "Date", "LINE", F.round("Runtime", 2).alias("Runtime"), "Server"
+    )
+
+
+_SCRIPT_DATA_HARNESS_ORACLE = _HARNESS_BASE + """,
+pre AS (
+  SELECT LINE, hour(START_TIME) AS __h, count(*) AS __tally,
+         min(START_TIME) AS __mn, max(START_TIME) AS __mx
+  FROM line_dt_full GROUP BY 1, 2
+),
+wt AS (
+  SELECT *, max(__tally) OVER (PARTITION BY LINE) AS __mt,
+         min(__mn) OVER (PARTITION BY LINE) AS __first,
+         max(__mx) OVER (PARTITION BY LINE) AS __last
+  FROM pre
+),
+b AS (
+  SELECT LINE, min(__h) AS dsh, min(__first) AS fap, max(__last) AS lap
+  FROM wt WHERE __tally > __mt / 2.0 GROUP BY LINE
+),
+nc AS (
+  SELECT LINE, count(DISTINCT MACHINE) AS ncons FROM line_dt GROUP BY LINE
+)
+SELECT b.LINE AS System, TIMESTAMP '2026-01-01 00:00:00' AS Data_Update_Time,
+       fap AS First_Available_Data_Point, lap AS Last_Available_Data_Point,
+       b.LINE AS MES_Line_Name, 'HARNESS' AS Server,
+       CAST(dsh AS DOUBLE) AS Day_Start_hours, NULL::VARCHAR AS BU,
+       CAST(ncons AS INT) AS Number_of_Constraints
+FROM b LEFT JOIN nc ON b.LINE = nc.LINE
+"""
+
+
+@query("script_data_harness", _SCRIPT_DATA_HARNESS_ORACLE)
+def q_script_data_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Script_Data through the REAL site_etl path (majority-vote
+    # day-start hour + data bounds + constraint count + fixed
+    # watermark; reference overall_etl.py:186-232).
+    from datetime import datetime
+
+    from .rco_pipeline import SiteParams
+    from .site_etl import site_etl
+
+    _, downtime = _harness_inputs(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    outs = site_etl(
+        downtime,
+        None,
+        SiteParams(server="HARNESS", run_first_stop_analysis=False),
+        line_config=line_config,
+        run_machine_level=False,
+        data_update_time=datetime(2026, 1, 1),
+    )
+    return outs["Script_Data"]
+
+
+_BRANDCODE_HARNESS_ORACLE = _HARNESS_BASE + """,
+prod AS (
+  SELECT BRANDCODE, 'Product ' || BRANDCODE AS ProdDesc,
+         substring(BRANDCODE, 1, 2) AS ProdFam, 'G1' AS ProdGroup,
+         (length(OPERATOR_COMMENT) % 24) + 1 AS FirstPackCount,
+         DOWNTIME AS StatFactor
+  FROM base WHERE BRANDCODE IS NOT NULL
+),
+meta0 AS (
+  SELECT BRANDCODE, ProdDesc, ProdFam, ProdGroup, FirstPackCount,
+         count(*) AS __cnt
+  FROM prod GROUP BY 1, 2, 3, 4, 5
+),
+meta AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY BRANDCODE
+        ORDER BY __cnt DESC, ProdDesc ASC NULLS LAST, ProdFam ASC NULLS LAST,
+                 ProdGroup ASC NULLS LAST, FirstPackCount ASC NULLS LAST) AS __rn
+    FROM meta0
+  ) WHERE __rn = 1
+),
+stat AS (
+  SELECT BRANDCODE, max(StatFactor) AS StatFactor
+  FROM prod WHERE StatFactor > 0 GROUP BY BRANDCODE
+),
+named AS (
+  SELECT m.*, s.StatFactor,
+         CASE WHEN len(string_split(replace(m.ProdDesc, '-', ':'), ':')) > 1
+              THEN string_split(replace(m.ProdDesc, '-', ':'), ':')[2]
+              ELSE replace(m.ProdDesc, '-', ':') END AS __b
+  FROM meta m LEFT JOIN stat s USING (BRANDCODE)
+)
+SELECT BRANDCODE,
+       CASE WHEN (SELECT count(DISTINCT __b) FROM named) > 2
+            THEN __b ELSE ProdDesc END AS BRANDNAME,
+       ProdFam, ProdGroup,
+       CAST(FirstPackCount AS DOUBLE) AS UNITS_PER_CASE,
+       StatFactor, 'HARNESS' AS Server, NULL::DOUBLE AS SIZE
+FROM named
+"""
+
+
+@query("brandcode_harness", _BRANDCODE_HARNESS_ORACLE)
+def q_brandcode_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BRANDCODE_data master derivation (A5 argmax-by-count + A6 max
+    # positive StatFactor + brandname split; reference
+    # data_from_mdc.py:267-362) on the production log site_etl_full
+    # derives from the harness downtime rows.
+    from ..operators.brandcode import brandcode_master
+
+    _, downtime = _harness_inputs(spark, sf_dir)
+    production = downtime.filter(F.col("BRANDCODE").isNotNull()).select(
+        "BRANDCODE",
+        F.concat(F.lit("Product "), F.col("BRANDCODE")).alias("ProdDesc"),
+        F.substring("BRANDCODE", 1, 2).alias("ProdFam"),
+        F.lit("G1").alias("ProdGroup"),
+        (F.pmod(F.length("OPERATOR_COMMENT"), F.lit(24)) + 1).alias("FirstPackCount"),
+        F.col("DOWNTIME").alias("StatFactor"),
+    )
+    return brandcode_master(production, "HARNESS")
