@@ -1632,8 +1632,9 @@ def downtime_log_from_events(ev: DataFrame) -> DataFrame:
     return out
 
 
-@query("site_etl_full")  # throughput entry; every stage oracled separately
+@query("site_etl_full")  # counts oracle attached at end of module
 def q_site_etl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime
     from functools import reduce
 
     from .site_etl import site_etl
@@ -1666,6 +1667,9 @@ def q_site_etl_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         production,
         SiteParams(server="HARNESS"),
         line_config=line_config,
+        # fixed watermark: Script_Data must be deterministic now that
+        # the entry is oracled (the utcnow default is for production).
+        data_update_time=datetime(2026, 1, 1),
     )
     counted = [
         df.agg(F.count(F.lit(1)).alias("n_rows")).select(
@@ -1855,7 +1859,7 @@ def q_co_aggregated_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # case-sensitive substring of 'Unplanned'; idle_check == isExcluded).
 # ---------------------------------------------------------------------------
 
-_FIRST_STOP_HARNESS_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nev AS (")[0] + """,
+_FS_CTES = """,
 fsa AS (
   SELECT LINE, co_id, co_start, co_end,
          coalesce(lead(co_start) OVER (PARTITION BY LINE ORDER BY co_start, co_id),
@@ -1882,7 +1886,9 @@ fs_first AS (
                                ORDER BY START_TIME, downtime_id) AS rn
   FROM fs_cum
   WHERE planned_check = 0 AND idle_check = 0 AND NOT is_excluded
-)
+)"""
+
+_FIRST_STOP_HARNESS_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nev AS (")[0] + _FS_CTES + """
 SELECT co_id AS CO_Identifier, LINE, co_end AS CO_EndTime,
        START_TIME AS First_Stop_Time, downtime_id AS First_Stop_downtime_id,
        round(upt_cum, 2) AS Uptime_before_First_Stop,
@@ -1983,7 +1989,7 @@ def _harness_inputs(spark: SparkSession, sf_dir: str):
     return downtime_variants(with_derived_flags(downtime, line_config)), downtime
 
 
-_RUNTIME_HARNESS_ORACLE = _HARNESS_BASE + """,
+_RUNTIME_CTES = """,
 daily AS (
   SELECT CAST(START_TIME AS DATE) AS Date, LINE,
          least(sum(UPTIME), 1440.0) AS Runtime
@@ -1991,7 +1997,9 @@ daily AS (
   WHERE START_TIME IS NOT NULL
   GROUP BY 1, 2
 ),
-fd AS (SELECT *, min(Date) OVER (PARTITION BY LINE) AS __md FROM daily)
+fd AS (SELECT *, min(Date) OVER (PARTITION BY LINE) AS __md FROM daily)"""
+
+_RUNTIME_HARNESS_ORACLE = _HARNESS_BASE + _RUNTIME_CTES + """
 SELECT Date, LINE, round(Runtime, 2) AS Runtime, 'HARNESS' AS Server
 FROM fd WHERE Date > __md
 """
@@ -2010,7 +2018,7 @@ def q_runtime_per_day_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SCRIPT_DATA_HARNESS_ORACLE = _HARNESS_BASE + """,
+_SCRIPT_CTES = """,
 pre AS (
   SELECT LINE, hour(START_TIME) AS __h, count(*) AS __tally,
          min(START_TIME) AS __mn, max(START_TIME) AS __mx
@@ -2028,7 +2036,9 @@ b AS (
 ),
 nc AS (
   SELECT LINE, count(DISTINCT MACHINE) AS ncons FROM line_dt GROUP BY LINE
-)
+)"""
+
+_SCRIPT_DATA_HARNESS_ORACLE = _HARNESS_BASE + _SCRIPT_CTES + """
 SELECT b.LINE AS System, TIMESTAMP '2026-01-01 00:00:00' AS Data_Update_Time,
        fap AS First_Available_Data_Point, lap AS Last_Available_Data_Point,
        b.LINE AS MES_Line_Name, 'HARNESS' AS Server,
@@ -2068,7 +2078,7 @@ def q_script_data_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs["Script_Data"]
 
 
-_BRANDCODE_HARNESS_ORACLE = _HARNESS_BASE + """,
+_BRANDCODE_CTES = """,
 prod AS (
   SELECT BRANDCODE, 'Product ' || BRANDCODE AS ProdDesc,
          substring(BRANDCODE, 1, 2) AS ProdFam, 'G1' AS ProdGroup,
@@ -2099,7 +2109,9 @@ named AS (
               THEN string_split(replace(m.ProdDesc, '-', ':'), ':')[2]
               ELSE replace(m.ProdDesc, '-', ':') END AS __b
   FROM meta m LEFT JOIN stat s USING (BRANDCODE)
-)
+)"""
+
+_BRANDCODE_HARNESS_ORACLE = _HARNESS_BASE + _BRANDCODE_CTES + """
 SELECT BRANDCODE,
        CASE WHEN (SELECT count(DISTINCT __b) FROM named) > 2
             THEN __b ELSE ProdDesc END AS BRANDNAME,
@@ -2128,3 +2140,245 @@ def q_brandcode_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("DOWNTIME").alias("StatFactor"),
     )
     return brandcode_master(production, "HARNESS")
+
+
+# ---------------------------------------------------------------------------
+# q_gantt_harness / q_event_log_for_gantt_harness — the full
+# machine-level analysis (machine_level.py:6-413) on the harness log:
+# non-constraint pass (status 2) + constraint pass (1/1.7/2.3/4 coded)
+# through the SAME boundary-point recurrence the gantt_points oracle
+# transcribes, per (CO window x machine). The constraint-machine
+# removal from the non-constraint output is a no-op on this data
+# (machine_dt machines M0-M2 are disjoint from the 'LINE CM'
+# constraint machines), so the oracle skips the anti-join.
+# ---------------------------------------------------------------------------
+
+_GANTT_HARNESS_PREFIX = _CO_AGG_HARNESS_ORACLE.split(",\nctx AS (")[0] + """,
+wins AS (
+  SELECT LINE AS wline, co_id,
+         co_start - INTERVAL 5 MINUTE AS ws,
+         co_end + INTERVAL 15 MINUTE AS we
+  FROM agg
+),
+nc_stops AS (
+  SELECT LINE, MACHINE, START_TIME, END_TIME, DOWNTIME, UPTIME, downtime_id,
+         'F' || CAST(event_id % 11 AS VARCHAR) AS Fault, C1, C2, BRANDCODE,
+         OPERATOR_COMMENT, 2.0 AS sst
+  FROM ds
+  WHERE NOT is_constraint AND NOT is_excluded AND START_TIME IS NOT NULL
+),
+snl AS (
+  SELECT LINE FROM (
+    SELECT LINE, count(DISTINCT MACHINE) AS c FROM line_dt GROUP BY LINE
+  ) WHERE c = 1
+),
+c_stops AS (
+  SELECT f.LINE, f.MACHINE, f.START_TIME, f.END_TIME, f.DOWNTIME, f.UPTIME,
+         f.downtime_id, 'F' || CAST(f.event_id % 11 AS VARCHAR) AS Fault,
+         f.C1, f.C2, f.BRANDCODE, f.OPERATOR_COMMENT,
+         CASE WHEN cf.downtime_id IS NOT NULL THEN 1.0
+              WHEN f.event_type = 'signup' THEN 1.7
+              WHEN NOT f.is_excluded THEN 2.3
+              ELSE 4.0 END AS sst
+  FROM line_dt_full f
+  JOIN snl ON f.LINE = snl.LINE
+  LEFT JOIN (SELECT DISTINCT LINE, downtime_id FROM sid) cf
+    ON f.LINE = cf.LINE AND f.downtime_id = cf.downtime_id
+  WHERE f.START_TIME IS NOT NULL
+)"""
+
+
+def _gantt_ws_sql(tag: str) -> str:
+    """window x stop attach for one pass (engine attach_stops_to_windows)."""
+    return f""",
+{tag}_ws AS (
+  SELECT w.co_id, w.wline AS line, s.MACHINE AS machine, w.ws, w.we,
+         s.START_TIME AS start, s.END_TIME AS "end", s.downtime_id AS sid,
+         s.DOWNTIME * 60.0 AS dt_s, s.UPTIME * 60.0 AS up_s,
+         s.START_TIME - to_microseconds(CAST(trunc(s.UPTIME * 60.0 * 1000000)
+             AS BIGINT)) AS prev_up_end,
+         s.sst, s.DOWNTIME AS dt_min, s.UPTIME AS up_min, s.Fault, s.C1,
+         s.C2, s.BRANDCODE, s.OPERATOR_COMMENT
+  FROM wins w JOIN {tag}_stops s
+    ON s.LINE = w.wline AND s.END_TIME > w.ws AND s.START_TIME < w.we
+)"""
+
+
+def _gantt_emit_sql(tag: str) -> str:
+    """The boundary-point recurrence for one pass: candidates, running
+    last-emitted anchor, 10 point branches, clamp, -1s repair — the
+    generate_gantt_points transcription, partitioned (co_id, machine)."""
+    return f""",
+{tag}_ord AS (
+  SELECT *, row_number() OVER g - 1 AS k, lead(start) OVER g IS NULL AS is_last
+  FROM {tag}_ws
+  WINDOW g AS (PARTITION BY co_id, machine ORDER BY start, sid)
+),
+{tag}_cand AS (
+  SELECT *,
+    CASE WHEN dt_s > 1 THEN "end"
+         WHEN k = 0 THEN (CASE WHEN ws < start AND ws > prev_up_end
+                               THEN start ELSE ws END)
+         WHEN up_s >= 2 THEN start - INTERVAL 1 SECOND
+         ELSE NULL END AS c
+  FROM {tag}_ord
+),
+{tag}_rl0 AS (
+  SELECT *, last_value(c IGNORE NULLS) OVER (PARTITION BY co_id, machine
+      ORDER BY k ROWS UNBOUNDED PRECEDING) AS last_emit
+  FROM {tag}_cand
+),
+{tag}_rl AS (
+  SELECT *, lag(last_emit) OVER (PARTITION BY co_id, machine ORDER BY k)
+      AS anchor
+  FROM {tag}_rl0
+),
+{tag}_pts AS (
+  SELECT co_id, line, machine, we, k, 0 AS pos, ws AS pt, 3.0 AS st, sid
+    FROM {tag}_rl WHERE k = 0 AND ws < start AND ws > prev_up_end
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 1, start - INTERVAL 1 SECOND, 3.0, sid
+    FROM {tag}_rl WHERE k = 0 AND ws < start AND ws > prev_up_end
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 2, start, sst, sid
+    FROM {tag}_rl WHERE k = 0 AND ws < start AND ws > prev_up_end
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 0, ws, sst, sid
+    FROM {tag}_rl WHERE k = 0 AND NOT (ws < start AND ws > prev_up_end)
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 3, "end", sst, sid
+    FROM {tag}_rl WHERE k = 0 AND dt_s > 1
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 0, anchor + INTERVAL 1 SECOND, 3.0, sid
+    FROM {tag}_rl WHERE k > 0 AND up_s >= 2
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 1, start - INTERVAL 1 SECOND, 3.0, sid
+    FROM {tag}_rl WHERE k > 0 AND up_s >= 2
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 2, start, sst, sid
+    FROM {tag}_rl WHERE k > 0 AND dt_s > 1
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 3, "end", sst, sid
+    FROM {tag}_rl WHERE k > 0 AND dt_s > 1
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 98, last_emit + INTERVAL 1 SECOND, 3.0, ''
+    FROM {tag}_rl WHERE is_last AND last_emit <= we
+  UNION ALL
+  SELECT co_id, line, machine, we, k, 99, we, 3.0, ''
+    FROM {tag}_rl WHERE is_last AND last_emit <= we
+),
+{tag}_cl AS (
+  SELECT *, row_number() OVER (PARTITION BY co_id, machine
+      ORDER BY k DESC, pos DESC) AS rn_desc
+  FROM {tag}_pts
+),
+{tag}_fx AS (
+  SELECT co_id, line, machine, k, pos,
+         CASE WHEN rn_desc = 1 AND pt > we THEN we ELSE pt END AS pt, st, sid
+  FROM {tag}_cl
+),
+{tag}_rp AS (
+  SELECT *, lead(pt) OVER e AS nxt_pt, lead(st) OVER e AS nxt_st,
+         lag(pt) OVER e AS prv_pt
+  FROM {tag}_fx
+  WINDOW e AS (PARTITION BY co_id, machine ORDER BY k, pos)
+),
+{tag}_final AS (
+  SELECT CASE WHEN nxt_pt IS NOT NULL AND pt > nxt_pt AND st <> nxt_st
+                   AND (prv_pt IS NULL OR pt > prv_pt + INTERVAL 1 SECOND)
+              THEN pt - INTERVAL 1 SECOND ELSE pt END AS StartTime,
+         line AS Line, machine AS Machine, CAST(st AS DOUBLE) AS Downtime_Status,
+         sid AS downtime_id, co_id AS CO_Identifier
+  FROM {tag}_rp
+)"""
+
+
+_GANTT_HARNESS_ORACLE = (
+    _GANTT_HARNESS_PREFIX
+    + _gantt_ws_sql("nc") + _gantt_emit_sql("nc")
+    + _gantt_ws_sql("c") + _gantt_emit_sql("c")
+    + """
+SELECT StartTime, Line, Machine, Downtime_Status, downtime_id, CO_Identifier,
+       'HARNESS' AS Server
+FROM (SELECT * FROM nc_final UNION ALL SELECT * FROM c_final)
+"""
+)
+
+
+def _gantt_harness_outputs(spark: SparkSession, sf_dir: str):
+    from ..operators.gantt import gantt_analysis
+    from .rco_pipeline import SiteParams, mes_etl
+
+    v, _ = _harness_inputs(spark, sf_dir)
+    outs = mes_etl(
+        v["line_dt"], v["line_dt_full"],
+        SiteParams(server="HARNESS", run_first_stop_analysis=False),
+    )
+    return gantt_analysis(
+        co_agg=outs["CO_Aggregated_Data"],
+        co_event_log=outs["CO_Event_Log"],
+        machine_dt=v["machine_dt"],
+        line_dt=v["line_dt"],
+        line_dt_full=v["line_dt_full"],
+        server="HARNESS",
+    )
+
+
+@query("gantt_harness", _GANTT_HARNESS_ORACLE)
+def q_gantt_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gantt, _ = _gantt_harness_outputs(spark, sf_dir)
+    return gantt
+
+
+_EVENT_LOG_GANTT_HARNESS_ORACLE = (
+    _GANTT_HARNESS_PREFIX
+    + _gantt_ws_sql("nc")
+    + _gantt_ws_sql("c")
+    + """
+SELECT start AS START_TIME, round(dt_min, 0) AS DOWNTIME,
+       round(up_min, 0) AS UPTIME, Fault,
+       C1 AS CAUSE_LEVELS_1_NAME, C2 AS CAUSE_LEVELS_2_NAME,
+       NULL::VARCHAR AS CAUSE_LEVELS_3_NAME,
+       NULL::VARCHAR AS CAUSE_LEVELS_4_NAME,
+       BRANDCODE, OPERATOR_COMMENT, line AS LINE, machine AS MACHINE,
+       sid AS downtime_id, co_id AS CO_Identifier, 'HARNESS' AS Server
+FROM (SELECT * FROM nc_ws UNION ALL SELECT * FROM c_ws)
+"""
+)
+
+
+@query("event_log_for_gantt_harness", _EVENT_LOG_GANTT_HARNESS_ORACLE)
+def q_event_log_for_gantt_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, event_log = _gantt_harness_outputs(spark, sf_dir)
+    return event_log
+
+
+# ---------------------------------------------------------------------------
+# site_etl_full oracle: with every one of the 8 outputs independently
+# hash-verified above, the end-to-end entry's per-output row counts
+# compose those same CTE chains into one DuckDB statement — the
+# throughput query is no longer rows-only (reference lifecycle
+# App/etl/overall_etl.py:52-240).
+# ---------------------------------------------------------------------------
+
+_SITE_ETL_ORACLE = (
+    _GANTT_HARNESS_PREFIX
+    + _gantt_ws_sql("nc") + _gantt_emit_sql("nc")
+    + _gantt_ws_sql("c") + _gantt_emit_sql("c")
+    + _FS_CTES + _RUNTIME_CTES + _SCRIPT_CTES + _BRANDCODE_CTES
+    + """
+SELECT 'BRANDCODE_data' AS output_table, (SELECT count(*) FROM named) AS n_rows
+UNION ALL SELECT 'CO_Aggregated_Data', (SELECT count(*) FROM agg)
+UNION ALL SELECT 'CO_Event_Log', (SELECT count(*) FROM sid)
+UNION ALL SELECT 'Event_Log_for_Gantt',
+  (SELECT count(*) FROM nc_ws) + (SELECT count(*) FROM c_ws)
+UNION ALL SELECT 'First_Stop_after_CO_Data',
+  (SELECT count(*) FROM fs_first WHERE rn = 1)
+UNION ALL SELECT 'Gantt_Data',
+  (SELECT count(*) FROM nc_final) + (SELECT count(*) FROM c_final)
+UNION ALL SELECT 'Runtime_per_Day_data', (SELECT count(*) FROM fd WHERE Date > __md)
+UNION ALL SELECT 'Script_Data', (SELECT count(*) FROM b)
+"""
+)
+
+ORACLES["site_etl_full"] = _SITE_ETL_ORACLE
