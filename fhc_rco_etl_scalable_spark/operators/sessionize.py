@@ -15,8 +15,9 @@ Scale notes: partitioning is per-LINE (reference compares
 window partitions make that guard implicit and the operator
 horizontally scalable). A production line emits bounded events/day, so
 per-partition data is bounded; if LINE cardinality ≪ cores, composite
-partitioning ``(LINE, month)`` with session stitching would apply —
-not needed at reference data rates.
+partitioning ``(LINE, time-bucket)`` with session stitching applies —
+``sessionize_stitched`` below, selectable in the production pipeline
+via ``SiteParams(session_bucket='week')``.
 
 Streaming variant: ``session_window`` cannot express the
 attribute-dependent gap; see streaming/sessionize_stream.py for the
@@ -148,6 +149,7 @@ def sessionize_stitched(
     session_col: str = "session_num",
     session_id: Column | None = None,
     session_id_col: str = "session_id",
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Composite-partition sessionization with boundary stitching —
     the 100 TB formulation of :func:`sessionize`.
@@ -180,6 +182,13 @@ def sessionize_stitched(
     twin `co_sessionize_stitched` and property tests). The pass-1
     ``prev_*`` columns are dropped from the output (they are NULL at
     bucket boundaries, not the true previous row).
+
+    ``broadcast_offsets`` (default True): the offsets frame has one row
+    per non-empty (key, bucket) — tiny when key cardinality is modest
+    (the skewed-few-lines regime this operator targets). With millions
+    of keys x many buckets it can exceed broadcast/driver limits; pass
+    False to route the correction through an ordinary shuffle join on
+    (key, bucket) instead. Semantics are identical.
     """
     partition_by = list(partition_by)
     order_by = list(order_by)
@@ -237,7 +246,9 @@ def sessionize_stitched(
             F.lit(0),
         ).alias("__off"),
     )
-    out = base.join(F.broadcast(offs), [*partition_by, "__bkt"], "left").withColumn(
+    if broadcast_offsets:
+        offs = F.broadcast(offs)
+    out = base.join(offs, [*partition_by, "__bkt"], "left").withColumn(
         session_col, (F.col("__local_p1") + F.col("__delta") + F.col("__off")).cast("long")
     )
     if session_id is not None:

@@ -1849,6 +1849,39 @@ def q_co_aggregated_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs["CO_Aggregated_Data"].drop("Total_Uptime_till_Next_CO")
 
 
+@query("co_aggregated_harness_stitched", _CO_AGG_HARNESS_ORACLE)
+def q_co_aggregated_harness_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SAME analytical core under the SAME oracle, but with
+    # SiteParams(session_bucket='week') routing detect_changeovers
+    # through the composite-partition stitched sessionizer — the hot-line
+    # / 100 TB plan is now a production-pipeline knob, not a hand-wired
+    # operator, and must hash-match the plain plan end-to-end.
+    from ..operators.extract import downtime_variants, with_derived_flags
+    from .rco_pipeline import SiteParams, mes_etl
+
+    downtime = harness_downtime_log(spark, sf_dir)
+    line_config = (
+        downtime.select("LINE")
+        .distinct()
+        .select(
+            F.col("LINE").alias("MDC_Line_Name"),
+            F.lit("CM").alias("Constraint_Machine_String"),
+        )
+    )
+    flagged = with_derived_flags(downtime, line_config)
+    v = downtime_variants(flagged)
+    outs = mes_etl(
+        v["line_dt"],
+        v["line_dt_full"],
+        SiteParams(
+            server="HARNESS",
+            run_first_stop_analysis=False,
+            session_bucket="week",
+        ),
+    )
+    return outs["CO_Aggregated_Data"].drop("Total_Uptime_till_Next_CO")
+
+
 # ---------------------------------------------------------------------------
 # q_first_stop_harness — First_Stop_after_CO_Data from the REAL
 # pipeline (mes_etl run_first_stop_analysis) on harness data, under

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import minutes_between, scrub_text, ts_plus_minutes
 from ..operators.asof import asof_join_range
-from ..operators.sessionize import co_trigger_column, rco_session_trigger, sessionize
+from ..operators.sessionize import (
+    co_trigger_column,
+    rco_session_trigger,
+    sessionize,
+    sessionize_stitched,
+)
 
 
 @dataclass
@@ -43,6 +48,15 @@ class SiteParams:
     # Engine follows the documented R semantics for clause 4 (P*2/3).
     boundary_pad_minutes: float = 60.0  # synthetic line-edge CO windows
     first_stop_last_co_horizon_days: float = 30.0
+    # Sessionization partitioning. None (default) = plain per-LINE
+    # windows — right when LINE cardinality >= cores and no line
+    # dominates. A date_trunc unit ('week', 'month', 'day', ...) routes
+    # detect_changeovers through the composite-partition stitched form
+    # (operators/sessionize.sessionize_stitched): windows partition by
+    # (LINE, time-bucket) so one hot line splits across buckets — the
+    # 100 TB / skewed-line configuration. Session numbering and IDs are
+    # identical either way (oracle twin co_aggregated_harness_stitched).
+    session_bucket: str | None = None
 
 
 ORDER_COLS = ["START_TIME", "downtime_id"]
@@ -73,13 +87,14 @@ def detect_changeovers(line_dt: DataFrame, site: SiteParams) -> DataFrame:
             .filter(F.col("__dd") == 1)
             .drop("__dd")
         )
-    co = (
-        co.na.drop(subset=["START_TIME"])
-        .withColumn("CO_Trigger_Column", co_trigger_column())
-        .withColumn("prev_end", F.lag("END_TIME").over(_w_line()))
-        .withColumn("prev_trig", F.lag("CO_Trigger_Column").over(_w_line()))
-        .withColumn("prev_brand", F.lag("BRANDCODE").over(_w_line()))
+    co = co.na.drop(subset=["START_TIME"]).withColumn(
+        "CO_Trigger_Column", co_trigger_column()
     )
+    # The trigger references prev_* by unresolved name so the SAME
+    # expression serves both the plain path (lags computed here over
+    # the per-LINE window) and the stitched path (lags computed inside
+    # sessionize_stitched over (LINE, bucket), then re-evaluated on
+    # bucket boundaries with the true previous row).
     gap = minutes_between(F.col("START_TIME"), F.col("prev_end"))
     suppress: Column | None = None
     if site.changeover_failure_suppression_gap_min is not None:
@@ -101,6 +116,22 @@ def detect_changeovers(line_dt: DataFrame, site: SiteParams) -> DataFrame:
     # truncations).
     sess_id = F.concat_ws(
         " - ", F.col("LINE"), F.date_format("START_TIME", "yyyy-MM-dd"), F.col("downtime_id")
+    )
+    if site.session_bucket is not None:
+        return sessionize_stitched(
+            co, trigger, ["LINE"], ORDER_COLS,
+            bucket=F.date_trunc(site.session_bucket, F.col("START_TIME")),
+            prev_cols={
+                "prev_end": "END_TIME",
+                "prev_trig": "CO_Trigger_Column",
+                "prev_brand": "BRANDCODE",
+            },
+            session_col="__sess_num", session_id=sess_id, session_id_col="CO_Identifier",
+        )
+    co = (
+        co.withColumn("prev_end", F.lag("END_TIME").over(_w_line()))
+        .withColumn("prev_trig", F.lag("CO_Trigger_Column").over(_w_line()))
+        .withColumn("prev_brand", F.lag("BRANDCODE").over(_w_line()))
     )
     out = sessionize(
         co, trigger, ["LINE"], ORDER_COLS,

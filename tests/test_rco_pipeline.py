@@ -126,3 +126,20 @@ def test_event_log(outputs):
     assert "'" not in by_id["d01"].OPERATOR_COMMENT
     assert "\n" not in by_id["d01"].OPERATOR_COMMENT
     assert all(r.Server == "SRV" for r in log)
+
+
+def test_session_bucket_knob_matches_plain(spark, outputs):
+    """SiteParams(session_bucket=...) routes detect_changeovers through
+    the stitched sessionizer; every output table must match the plain
+    plan row-for-row. The hour bucket forces real stitching here: L1's
+    first session (d01@06:00 .. d03@07:00) crosses an hour boundary."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    site = SiteParams(server="SRV", co_trigger_parameter=30.0, session_bucket="hour")
+    outs = mes_etl(line_dt=df, line_dt_full=df, site=site)
+    for name, plain_rows in outputs.items():
+        got = outs[name]
+        want_cols = plain_rows[0].asDict().keys() if plain_rows else got.columns
+        key = lambda rows: sorted(
+            tuple(r.asDict()[c] for c in want_cols) for r in rows
+        )
+        assert key(got.collect()) == key(plain_rows), name
