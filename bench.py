@@ -4,6 +4,14 @@
 Each query is fully executed via a count-collapsing action that still
 materializes the result (``collect`` on the aggregated output —
 results are small aggregates; inputs never hit the driver).
+
+Sampling: each query runs $SPARK_GRAFT_BENCH_REPEATS times (default 3)
+back-to-back. ``queries`` reports the per-query MIN (the JIT-warm,
+load-free estimate — single samples at sf0.1 drift +-20-50% with
+machine load and JIT state, which made round-2 regressions unprovable);
+``queries_cold`` keeps each query's first sample (plan-compile +
+first-touch cost) and ``queries_spread`` the max/min ratio, so a real
+regression (min moves) is distinguishable from noise (spread moves).
 """
 
 from __future__ import annotations
@@ -47,17 +55,30 @@ def main() -> None:
 
     spark.range(10_000).repartition(64).select(_warm(F.col("id"))).count()
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
     total = 0.0
     for name, fn in queries.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        samples: list[float] = []
+        n = -1
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            samples.append(time.time() - t0)
+        best = min(samples)
+        timings[name] = round(best, 3)
+        cold[name] = round(samples[0], 3)
+        spread[name] = round(max(samples) / best, 2)
+        total += best
+        print(
+            f"# {name}: {n} rows; min {best:.2f}s cold {samples[0]:.2f}s "
+            f"spread x{spread[name]:.2f} over {repeats} runs",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -66,6 +87,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "queries_spread": spread,
+                "repeats": repeats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

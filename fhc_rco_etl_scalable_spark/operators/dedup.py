@@ -259,8 +259,14 @@ def simhash64(text: Column, ngram: int = 2, hasher=None, bits: int = 63) -> Colu
 
     Default ``hasher`` is xxhash64 with 63 voted bits (bit 63 clear so
     the sign stays +). Pass ``hasher=md5_60`` (below) with ``bits=60``
-    for an oracle-portable variant DuckDB reproduces bit-for-bit."""
-    feats = F.transform(token_ngrams(text, ngram), hasher or (lambda g: F.xxhash64(g)))
+    for an oracle-portable variant DuckDB reproduces bit-for-bit.
+
+    NULL text is treated as '' (both forms — column and frame — so a
+    NULL-text id still gets a signature, and the same one)."""
+    feats = F.transform(
+        token_ngrams(F.coalesce(text, F.lit("")), ngram),
+        hasher or (lambda g: F.xxhash64(g)),
+    )
 
     def bit_vote(i: int) -> Column:
         mask = 1 << i
@@ -294,13 +300,19 @@ def simhash64_frame(
     per bit) — measured 10x slower at the 5k-doc corpus and growing
     with doc length. Here hashing is map-side and once per gram, and
     the vote is ONE hash-aggregate shuffle on the id — the shape that
-    scales. Empty texts still hash (the gram builder emits one ''
-    gram), so every input id gets a signature row.
+    scales. Empty AND NULL texts still hash (NULL coalesces to ''
+    first — otherwise exploding the NULL gram array would drop the id
+    — and the gram builder emits one '' gram), so every input id gets
+    a signature row, identical to the column form's.
     """
     h = hasher or (lambda g: F.xxhash64(g))
     gl = df.select(
         F.col(id_col),
-        F.explode(F.transform(token_ngrams(F.col(text_col), ngram), h)).alias("__gh"),
+        F.explode(
+            F.transform(
+                token_ngrams(F.coalesce(F.col(text_col), F.lit("")), ngram), h
+            )
+        ).alias("__gh"),
     )
     votes = [
         F.when(

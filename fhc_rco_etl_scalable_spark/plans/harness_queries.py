@@ -2006,7 +2006,8 @@ _HARNESS_BASE = _CO_AGG_HARNESS_ORACLE.split(",\nco AS (")[0]
 
 
 def _harness_inputs(spark: SparkSession, sf_dir: str):
-    """downtime log -> (variants dict, line_config) for harness entries."""
+    """downtime log -> (variants dict, raw downtime, line_config) for
+    harness entries."""
     from ..operators.extract import downtime_variants, with_derived_flags
 
     downtime = harness_downtime_log(spark, sf_dir)
@@ -2018,7 +2019,8 @@ def _harness_inputs(spark: SparkSession, sf_dir: str):
             F.lit("CM").alias("Constraint_Machine_String"),
         )
     )
-    return downtime_variants(with_derived_flags(downtime, line_config)), downtime
+    variants = downtime_variants(with_derived_flags(downtime, line_config))
+    return variants, downtime, line_config
 
 
 _RUNTIME_CTES = """,
@@ -2043,7 +2045,7 @@ def q_runtime_per_day_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the harness log; reference data_from_mdc.py:237-249).
     from ..operators.aggregate import runtime_per_day
 
-    v, _ = _harness_inputs(spark, sf_dir)
+    v, _, _ = _harness_inputs(spark, sf_dir)
     out = runtime_per_day(v["line_dt_full"], "HARNESS")
     return out.select(
         "Date", "LINE", F.round("Runtime", 2).alias("Runtime"), "Server"
@@ -2074,7 +2076,7 @@ _SCRIPT_DATA_HARNESS_ORACLE = _HARNESS_BASE + _SCRIPT_CTES + """
 SELECT b.LINE AS System, TIMESTAMP '2026-01-01 00:00:00' AS Data_Update_Time,
        fap AS First_Available_Data_Point, lap AS Last_Available_Data_Point,
        b.LINE AS MES_Line_Name, 'HARNESS' AS Server,
-       CAST(dsh AS DOUBLE) AS Day_Start_hours, NULL::VARCHAR AS BU,
+       CAST(dsh AS DOUBLE) AS Day_Start_hours, 'FHC' AS BU,
        CAST(ncons AS INT) AS Number_of_Constraints
 FROM b LEFT JOIN nc ON b.LINE = nc.LINE
 """
@@ -2090,15 +2092,7 @@ def q_script_data_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rco_pipeline import SiteParams
     from .site_etl import site_etl
 
-    _, downtime = _harness_inputs(spark, sf_dir)
-    line_config = (
-        downtime.select("LINE")
-        .distinct()
-        .select(
-            F.col("LINE").alias("MDC_Line_Name"),
-            F.lit("CM").alias("Constraint_Machine_String"),
-        )
-    )
+    _, downtime, line_config = _harness_inputs(spark, sf_dir)
     outs = site_etl(
         downtime,
         None,
@@ -2162,7 +2156,7 @@ def q_brandcode_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derives from the harness downtime rows.
     from ..operators.brandcode import brandcode_master
 
-    _, downtime = _harness_inputs(spark, sf_dir)
+    _, downtime, _ = _harness_inputs(spark, sf_dir)
     production = downtime.filter(F.col("BRANDCODE").isNotNull()).select(
         "BRANDCODE",
         F.concat(F.lit("Product "), F.col("BRANDCODE")).alias("ProdDesc"),
@@ -2341,7 +2335,7 @@ def _gantt_harness_outputs(spark: SparkSession, sf_dir: str):
     from ..operators.gantt import gantt_analysis
     from .rco_pipeline import SiteParams, mes_etl
 
-    v, _ = _harness_inputs(spark, sf_dir)
+    v, _, _ = _harness_inputs(spark, sf_dir)
     outs = mes_etl(
         v["line_dt"], v["line_dt_full"],
         SiteParams(server="HARNESS", run_first_stop_analysis=False),
@@ -2419,13 +2413,15 @@ ORACLES["site_etl_full"] = _SITE_ETL_ORACLE
 # ---------------------------------------------------------------------------
 # q_streaming_sessionize_harness — §2.11 promoted from pytest-only to
 # driver-gate evidence: the applyInPandasWithState sessionizer runs
-# over the harness CO events via an availableNow file-source stream
-# and must assign the SAME CO_Identifier per event as the batch
-# 4-clause trigger chain (oracle: the sid CTE). Cross-micro-batch
-# state carry is covered by tests/test_streaming.py; the oracle entry
-# uses one deterministic micro-batch (file arrival order across
-# batches is not event-time ordered in general — the reference's
-# answer to that is overlap re-extraction, not in-flight reordering).
+# over the harness CO events via an availableNow file-source stream in
+# K=4 micro-batches (maxFilesPerTrigger=1 over time-sliced files with
+# strictly increasing mtimes — the file source processes oldest-first,
+# so per-LINE event-time order holds across batches) and must assign
+# the SAME CO_Identifier per event as the batch 4-clause trigger chain
+# (oracle: the sid CTE). Cross-micro-batch state carry therefore runs
+# under the driver gate, not just tests/test_streaming.py. Arrival
+# order beyond what a time-sliced source guarantees is the reference's
+# overlap re-extraction territory, not in-flight reordering.
 # ---------------------------------------------------------------------------
 
 _STREAMING_SESS_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nagg AS (")[0] + """
@@ -2435,12 +2431,15 @@ SELECT LINE, downtime_id, START_TIME, co_id AS CO_Identifier FROM sid
 
 @query("streaming_sessionize_harness", _STREAMING_SESS_ORACLE)
 def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
     import tempfile
     import uuid
 
     from ..streaming.sessionize_stream import streaming_sessionize
 
-    v, _ = _harness_inputs(spark, sf_dir)
+    v, _, _ = _harness_inputs(spark, sf_dir)
     co = v["line_dt"].filter(
         F.col("CAUSE_LEVELS_2_NAME").like("%Changeover%")
     ).select(
@@ -2448,17 +2447,54 @@ def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFram
         "BRANDCODE", "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME",
         "CAUSE_LEVELS_3_NAME",
     )
-    src = tempfile.mkdtemp(prefix="sg-stream-harness-")
-    co.coalesce(1).write.mode("overwrite").parquet(src)
-    events = spark.readStream.schema(co.schema).parquet(src)
-    sessions = streaming_sessionize(events, p_minutes=30.0)
-    name = f"sess_harness_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+    n_batches = 4
+    # Global-order ntile = disjoint time ranges per slice; the sort is
+    # one task over the (small) CO subset — harness-only plumbing, not
+    # an engine operator.
+    sliced = co.withColumn(
+        "__k", F.ntile(n_batches).over(Window.orderBy("START_TIME", "downtime_id"))
     )
-    q.awaitTermination(300)
-    return spark.table(name).select("LINE", "downtime_id", "START_TIME", "CO_Identifier")
+    src = tempfile.mkdtemp(prefix="sg-stream-harness-")
+    stage = tempfile.mkdtemp(prefix="sg-stream-stage-")
+    try:
+        for k in range(1, n_batches + 1):
+            out_dir = os.path.join(stage, f"b{k}")
+            (
+                sliced.filter(F.col("__k") == k)
+                .drop("__k")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch-{k:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        events = (
+            spark.readStream.schema(co.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = streaming_sessionize(events, p_minutes=30.0)
+        name = f"sess_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming sessionize harness timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches, (
+            f"expected >= {n_batches} micro-batches, got {n_microbatches}"
+        )
+        # the memory sink holds the rows driver-side; the source files
+        # are no longer needed once the query has terminated.
+        return spark.table(name).select(
+            "LINE", "downtime_id", "START_TIME", "CO_Identifier"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)

@@ -37,6 +37,7 @@ class SiteParams:
     """Per-site knobs (reference site_config, App/rco_main.py:95-106)."""
 
     server: str = "TEST"
+    bu: str | None = "FHC"  # Script_Data BU (overall_etl.py:214)
     co_trigger_parameter: float = 30.0  # P, minutes
     co_predicate: str = "CAUSE_LEVELS_2_NAME LIKE '%Changeover%'"  # querySL
     split_cos_based_on_cause_model: bool = False

@@ -110,7 +110,10 @@ def site_etl(
             F.col("LINE").alias("MES_Line_Name"),
             F.lit(site.server).alias("Server"),
             F.col("Day_Start_hours").cast("double").alias("Day_Start_hours"),
-            F.lit(None).cast("string").alias("BU"),
+            # reference sets BU='FHC' unconditionally
+            # (App/etl/overall_etl.py:214); SiteParams.bu carries it so
+            # other business units aren't hardcoded out.
+            F.lit(site.bu).cast("string").alias("BU"),
             F.col("Number_of_Constraints").cast("int").alias("Number_of_Constraints"),
         )
     )

@@ -208,3 +208,20 @@ def test_ivf_probe_all_equals_brute_force(spark):
     exact_set = set(exact.values())
     recall = len({r.neighbor_id for r in approx} & exact_set) / len(exact_set)
     assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_simhash_null_text_keeps_row_both_forms(spark):
+    """NULL text coalesces to '' in BOTH simhash forms: the frame form
+    must not drop the id (explode of a NULL gram array would), and both
+    forms must agree on the signature (ADVICE r2)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real text here")], "doc_id int, text string"
+    )
+    frame = {r.doc_id: r.simhash for r in DD.simhash64_frame(df, "doc_id", "text").collect()}
+    col = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", DD.simhash64(F.col("text")).alias("sh")).collect()
+    }
+    assert set(frame) == {1, 2, 3}  # NULL-text id 1 keeps a signature row
+    assert frame == col             # and the two forms agree, incl. NULL == ''
+    assert frame[1] == frame[2]
