@@ -2411,6 +2411,58 @@ ORACLES["site_etl_full"] = _SITE_ETL_ORACLE
 
 
 # ---------------------------------------------------------------------------
+# q_site_catalog_predicate — the shipped per-site CO predicate catalog
+# (config/site_catalog.py, transcribing ref/RCO_MES_ETL.R:7-69) driving
+# the engine AS DATA: rules are read back from the (site, rule_json)
+# config table, compiled through the DSL, and applied to the harness
+# downtime log; the oracle hand-writes the same four site conditions in
+# SQL. Gebze DL matches zero harness rows by construction — the
+# zero-count row proves none-of negation doesn't resurrect rows.
+# ---------------------------------------------------------------------------
+
+_SITE_CATALOG_ORACLE = _HARNESS_BASE + """
+SELECT 'Cabuyao' AS site, count(*) AS n_matched FROM base
+WHERE C2 LIKE '%Changeover%'
+UNION ALL
+SELECT 'Gebze DL', count(*) FROM base
+WHERE C2 LIKE '%DEGISIM%' AND C1 LIKE '%PLANLI DURUS%'
+  AND NOT coalesce(C2 LIKE '%PAKETLEME MALZEMESI%', FALSE)
+UNION ALL
+SELECT 'StLouis Maple', count(*) FROM base
+WHERE C1 = 'Planned Downtime'
+  AND (C2 LIKE '%Changeover%' OR C2 LIKE '%Brand Change%')
+UNION ALL
+SELECT 'Takasaki LIQ', count(*) FROM base
+WHERE (C1 = 'Planned Downtime' AND C2 LIKE '%Change%') OR C1 = 'Changeover'
+"""
+
+
+@query("site_catalog_predicate", _SITE_CATALOG_ORACLE)
+def q_site_catalog_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    from functools import reduce
+
+    from ..config import catalog_frame
+    from ..functions.predicates import compile_rule
+
+    base = harness_downtime_log(spark, sf_dir)
+    sites = ["Cabuyao", "Gebze DL", "StLouis Maple", "Takasaki LIQ"]
+    # the catalog is a 30-row config table; reading it to the driver is
+    # the bounded config fetch every site run starts with.
+    rules = {
+        r.site: _json.loads(r.rule_json)
+        for r in catalog_frame(spark).filter(F.col("site").isin(sites)).collect()
+    }
+    parts = [
+        base.filter(compile_rule(rules[s]))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(F.lit(s).alias("site"), "n_matched")
+        for s in sites
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ---------------------------------------------------------------------------
 # q_streaming_sessionize_harness — §2.11 promoted from pytest-only to
 # driver-gate evidence: the applyInPandasWithState sessionizer runs
 # over the harness CO events via an availableNow file-source stream in
