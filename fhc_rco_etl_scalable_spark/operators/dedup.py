@@ -184,6 +184,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     ngram: int = 3,
     materialize: bool = True,
+    max_df: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within the same block.
     Returns (id_a, id_b, jaccard) with jaccard >= threshold, id_a < id_b.
@@ -202,6 +203,18 @@ def jaccard_pairs(
     Grams are 60-bit md5 ints (oracle-portable; collision odds ~1e-18
     per pair). ``materialize`` localCheckpoints the gram table so the
     self-join reads it once; at warehouse scale persist it to a table.
+
+    ``max_df``: stop-gram guard (VERDICT r3 item 6). A gram present in
+    more than ``max_df`` fraction of documents is a skew hot-spot: its
+    inverted-index posting list joins with itself, producing O(df²)
+    candidate rows on one shuffle key. With ``max_df`` set, such grams
+    are excluded from CANDIDATE GENERATION only — |A|, |B| stay exact
+    and each doc's (small, bounded by the distinct stop-gram count)
+    stop-gram set is carried alongside so the intersection count adds
+    their contribution back. Emitted scores are therefore still exact;
+    the one recall caveat (documented, standard for df-capped
+    similarity joins) is that a pair sharing ONLY stop grams is never
+    emitted. Default ``None`` = exact/complete.
     """
     from .skew import spread
 
@@ -222,6 +235,26 @@ def jaccard_pairs(
         g_long = g_long.localCheckpoint(eager=False)
     sizes = g_long.groupBy(id_col).agg(F.count("*").alias("__n"))
 
+    stop_sets = None
+    if max_df is not None:
+        # g_long is distinct per (id, gram), so count(*) per gram = df.
+        ndocs = df.agg(F.countDistinct(id_col).alias("__ndocs"))
+        stop = (
+            g_long.groupBy(*block_cols, "__h")
+            .agg(F.count("*").alias("__df"))
+            .crossJoin(F.broadcast(ndocs))
+            .filter(F.col("__df") > F.lit(max_df) * F.col("__ndocs"))
+            .select(*block_cols, "__h")
+        )
+        join_keys = [*block_cols, "__h"]
+        # Per-doc stop-gram sets: tiny (few grams can exceed the df cap).
+        stop_sets = (
+            g_long.join(F.broadcast(stop), join_keys, "left_semi")
+            .groupBy(id_col)
+            .agg(F.collect_set("__h").alias("__ss"))
+        )
+        g_long = g_long.join(F.broadcast(stop), join_keys, "left_anti")
+
     a = g_long.select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
@@ -236,6 +269,33 @@ def jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
     inter = a.join(b, cond).groupBy("id_a", "id_b").agg(F.count("*").alias("__i"))
+
+    if stop_sets is not None:
+        # Add back the stop-gram intersection so scores stay exact.
+        ssa = stop_sets.select(
+            F.col(id_col).alias("id_a"), F.col("__ss").alias("__ssa")
+        )
+        ssb = stop_sets.select(
+            F.col(id_col).alias("id_b"), F.col("__ss").alias("__ssb")
+        )
+        # Plain equi-joins on id (NOT broadcast: a >max_df gram implies
+        # stop_sets has a row for most docs — well-distributed shuffle
+        # keys, unlike the gram hot-spot this guard removes).
+        inter = (
+            inter.join(ssa, "id_a", "left")
+            .join(ssb, "id_b", "left")
+            .withColumn(
+                "__i",
+                F.col("__i")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("__ssa"), F.array()),
+                        F.coalesce(F.col("__ssb"), F.array()),
+                    )
+                ),
+            )
+            .drop("__ssa", "__ssb")
+        )
 
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))

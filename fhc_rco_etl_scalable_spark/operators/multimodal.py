@@ -47,6 +47,84 @@ def not_implemented_decoder(payload: bytes, mime: str) -> list[float]:
     )
 
 
+def _decode_netpbm(payload: bytes):
+    """Binary netpbm (P5 gray / P6 RGB) -> (H, W, C) uint8 ndarray.
+    Format spec is public (netpbm.sourceforge.net); pure-numpy parse."""
+    import numpy as np
+
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary netpbm payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # Header: magic, width, height, maxval — whitespace-separated with
+    # optional '#' comment lines; a single whitespace byte ends it.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return raster.reshape(height, width, channels)
+
+
+def _decode_bmp(payload: bytes):
+    """Uncompressed 24-bit BMP -> (H, W, 3) uint8 RGB ndarray. Header
+    layout is public (BITMAPINFOHEADER); rows are 4-byte padded,
+    stored bottom-up (top-down when height < 0), pixels BGR."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=pixel_off
+    ).reshape(height, row_bytes)
+    img = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1]  # BGR -> RGB
+
+
+def image_decoder(payload: bytes, mime: str) -> list[float]:
+    """Real decode path (VERDICT r3 item 7): sniff the payload magic,
+    decode netpbm/BMP in pure numpy, return 8 features —
+    [width, height, channels, mean_c0, mean_c1, mean_c2, mean, std]
+    (grayscale repeats the single channel mean). Unknown formats raise
+    ValueError, which extract_features records as decode_ok=false."""
+    import numpy as np
+
+    if payload[:2] in (b"P5", b"P6"):
+        img = _decode_netpbm(payload)
+    elif payload[:2] == b"BM":
+        img = _decode_bmp(payload)
+    else:
+        raise ValueError(f"unsupported image format (mime={mime})")
+    h, w, c = img.shape
+    pix = img.astype(np.float64)
+    ch_means = [float(pix[:, :, i % c].mean()) for i in range(3)]
+    return [float(w), float(h), float(c), *ch_means, float(pix.mean()), float(pix.std())]
+
+
 def fake_image_decoder(payload: bytes, mime: str) -> list[float]:
     """Deterministic stand-in 'feature extractor': 8 moments of the
     byte histogram. Keeps tests real without codecs."""

@@ -46,6 +46,10 @@ def get_spark(
         # The harness events.parquet stores TIMESTAMP(NANOS); Spark has
         # no nanos type — read as long, loader converts to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Untagged TIMESTAMP(MICROS) parquet must load as TIMESTAMP (ltz,
+        # UTC-pinned above), not TIMESTAMP_NTZ — the engine's ingestion
+        # contract; load_table also enforces this at runtime.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Keep scans well-sized: 128m default is fine at 100 TB, the
         # harness files are tiny so AQE coalesces them anyway.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

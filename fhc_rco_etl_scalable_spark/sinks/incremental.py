@@ -10,13 +10,16 @@ insert-or-update (:236-282,502-546).
 
 Spark-first: on Delta/Iceberg these are MERGE INTO / replaceWhere —
 one atomic commit, no read-modify-write. Those jars aren't in this
-environment, so the sink here implements the same semantics over
-parquet directories with an atomic directory swap: rewrite = read
-survivors (anti overlap) + union new + write tmp + rename. The write
-amplification is bounded by partitioning the table directory by a
-coarse time bucket at scale (only overlapping partitions rewrite —
-the ``replaceWhere`` pattern); the harness tables are small enough to
-swap whole.
+environment, so the sink implements the same semantics over plain
+parquet: ``delete_overlap_append`` tables are hive-partitioned by the
+delete-scope key (default ``LINE``/``Server``) and a load rewrites
+ONLY the partition directories whose keys appear in the batch (the
+``replaceWhere`` pattern) — survivors for those keys are read with a
+partition-pruned scan, unioned with the batch, staged, then swapped
+per-partition. Untouched partitions' files are never rewritten, so
+write amplification is O(batch partitions), not O(table). Small state
+tables (brandcode master, Script_Data) still swap whole — they are
+tiny by construction.
 
 Idempotence invariant (property-tested): loading the same window twice
 yields byte-identical tables.
@@ -66,18 +69,47 @@ class ParquetIncrementalSink:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # Keep hive partition values as raw strings; align_to_schema
+        # casts them back per the stored schema ("01" must not become 1).
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
+
+    # --- schema sidecar (hidden from parquet readers: leading "_") ----
+
+    def _store_schema(self, table: str, schema: T.StructType) -> None:
+        with open(os.path.join(self._path(table), "_schema.json"), "w") as f:
+            f.write(schema.json())
+
+    def _stored_schema(self, table: str) -> T.StructType | None:
+        sp = os.path.join(self._path(table), "_schema.json")
+        if not os.path.exists(sp):
+            return None
+        with open(sp) as f:
+            return T.StructType.fromJson(__import__("json").load(f))
+
+    def _is_partitioned(self, table: str) -> bool:
+        p = self._path(table)
+        return os.path.isdir(p) and any(
+            "=" in d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d))
+        )
+
+    def _read_raw(self, table: str) -> DataFrame:
+        p = self._path(table)
+        return self.spark.read.option("basePath", p).parquet(p)
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame | None:
         p = self._path(table)
         if not os.path.exists(p):
             return None
-        df = self.spark.read.parquet(p)
+        df = self._read_raw(table)
+        schema = schema if schema is not None else self._stored_schema(table)
         return align_to_schema(df, schema) if schema is not None else df
 
-    def _atomic_write(self, df: DataFrame, table: str) -> None:
+    def _atomic_write(self, df: DataFrame, table: str, schema: T.StructType | None = None) -> None:
         p = self._path(table)
         tmp = p + ".tmp-" + uuid.uuid4().hex[:8]
         df.write.mode("overwrite").parquet(tmp)
@@ -85,8 +117,65 @@ class ParquetIncrementalSink:
         if os.path.exists(p):
             os.rename(p, old)
         os.rename(tmp, p)
+        if schema is not None:
+            self._store_schema(table, schema)
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
+
+    def _atomic_write_partitioned(
+        self,
+        df: DataFrame,
+        table: str,
+        schema: T.StructType,
+        partition_cols: tuple[str, ...],
+    ) -> None:
+        p = self._path(table)
+        tmp = p + ".tmp-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+        old = p + ".old-" + uuid.uuid4().hex[:8]
+        if os.path.exists(p):
+            os.rename(p, old)
+        os.rename(tmp, p)
+        self._store_schema(table, schema)
+        if os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
+    @staticmethod
+    def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
+        """Relative paths of hive partition leaf dirs (``k=v/.../k=v``)."""
+        leaves: list[str] = []
+
+        def walk(d: str, rel: str, level: int) -> None:
+            for name in os.listdir(d):
+                sub = os.path.join(d, name)
+                if not (os.path.isdir(sub) and "=" in name):
+                    continue
+                r = os.path.join(rel, name) if rel else name
+                if level + 1 == depth:
+                    leaves.append(r)
+                else:
+                    walk(sub, r, level + 1)
+
+        walk(root, "", 0)
+        return leaves
+
+    def _swap_partitions(self, staging: str, table: str, depth: int) -> None:
+        """Replace only the partition dirs present in ``staging`` —
+        untouched partitions' files are never rewritten (asserted by
+        test_incremental.test_untouched_partitions_not_rewritten)."""
+        p = self._path(table)
+        trash = p + ".trash-" + uuid.uuid4().hex[:8]
+        for rel in self._leaf_partition_dirs(staging, depth):
+            src = os.path.join(staging, rel)
+            dst = os.path.join(p, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if os.path.exists(dst):
+                tdir = os.path.join(trash, rel)
+                os.makedirs(os.path.dirname(tdir), exist_ok=True)
+                os.rename(dst, tdir)
+            os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
 
     def append_aligned(self, new_rows: DataFrame, table: str, schema: T.StructType) -> None:
         """S8: append with target-schema alignment (reorder, pad
@@ -109,23 +198,74 @@ class ParquetIncrementalSink:
         batch (reference R:304-317; -10 s pad :308, Gantt uses a
         (15+5) min pad :362).
 
-        Delta equivalent: ``MERGE``/``replaceWhere``; here an atomic
-        swap of the table directory.
+        Delta equivalent: ``MERGE``/``replaceWhere``. Here the table is
+        hive-partitioned by ``partition_cols`` and only the partition
+        directories whose keys appear in the batch are rewritten:
+        survivors for those keys come from a partition-pruned scan,
+        union the batch, stage, swap per-partition. At 100 TB this
+        bounds each load's write amplification to the touched
+        (LINE, Server) partitions instead of the whole table.
+
+        Note: hive layout folds NULL and empty-string key values into
+        the same default partition; the reference keys (LINE, Server)
+        are non-empty by construction.
         """
         new_aligned = align_to_schema(new_rows, schema)
-        existing = self.read(table, schema)
-        if existing is None:
-            self._atomic_write(new_aligned, table)
+        if not os.path.exists(self._path(table)):
+            self._atomic_write_partitioned(new_aligned, table, schema, partition_cols)
+            return
+        if not self._is_partitioned(table):
+            # One-time migration of a legacy unpartitioned directory:
+            # full rewrite into the partitioned layout, then future
+            # loads are partition-scoped.
+            legacy = self.read(table, schema)
+            self._delete_overlap_full(
+                legacy, new_aligned, table, schema, ts_col, watermark,
+                partition_cols, pad_seconds,
+            )
             return
         cutoff = watermark - timedelta(seconds=pad_seconds)
-        keys = new_aligned.select(*partition_cols).distinct()
-        # coalesce: `ts >= cutoff` is NULL for NULL-ts rows and the
-        # survivor filter `~(in_batch & overlap)` would silently drop
-        # them every load; the reference DELETE (`ts >= cutoff`) keeps
-        # NULL-ts rows, so must we.
+        # Batch partition keys: driver-side, bounded by the number of
+        # (LINE, Server) combinations in one load — tiny by design.
+        keys = new_aligned.select(*partition_cols).distinct().collect()
+        pred = None
+        for row in keys:
+            kc = None
+            for k in partition_cols:
+                v = row[k]
+                # Partition cols read back as raw strings (type
+                # inference disabled in __init__); compare stringly.
+                c = F.col(k).isNull() if v is None else (F.col(k) == F.lit(str(v)))
+                kc = c if kc is None else kc & c
+            pred = kc if pred is None else pred | kc
+        # coalesce: `ts >= cutoff` is NULL for NULL-ts rows and a bare
+        # `~overlap` filter would silently drop them every load; the
+        # reference DELETE (`ts >= cutoff`) keeps NULL-ts rows, so must we.
         overlap = F.coalesce(F.col(ts_col) >= F.lit(cutoff), F.lit(False))
-        # survivors: rows outside the overlap window, or for partition
-        # keys not in this batch
+        scoped = self._read_raw(table).filter(pred)  # partition-pruned scan
+        survivors = align_to_schema(scoped.filter(~overlap), schema)
+        staging = self._path(table) + ".stage-" + uuid.uuid4().hex[:8]
+        survivors.unionByName(new_aligned).write.mode("overwrite").partitionBy(
+            *partition_cols
+        ).parquet(staging)
+        self._swap_partitions(staging, table, len(partition_cols))
+
+    def _delete_overlap_full(
+        self,
+        existing: DataFrame,
+        new_aligned: DataFrame,
+        table: str,
+        schema: T.StructType,
+        ts_col: str,
+        watermark: datetime,
+        partition_cols: tuple[str, ...],
+        pad_seconds: float,
+    ) -> None:
+        """Legacy full-rewrite path (also the partitioned-layout
+        migration): same semantics, whole-directory swap."""
+        cutoff = watermark - timedelta(seconds=pad_seconds)
+        keys = new_aligned.select(*partition_cols).distinct()
+        overlap = F.coalesce(F.col(ts_col) >= F.lit(cutoff), F.lit(False))
         in_batch = None
         for k in partition_cols:
             c = F.col(f"__k_{k}").isNotNull()
@@ -134,14 +274,15 @@ class ParquetIncrementalSink:
             F.broadcast(
                 keys.select(*[F.col(k).alias(f"__k_{k}") for k in partition_cols])
             ),
-            [
-                existing[k].eqNullSafe(F.col(f"__k_{k}"))
-                for k in partition_cols
-            ],
+            [existing[k].eqNullSafe(F.col(f"__k_{k}")) for k in partition_cols],
             "left",
         )
-        survivors = tagged.filter(~(in_batch & overlap)).select(*[f.name for f in schema.fields])
-        self._atomic_write(survivors.unionByName(new_aligned), table)
+        survivors = tagged.filter(~(in_batch & overlap)).select(
+            *[f.name for f in schema.fields]
+        )
+        self._atomic_write_partitioned(
+            survivors.unionByName(new_aligned), table, schema, partition_cols
+        )
 
     def merge_dedup_overwrite(
         self,
@@ -156,10 +297,10 @@ class ParquetIncrementalSink:
         new_aligned = align_to_schema(new_rows, schema).dropDuplicates([key])
         existing = self.read(table, schema)
         if existing is None:
-            self._atomic_write(new_aligned, table)
+            self._atomic_write(new_aligned, table, schema)
             return
         keep = existing.join(new_aligned.select(key), key, "left_anti")
-        self._atomic_write(keep.unionByName(new_aligned), table)
+        self._atomic_write(keep.unionByName(new_aligned), table, schema)
 
     def upsert_script_data(
         self,
@@ -174,10 +315,10 @@ class ParquetIncrementalSink:
         new_aligned = align_to_schema(new_rows, schema).dropDuplicates(list(keys))
         existing = self.read(table, schema)
         if existing is None:
-            self._atomic_write(new_aligned, table)
+            self._atomic_write(new_aligned, table, schema)
             return
         keep = existing.join(new_aligned.select(*keys), list(keys), "left_anti")
-        self._atomic_write(keep.unionByName(new_aligned), table)
+        self._atomic_write(keep.unionByName(new_aligned), table, schema)
 
     def watermark(self, table: str = "Script_Data") -> datetime | None:
         """A7: max(Data_Update_Time) from the state table

@@ -33,16 +33,37 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _pin_timestamp_confs(spark: SparkSession) -> None:
+    """Make timestamp ingestion independent of the parquet physical encoding.
+
+    The engine contract is: every timestamp column loads as Spark
+    ``TimestampType`` (LTZ) with UTC wall-clock values, whatever the writer
+    emitted — TIMESTAMP(NANOS), TIMESTAMP(MICROS) isAdjustedToUTC=true, or
+    TIMESTAMP(MICROS) with no timezone (which Spark 4 would otherwise infer
+    as TIMESTAMP_NTZ, breaking ``unix_micros``/``timestamp_micros`` call
+    sites at analysis time). Runtime confs, set here so the loader works
+    under ANY caller's session (the harness driver builds its own).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Pin UTC so naive (untagged) parquet values keep identical wall-clock
+    # readings under the LTZ type — required for oracle hash stability.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    if name in _NANOS_TS_COLS:
-        # Runtime conf, set here so the loader works under ANY caller's
-        # session (the harness driver builds its own SparkSession).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _pin_timestamp_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANOS_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+    for col, dtype in df.dtypes:
+        if name in _NANOS_TS_COLS and col in _NANOS_TS_COLS[name] and dtype == "bigint":
+            # nanosAsLong surfaces TIMESTAMP(NANOS) as raw int64 nanos.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif dtype == "timestamp_ntz":
+            # Belt-and-braces: if a caller's session cached the NTZ schema
+            # (or a future conf rename drops the shim), cast explicitly.
+            # Session tz is pinned UTC above, so the cast is value-preserving.
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

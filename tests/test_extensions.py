@@ -8,6 +8,7 @@ from fhc_rco_etl_scalable_spark.functions import text as TX
 from fhc_rco_etl_scalable_spark.operators import dedup as DD
 from fhc_rco_etl_scalable_spark.operators import similarity as SIM
 from fhc_rco_etl_scalable_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
     extract_features,
     fake_image_decoder,
     frame_sample_plan,
@@ -225,3 +226,123 @@ def test_simhash_null_text_keeps_row_both_forms(spark):
     assert set(frame) == {1, 2, 3}  # NULL-text id 1 keeps a signature row
     assert frame == col             # and the two forms agree, incl. NULL == ''
     assert frame[1] == frame[2]
+
+def test_jaccard_max_df_stop_gram_guard(spark):
+    # VERDICT r3 item 6: a shingle shared by ALL docs must not blow up
+    # the inverted-index self-join; with max_df set it is excluded from
+    # candidate generation but its intersection contribution is added
+    # back, so emitted scores equal the uncapped exact scores.
+    rows = [
+        # every doc contains "common gram one"; pairs also share rare grams
+        (1, "common gram one alpha beta gamma", "x"),
+        (2, "common gram one alpha beta gamma", "x"),
+        (3, "common gram one alpha beta delta", "x"),
+        (4, "common gram one zz yy xx ww vv uu", "x"),
+        (5, "common gram one qq rr ss tt vv uu", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.jaccard_pairs(
+            df, "doc_id", "text", ["blk"], threshold=0.05
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.jaccard_pairs(
+            df, "doc_id", "text", ["blk"], threshold=0.05, max_df=0.9
+        ).collect()
+    }
+    # every emitted pair carries the EXACT (uncapped) score, and every
+    # pair sharing >=1 rare gram is found; pairs sharing only the stop
+    # gram ((1,4) etc.) are the documented recall caveat.
+    assert set(capped) <= set(exact)
+    for p, j in capped.items():
+        assert j == exact[p]
+    for p in [(1, 2), (1, 3), (2, 3)]:
+        assert p in capped and capped[p] == exact[p]
+    assert capped[(1, 2)] == 1.0
+
+
+def test_jaccard_max_df_only_stop_pairs_documented_miss(spark):
+    # The documented recall caveat: a pair sharing ONLY stop grams is
+    # not emitted under max_df (it IS emitted without the cap).
+    rows = [
+        (1, "shared gram here", "x"),
+        (2, "shared gram here", "x"),
+        (3, "shared gram here aa bb cc dd ee ff gg hh ii jj kk", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_pairs(df, "doc_id", "text", ["blk"], threshold=0.05).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in DD.jaccard_pairs(
+            df, "doc_id", "text", ["blk"], threshold=0.05, max_df=0.9
+        ).collect()
+    }
+    assert (1, 2) in exact and (1, 2) not in capped
+
+
+def _ppm_bytes(w, h, pixels):
+    # P6 with a comment line, maxval 255; pixels = flat RGB bytes
+    return b"P6\n# test fixture\n" + f"{w} {h}\n255\n".encode() + bytes(pixels)
+
+
+def _bmp_bytes(w, h, rows_rgb):
+    # minimal uncompressed 24-bit BMP, bottom-up; rows_rgb = list of
+    # rows (top to bottom), each a list of (r,g,b)
+    row_bytes = (w * 3 + 3) & ~3
+    pixel_data = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        rb = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        pixel_data += rb + b"\x00" * (row_bytes - len(rb))
+    header_size = 14 + 40
+    total = header_size + len(pixel_data)
+    bmp = b"BM" + total.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    bmp += header_size.to_bytes(4, "little")
+    bmp += (40).to_bytes(4, "little") + w.to_bytes(4, "little", signed=True)
+    bmp += h.to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+    bmp += (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+    bmp += len(pixel_data).to_bytes(4, "little") + b"\x00" * 16
+    return bmp + pixel_data
+
+
+def test_image_decoder_ppm_and_bmp():
+    from fhc_rco_etl_scalable_spark.operators.multimodal import image_decoder
+
+    # 2x1 PPM: red, blue
+    ppm = _ppm_bytes(2, 1, [255, 0, 0, 0, 0, 255])
+    w, h, c, m0, m1, m2, mean, std = image_decoder(ppm, "image/x-portable-pixmap")
+    assert (w, h, c) == (2.0, 1.0, 3.0)
+    assert (m0, m1, m2) == (127.5, 0.0, 127.5)  # mean R, G, B
+
+    # 2x2 BMP, distinct corners; row padding exercised (2*3=6 -> pad 8)
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]]
+    bmp = _bmp_bytes(2, 2, rows)
+    w, h, c, m0, m1, m2, mean, std = image_decoder(bmp, "image/bmp")
+    assert (w, h, c) == (2.0, 2.0, 3.0)
+    assert m0 == (255 + 0 + 0 + 255) / 4  # mean R over 4 px
+    assert m1 == (0 + 255 + 0 + 255) / 4
+    assert m2 == (0 + 0 + 255 + 255) / 4
+
+    # grayscale P5
+    p5 = b"P5\n2 1\n255\n" + bytes([10, 30])
+    w, h, c, m0, m1, m2, mean, std = image_decoder(p5, "image/x-portable-graymap")
+    assert (w, h, c, mean) == (2.0, 1.0, 1.0, 20.0)
+
+
+def test_extract_features_with_real_decoder(spark):
+    from fhc_rco_etl_scalable_spark.operators.multimodal import image_decoder
+
+    ppm = _ppm_bytes(2, 1, [255, 0, 0, 0, 0, 255])
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), "image/x-portable-pixmap", 2, 1, None),
+         (2, bytearray(b"\x89PNG not supported"), "image/png", None, None, None)],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in extract_features(media, decoder=image_decoder).collect()}
+    assert got[1].decode_ok and got[1].feat[:3] == [2.0, 1.0, 3.0]
+    assert not got[2].decode_ok and got[2].feat is None  # graceful per-row failure

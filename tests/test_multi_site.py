@@ -58,3 +58,24 @@ def test_run_all_sites_parallel(spark):
                         max_parallel_sites=3)
     assert all(v == "Success" for v in log.values())
     assert set(loaded) == {"S0", "S1", "S2"}
+
+
+def test_brandcode_master_is_fully_lazy(spark):
+    # VERDICT r3 item 5: no Spark action may fire during plan
+    # construction (the old _brandname ran .first() mid-plan).
+    from fhc_rco_etl_scalable_spark.operators.brandcode import brandcode_master
+
+    prod = spark.createDataFrame(
+        [("B1", "FamA:Alpha", "F", "G", 6, 1.0),
+         ("B2", "FamB:Beta", "F", "G", 6, 1.0),
+         ("B3", "FamC:Gamma", "F", "G", 6, 1.0)],
+        "BRANDCODE string, ProdDesc string, ProdFam string, ProdGroup string,"
+        " FirstPackCount int, StatFactor double",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    master = brandcode_master(prod, "GenericSite")  # plan construction only
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "brandcode_master ran a Spark job during plan construction"
+    rows = {r.BRANDCODE: r.BRANDNAME for r in master.collect()}
+    assert rows == {"B1": "Alpha", "B2": "Beta", "B3": "Gamma"}
