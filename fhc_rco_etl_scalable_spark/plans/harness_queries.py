@@ -2550,3 +2550,222 @@ def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFram
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: promote test-only operators to driver-graded entries
+# (VERDICT r3 coverage table rows marked "test-only"): the flag
+# lattice F3-F6, A2 count-distinct machines, A6 max-positive, C15
+# yes/no decode, C11 dynamic rounding, S7 JSON flatten, and the batch
+# equivalent of §2.11 tumbling windows.
+# ---------------------------------------------------------------------------
+
+_FLAG_LATTICE_ORACLE = _HARNESS_BASE + """,
+machine_dt_full AS (
+  SELECT * FROM ds WHERE START_TIME IS NOT NULL AND NOT is_constraint
+),
+machine_dt AS (SELECT * FROM machine_dt_full WHERE NOT is_excluded),
+u AS (
+  SELECT 'line_dt' AS variant, count(*) AS n_rows,
+         count(DISTINCT LINE) AS n_lines, count(DISTINCT MACHINE) AS n_machines
+  FROM line_dt
+  UNION ALL
+  SELECT 'line_dt_full', count(*), count(DISTINCT LINE), count(DISTINCT MACHINE)
+  FROM line_dt_full
+  UNION ALL
+  SELECT 'machine_dt', count(*), count(DISTINCT LINE), count(DISTINCT MACHINE)
+  FROM machine_dt
+  UNION ALL
+  SELECT 'machine_dt_full', count(*), count(DISTINCT LINE), count(DISTINCT MACHINE)
+  FROM machine_dt_full
+)
+SELECT * FROM u
+"""
+
+
+@query("flag_lattice", _FLAG_LATTICE_ORACLE)
+def q_flag_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F6: the four filtered extraction variants over ONE flagged
+    scan (reference data_from_mdc.py:89-111) — each variant's shape
+    summarized so the whole lattice is hash-checked."""
+    from functools import reduce
+
+    v, _, _ = _harness_inputs(spark, sf_dir)
+    parts = [
+        v[name].agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("LINE").alias("n_lines"),
+            F.countDistinct("MACHINE").alias("n_machines"),
+        ).select(F.lit(name).alias("variant"), "n_rows", "n_lines", "n_machines")
+        for name in ["line_dt", "line_dt_full", "machine_dt", "machine_dt_full"]
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+_COUNT_DISTINCT_ORACLE = _HARNESS_BASE + """,
+machine_dt_full AS (
+  SELECT * FROM ds WHERE START_TIME IS NOT NULL AND NOT is_constraint
+),
+machine_dt AS (SELECT * FROM machine_dt_full WHERE NOT is_excluded)
+SELECT LINE, count(DISTINCT MACHINE) AS n_machines,
+       count(DISTINCT 'F' || CAST(event_id % 11 AS VARCHAR)) AS n_faults
+FROM machine_dt GROUP BY LINE
+"""
+
+
+@query("count_distinct_machines", _COUNT_DISTINCT_ORACLE)
+def q_count_distinct_machines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: count-distinct machines per line (reference
+    Number_of_Constraints, App/etl/overall_etl.py:205-212) on the
+    machine-level variant."""
+    v, _, _ = _harness_inputs(spark, sf_dir)
+    return v["machine_dt"].groupBy("LINE").agg(
+        F.countDistinct("MACHINE").alias("n_machines"),
+        F.countDistinct("Fault").alias("n_faults"),
+    )
+
+
+@query(
+    "max_positive_per_key",
+    """
+SELECT user_id, max(value) AS value
+FROM events WHERE value > 0 GROUP BY user_id
+""",
+)
+def q_max_positive_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: max of positive values per key (reference StatFactor
+    derivation, data_from_mdc.py:284-286) via the actual operator."""
+    from ..operators.aggregate import max_positive_per_key
+
+    ev = load_table(spark, "events", sf_dir)
+    return max_positive_per_key(ev, ["user_id"], "value")
+
+
+@query(
+    "yes_no_decode",
+    """
+WITH cfg AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'Yes' ELSE 'No' END AS multi_constraint
+  FROM events
+)
+SELECT user_id, multi_constraint,
+       multi_constraint = 'Yes' AS multi_constraint_flag
+FROM cfg
+""",
+)
+def q_yes_no_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: boolean <- 'Yes'/'No' config decode (reference
+    rco_main.py:98-102: ``col == 'Yes'``) over a config frame derived
+    from the fixture keys."""
+    ev = load_table(spark, "events", sf_dir)
+    cfg = ev.select("user_id").distinct().select(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, "Yes").otherwise("No").alias(
+            "multi_constraint"
+        ),
+    )
+    return cfg.withColumn(
+        "multi_constraint_flag", F.col("multi_constraint") == "Yes"
+    )
+
+
+@query(
+    "dynamic_round",
+    """
+WITH src AS (
+  SELECT event_id, value AS v_mid, value / 1000 AS v_small,
+         value / 10 AS v_low, value * 100 AS v_big
+  FROM events
+),
+m AS (
+  SELECT avg(abs(v_mid)) AS m_mid, avg(abs(v_small)) AS m_small,
+         avg(abs(v_low)) AS m_low, avg(abs(v_big)) AS m_big
+  FROM src
+)
+SELECT event_id,
+  CASE WHEN m_mid IS NULL THEN round(v_mid, 1)
+       WHEN m_mid < 0.1 THEN round(v_mid, 5) WHEN m_mid < 1 THEN round(v_mid, 4)
+       WHEN m_mid < 10 THEN round(v_mid, 3) WHEN m_mid < 100 THEN round(v_mid, 2)
+       ELSE round(v_mid, 1) END AS v_mid,
+  CASE WHEN m_small IS NULL THEN round(v_small, 1)
+       WHEN m_small < 0.1 THEN round(v_small, 5) WHEN m_small < 1 THEN round(v_small, 4)
+       WHEN m_small < 10 THEN round(v_small, 3) WHEN m_small < 100 THEN round(v_small, 2)
+       ELSE round(v_small, 1) END AS v_small,
+  CASE WHEN m_low IS NULL THEN round(v_low, 1)
+       WHEN m_low < 0.1 THEN round(v_low, 5) WHEN m_low < 1 THEN round(v_low, 4)
+       WHEN m_low < 10 THEN round(v_low, 3) WHEN m_low < 100 THEN round(v_low, 2)
+       ELSE round(v_low, 1) END AS v_low,
+  CASE WHEN m_big IS NULL THEN round(v_big, 1)
+       WHEN m_big < 0.1 THEN round(v_big, 5) WHEN m_big < 1 THEN round(v_big, 4)
+       WHEN m_big < 10 THEN round(v_big, 3) WHEN m_big < 100 THEN round(v_big, 2)
+       ELSE round(v_big, 1) END AS v_big
+FROM src, m
+""",
+)
+def q_dynamic_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: R's dynamic-precision rounding (dataframe_decimal_reducer,
+    ref/RCO_Overall_orchestrator.R:119-131) — four derived columns
+    whose mean magnitudes land in different precision buckets, rounded
+    by the (now fully lazy) dynamic_round operator."""
+    from ..functions.scalar import dynamic_round
+
+    ev = load_table(spark, "events", sf_dir)
+    src = ev.select(
+        "event_id",
+        F.col("value").alias("v_mid"),
+        (F.col("value") / 1000).alias("v_small"),
+        (F.col("value") / 10).alias("v_low"),
+        (F.col("value") * 100).alias("v_big"),
+    )
+    return dynamic_round(src, ["v_mid", "v_small", "v_low", "v_big"])
+
+
+@query(
+    "json_flatten",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS props_k
+FROM events
+""",
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: json_normalize equivalent — parse the JSON payload column
+    and flatten the struct to dotted columns (reference
+    App/mdc/__init__.py:198) via the actual flatten operator."""
+    from ..sources.json_flatten import flatten_structs
+
+    ev = load_table(spark, "events", sf_dir)
+    parsed = ev.select("event_id", F.from_json("props", "k int").alias("props"))
+    flat = flatten_structs(parsed)
+    return flat.select("event_id", F.col("`props.k`").alias("props_k"))
+
+
+@query(
+    "tumbling_window",
+    """
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 tumbling windows, batch equivalent: ``F.window`` hourly
+    buckets (epoch-aligned, same boundaries as date_trunc) — the same
+    expression streaming uses in streaming/sessionize_stream.py:136."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_events",
+            "total_value",
+        )
+    )

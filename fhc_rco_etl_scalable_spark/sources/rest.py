@@ -74,6 +74,37 @@ def pages_to_dataframe(
     return flatten_structs(df)
 
 
+def kpi_scan(
+    spark: SparkSession,
+    fetch: Callable[[str], dict | list],
+    base_url: str,
+    start_date: str,
+    end_date: str,
+    line_ids: str,
+    kpi: str = "ScheduleTime",
+    pr_option: str = "PR%20In:",
+) -> DataFrame:
+    """S5: the ``GetProductionDaysKpis`` KPI endpoint adapter
+    (reference ref/RCO_ProficyiODS_orchestrator.R:177-181,220-228):
+    one GET per analysis window, day-level KPI records (``StartTime``,
+    ``PLId``, ``<kpi>``) parsed executor-side like every other page
+    payload. The endpoint is not paginated — the reference issues a
+    single request and ``fromJSON(flatten=TRUE)``s the body; records
+    may arrive as a bare top-level array or under ``items``.
+
+    Downstream: join the lines dim on PLId and aggregate per day —
+    ``operators.aggregate.runtime_per_day`` (A3, reference :240).
+    """
+    url = (
+        f"{base_url}/API-iODS/api/Kpi/GetProductionDaysKpis"
+        f"?startTime={start_date}&endTime={end_date}"
+        f"&filterType=lines&ids={line_ids}&kpi={kpi}&prOption={pr_option}"
+    )
+    payload = fetch(url)
+    page = {"items": payload} if isinstance(payload, list) else payload
+    return pages_to_dataframe(spark, iter([page]))
+
+
 def rest_scan(
     spark: SparkSession,
     fetch: Callable[[str], dict],

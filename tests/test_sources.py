@@ -87,3 +87,44 @@ def test_jdbc_reader_builds(spark):
         ts_col="ts", start="2024-01-01", end="2024-01-02", num_partitions=4,
     )
     assert scan.reader(spark) is not None  # construction only, no connect
+
+
+def test_kpi_scan_builds_url_and_parses(spark):
+    # S5 (VERDICT r3 item 8): GetProductionDaysKpis-shaped adapter
+    # (ref/RCO_ProficyiODS_orchestrator.R:177-181) — URL construction,
+    # bare-array payload, executor-side parse + flatten.
+    from fhc_rco_etl_scalable_spark.sources.rest import kpi_scan
+
+    seen = {}
+
+    def fetch(url):
+        seen["url"] = url
+        return [
+            {"PLId": 7, "StartTime": "2024-01-01T06:00:00", "ScheduleTime": 720.0},
+            {"PLId": 7, "StartTime": "2024-01-02T06:00:00", "ScheduleTime": 700.0},
+            {"PLId": 9, "StartTime": "2024-01-01T06:30:00", "ScheduleTime": 480.0},
+        ]
+
+    df = kpi_scan(
+        spark, fetch, "http://srv", start_date="2024-01-01",
+        end_date="2024-01-03", line_ids="7,9",
+    )
+    assert seen["url"] == (
+        "http://srv/API-iODS/api/Kpi/GetProductionDaysKpis"
+        "?startTime=2024-01-01&endTime=2024-01-03"
+        "&filterType=lines&ids=7,9&kpi=ScheduleTime&prOption=PR%20In:"
+    )
+    rows = sorted((r.PLId, r.ScheduleTime) for r in df.collect())
+    assert rows == [(7, 700.0), (7, 720.0), (9, 480.0)]
+
+
+def test_kpi_scan_items_wrapped_payload(spark):
+    from fhc_rco_etl_scalable_spark.sources.rest import kpi_scan
+
+    df = kpi_scan(
+        spark,
+        lambda url: {"items": [{"PLId": 1, "ScheduleTime": 60.0}]},
+        "http://srv", start_date="2024-01-01", end_date="2024-01-02",
+        line_ids="1",
+    )
+    assert df.count() == 1
