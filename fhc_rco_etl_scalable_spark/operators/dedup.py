@@ -475,3 +475,91 @@ def simhash_near_dups(
     if max_hamming is not None:
         out = out.filter(F.col("hamming") <= max_hamming)
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Connected components over a pair list -> (id, component), with
+    ``component`` = min node id reachable from ``id``.
+
+    This is the clustering step every near-dup pipeline needs after
+    candidate pairs (MinHash/SimHash/Jaccard emit PAIRS; dedup keeps
+    one doc per CLUSTER, and transitive links A-B, B-C must collapse
+    into one cluster even when A-C was never emitted as a pair).
+
+    Spark-first shape: iterative min-label propagation. Each round is
+    one shuffle — labels join edges, each node takes the min of its
+    own label and its neighbors' — and converges in O(graph diameter)
+    rounds (near-dup graphs are shallow: diameter is small because
+    similarity is near-transitive). ``localCheckpoint`` truncates the
+    lineage each round so the plan doesn't grow exponentially; the
+    driver loop only inspects a 1-row convergence count per round
+    (no data collected). For adversarial long-chain graphs the
+    alternating large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) drops
+    rounds to O(log n); diameter-bounded propagation is the right
+    default for dedup workloads.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iterations):
+        # neighbor labels: for each node u, min label among v's labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "__changed"
+                ),
+            )
+            .localCheckpoint()  # eager: materialize once, reuse twice below
+        )
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Full near-dup dedup decision: candidate pairs -> connected
+    components -> keep the min-id doc per cluster. Docs in no pair are
+    their own singleton cluster. Returns
+    (id, component, cluster_size, keep)."""
+    comp = connected_components(pairs, src, dst)
+    ids = df.select(F.col(id_col).alias("id"))
+    labeled = ids.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return (
+        labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.col("id") == F.min("id").over(w))
+    )

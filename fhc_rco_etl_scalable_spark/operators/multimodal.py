@@ -105,6 +105,70 @@ def _decode_bmp(payload: bytes):
     return img[:, :, ::-1]  # BGR -> RGB
 
 
+def _decode_wav(payload: bytes):
+    """RIFF/WAVE PCM -> (samples ndarray float64 in [-1,1], rate,
+    channels). Chunked RIFF layout is public; int16/int32/uint8 PCM
+    (format 1) parsed in pure numpy."""
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported (format={audio_format})")
+    if bits == 16:
+        raw = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        raw = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif bits == 8:
+        raw = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    n = (len(raw) // channels) * channels
+    return raw[:n].reshape(-1, channels), rate, channels
+
+
+def audio_decoder(payload: bytes, mime: str) -> list[float]:
+    """Real audio decode path: parse RIFF/PCM WAV in pure numpy,
+    return 8 features — [channels, sample_rate, duration_ms, rms,
+    zero_crossing_rate, peak, mean, std] over the channel-mean
+    signal."""
+    import numpy as np
+
+    samples, rate, channels = _decode_wav(payload)
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    duration_ms = 1000.0 * n / rate if rate else 0.0
+    if n == 0:
+        return [float(channels), float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    zc = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) if n > 1 else 0.0
+    return [
+        float(channels),
+        float(rate),
+        float(duration_ms),
+        float(np.sqrt(np.mean(mono**2))),
+        zc,
+        float(np.abs(mono).max()),
+        float(mono.mean()),
+        float(mono.std()),
+    ]
+
+
 def image_decoder(payload: bytes, mime: str) -> list[float]:
     """Real decode path (VERDICT r3 item 7): sniff the payload magic,
     decode netpbm/BMP in pure numpy, return 8 features —

@@ -520,7 +520,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MD5_INT_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
     from ..operators.dedup import MINHASH_PRIME, _perm_coeffs
 
     rows = num_hashes // bands
@@ -542,15 +542,24 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
         f"SELECT doc_id, {b} AS band, band{b} AS band_sig FROM sigs" for b in range(bands)
     )
     return f"""
-    WITH g AS (SELECT doc_id, {grams} AS g FROM documents),
+    g AS (SELECT doc_id, {grams} AS g FROM documents),
     mins AS (SELECT doc_id, {sig_items} FROM g),
     sigs AS (SELECT *, {band_sigs} FROM mins),
-    banded AS ({band_rows})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
-    FROM banded a JOIN banded b
-      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-    """
+    banded AS ({band_rows}),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+    return (
+        "WITH "
+        + _minhash_ctes(num_hashes, bands, ngram)
+        + "\nSELECT id_a, id_b, n_shared_bands FROM cand"
+    )
 
 
 @query("minhash_lsh", _minhash_sql())
@@ -2769,3 +2778,45 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_clusters — near-dup PAIRS -> dedup CLUSTERS: iterative
+# min-label connected components (operators/dedup.py) over the MinHash
+# candidate graph, every doc labeled, keep = min-id per cluster. The
+# oracle computes the same components via a recursive transitive
+# closure — an independent formulation, so convergence bugs in the
+# propagation loop can't self-confirm.
+# ---------------------------------------------------------------------------
+
+_DEDUP_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _minhash_ctes()
+    + """,
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM cand
+  UNION SELECT id_b, id_a FROM cand
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+lab AS (
+  SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+)
+SELECT id, component,
+       count(*) OVER (PARTITION BY component) AS cluster_size,
+       id = min(id) OVER (PARTITION BY component) AS keep
+FROM lab
+"""
+)
+
+
+@query("dedup_clusters", _DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.minhash_lsh_candidates(docs, "doc_id", "text").select("id_a", "id_b")
+    return DD.dedup_clusters(docs, pairs, "doc_id")

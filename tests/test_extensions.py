@@ -346,3 +346,61 @@ def test_extract_features_with_real_decoder(spark):
     got = {r.media_id: r for r in extract_features(media, decoder=image_decoder).collect()}
     assert got[1].decode_ok and got[1].feat[:3] == [2.0, 1.0, 3.0]
     assert not got[2].decode_ok and got[2].feat is None  # graceful per-row failure
+
+
+def test_connected_components_transitive_chain(spark):
+    # A-B, B-C must collapse into one cluster though A-C was never a
+    # pair; D-E separate; F is a singleton via dedup_clusters.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 3)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in DD.connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[30] == 1
+    assert comp[10] == comp[11] == 10
+
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 30, 99]], "doc_id long"
+    )
+    out = {r.id: r for r in DD.dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert out[99].component == 99 and out[99].cluster_size == 1 and out[99].keep
+    assert out[1].keep and not out[2].keep and not out[30].keep
+    assert out[1].cluster_size == 4
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 12-node path needs multiple propagation rounds (diameter 11)
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in DD.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == n
+
+
+def _wav_bytes(rate, samples_i16, channels=1):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples_i16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_audio_decoder_wav():
+    from fhc_rco_etl_scalable_spark.operators.multimodal import audio_decoder
+
+    # 4 samples at 8 kHz: +16384, -16384, +16384, -16384 (0.5 amplitude
+    # square) -> rms 0.5, zcr 1.0, duration 0.5 ms
+    wav = _wav_bytes(8000, [16384, -16384, 16384, -16384])
+    ch, rate, dur, rms, zcr, peak, mean, std = audio_decoder(wav, "audio/wav")
+    assert (ch, rate) == (1.0, 8000.0)
+    assert abs(dur - 0.5) < 1e-9
+    assert abs(rms - 0.5) < 1e-9 and abs(peak - 0.5) < 1e-9
+    assert zcr == 1.0 and mean == 0.0
+
+    # unsupported: mp3 magic raises -> decode_ok False downstream
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        audio_decoder(b"ID3\x03\x00junk", "audio/mpeg")
