@@ -563,3 +563,53 @@ def dedup_clusters(
         labeled.withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("keep", F.col("id") == F.min("id").over(w))
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Hash-based deterministic sampling: keep rows whose
+    ``md5(salt || id)`` bucket (of 1e6) falls below ``fraction``.
+
+    Training-data pipelines need samples that are (a) reproducible
+    across runs/engines — no RNG state, no partition-order dependence
+    like ``df.sample`` — and (b) consistent: the same id is in or out
+    regardless of which table or day it appears in, so joins between
+    sampled tables stay aligned. Pure map-side: no shuffle, prunes
+    with the scan.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    return df.filter(bucket < int(fraction * 1_000_000))
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each id hashes into
+    [0, 1e6) once; consecutive weight intervals label it. Adds a
+    ``split`` column; weights must sum to <= 1 (remainder unlabeled
+    NULL — useful as a holdout). Same hash-consistency guarantees as
+    :func:`deterministic_sample`; map-side only."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 1_000_000
+    expr = None
+    lo = 0
+    for name, w in weights.items():
+        hi = lo + int(w * 1_000_000)
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo = hi
+    return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))

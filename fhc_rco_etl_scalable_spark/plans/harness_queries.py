@@ -2820,3 +2820,127 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = DD.minhash_lsh_candidates(docs, "doc_id", "text").select("id_a", "id_b")
     return DD.dedup_clusters(docs, pairs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splitting — training-data staples: the same
+# md5-bucket construction both engines can compute bit-for-bit, so the
+# per-row in/out decision itself is hash-checked (not just counts).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUCKET_SQL = (
+    "(('0x' || substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    " % 1000000)"
+)
+
+
+@query(
+    "deterministic_sample",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {_SAMPLE_BUCKET_SQL.format(salt='sample')} < 200000
+""",
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based 20% sample: reproducible across engines/runs, no RNG,
+    map-side (prunes with the scan)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.deterministic_sample(docs, "doc_id", 0.2).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "stratified_split",
+    f"""
+SELECT doc_id,
+       CASE WHEN {_SAMPLE_BUCKET_SQL.format(salt='split')} < 800000 THEN 'train'
+            WHEN {_SAMPLE_BUCKET_SQL.format(salt='split')} < 900000 THEN 'val'
+            WHEN {_SAMPLE_BUCKET_SQL.format(salt='split')} < 1000000 THEN 'test'
+       END AS split
+FROM documents
+""",
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment per doc."""
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.stratified_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# q_corpus_prep — the composite training-corpus preparation pipeline:
+# token stats + language-ID + Gopher/C4-style quality score + exact
+# dedup, with the KEEP decision made only on integer/string predicates
+# (n_tokens, lang match, dedup keep) so no float boundary can flip row
+# membership between engines; the quality score is value-compared.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_prep_sql() -> str:
+    hits = []
+    for lg, words in TX.LANG_STOPWORDS.items():
+        lst = "[" + ",".join(f"'{w}'" for w in words) + "]"
+        hits.append(
+            f"len(list_filter(list_transform({_TOKENS_SQL}, t -> lower(t)),"
+            f" t -> list_contains({lst}, t))) AS h_{lg}"
+        )
+    langs = list(TX.LANG_STOPWORDS)
+    best = f"greatest({', '.join('h_' + lg for lg in langs)})"
+    case = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN h_{lg} = {best} THEN '{lg}' "
+    case += "END"
+    quality = """
+      round(
+        (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
+        + (CASE WHEN mean_word >= 2 AND mean_word <= 12 THEN 1.0 ELSE 0.4 END) * 0.2
+        + (1.0 - least(punct_r * 4, 1.0)) * 0.2
+        + least(stop_r * 3, 1.0) * 0.3, 4)
+    """
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang, text, len({_TOKENS_SQL}) AS n_tokens,
+         {', '.join(hits)},
+         length(text) / greatest(len({_TOKENS_SQL}), 1) AS mean_word,
+         (length(text) - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')))
+           / greatest(length(text), 1) AS punct_r,
+         md5({_NORM_SQL}) AS fingerprint
+  FROM documents
+),
+lg AS (
+  SELECT *, {case} AS lang_guess,
+         h_en / greatest(n_tokens, 1) AS stop_r
+  FROM h
+),
+keepers AS (SELECT fingerprint, min(doc_id) AS keep_id FROM lg GROUP BY fingerprint)
+SELECT doc_id, lang, n_tokens, {quality} AS quality
+FROM lg JOIN keepers USING (fingerprint)
+WHERE n_tokens >= 10 AND lang_guess = lang AND doc_id = keep_id
+"""
+
+
+@query("corpus_prep", _corpus_prep_sql())
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keep = DD.exact_dedup(docs, "doc_id", "text").select("doc_id", "keep")
+    toks = TX.tokens("text")
+    out = (
+        docs.join(keep, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(toks).alias("n_tokens"),
+            TX.detect_language("text").alias("lang_guess"),
+            TX.quality_score("text").alias("quality"),
+            "keep",
+        )
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("lang_guess") == F.col("lang"))
+            & F.col("keep")
+        )
+    )
+    return out.select("doc_id", "lang", "n_tokens", "quality")

@@ -404,3 +404,23 @@ def test_audio_decoder_wav():
 
     with _pytest.raises(ValueError):
         audio_decoder(b"ID3\x03\x00junk", "audio/mpeg")
+
+
+def test_deterministic_sample_and_split_consistency(spark):
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    s1 = {r.doc_id for r in DD.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    s2 = {r.doc_id for r in DD.deterministic_sample(docs, "doc_id", 0.3).collect()}
+    assert s1 == s2  # reproducible
+    assert 0.25 < len(s1) / 2000 < 0.35  # near the target fraction
+    # monotone: a 10% sample is a subset of the 30% sample (same salt)
+    s_small = {r.doc_id for r in DD.deterministic_sample(docs, "doc_id", 0.1).collect()}
+    assert s_small <= s1
+
+    split = {r.doc_id: r.split for r in DD.stratified_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    from collections import Counter
+
+    c = Counter(split.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+    assert sum(c.values()) == 2000  # weights sum to 1 -> everyone labeled
