@@ -2924,23 +2924,26 @@ WHERE n_tokens >= 10 AND lang_guess = lang AND doc_id = keep_id
 
 @query("corpus_prep", _corpus_prep_sql())
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE scan of documents: stats/lang/quality map-side on the same
+    # pass that computes the dedup fingerprint; keep = min-id via a
+    # window over the fingerprint (no self-join back, so the text
+    # column is read exactly once — at 100 TB that's the whole cost).
     docs = load_table(spark, "documents", sf_dir)
-    keep = DD.exact_dedup(docs, "doc_id", "text").select("doc_id", "keep")
     toks = TX.tokens("text")
-    out = (
-        docs.join(keep, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.size(toks).alias("n_tokens"),
-            TX.detect_language("text").alias("lang_guess"),
-            TX.quality_score("text").alias("quality"),
-            "keep",
-        )
-        .filter(
-            (F.col("n_tokens") >= 10)
-            & (F.col("lang_guess") == F.col("lang"))
-            & F.col("keep")
-        )
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        TX.detect_language("text").alias("lang_guess"),
+        TX.quality_score("text").alias("quality"),
+        TX.normalized_fingerprint("text").alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    out = enriched.withColumn(
+        "keep", F.col("doc_id") == F.min("doc_id").over(w)
+    ).filter(
+        (F.col("n_tokens") >= 10)
+        & (F.col("lang_guess") == F.col("lang"))
+        & F.col("keep")
     )
     return out.select("doc_id", "lang", "n_tokens", "quality")

@@ -150,6 +150,19 @@ def main() -> int:
         detail=f"{n_sqrt} sqrt sites",
     )
 
+    # 11. corpus_prep reads documents exactly ONCE: stats + lang +
+    #     quality + dedup fingerprint share a single pass (the text
+    #     column is the whole cost at 100 TB).
+    p = plan_of(hq.q_corpus_prep(spark, sf_dir))
+    # count plan NODES (the "(n) Scan parquet" detail headers), not raw
+    # text occurrences — the tree header repeats each node's name.
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    check(
+        "single_scan(corpus_prep)",
+        n_scans == 1,
+        detail=f"{n_scans} parquet scan nodes",
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
