@@ -2947,3 +2947,79 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("keep")
     )
     return out.select("doc_id", "lang", "n_tokens", "quality")
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_tumbling_harness — §2.11 windowed streaming aggregation
+# under the driver gate: the watermarked tumbling-day rollup consumes
+# the harness downtime log as a 4-micro-batch file stream (same
+# time-sliced source construction as streaming_sessionize_harness) and
+# must equal the batch daily rollup. Complete output mode: every
+# window is emitted in the final result table regardless of watermark
+# expiry, so the comparison is deterministic.
+# ---------------------------------------------------------------------------
+
+_STREAMING_TUMBLING_ORACLE = _HARNESS_BASE + """
+SELECT CAST(date_trunc('day', START_TIME) AS DATE) AS Date, LINE,
+       round(sum(UPTIME), 2) AS Runtime
+FROM ds GROUP BY 1, 2
+"""
+
+
+@query("streaming_tumbling_harness", _STREAMING_TUMBLING_ORACLE)
+def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.sessionize_stream import streaming_runtime_per_day
+
+    feed = harness_downtime_log(spark, sf_dir).select("LINE", "START_TIME", "UPTIME")
+    n_batches = 4
+    sliced = feed.withColumn(
+        "__k", F.ntile(n_batches).over(Window.orderBy("START_TIME", "LINE"))
+    )
+    src = tempfile.mkdtemp(prefix="sg-tumb-harness-")
+    stage = tempfile.mkdtemp(prefix="sg-tumb-stage-")
+    try:
+        for k in range(1, n_batches + 1):
+            out_dir = os.path.join(stage, f"b{k}")
+            (
+                sliced.filter(F.col("__k") == k)
+                .drop("__k")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch-{k:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        events = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rollup = streaming_runtime_per_day(events)
+        name = f"tumb_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            rollup.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming tumbling harness timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches, (
+            f"expected >= {n_batches} micro-batches, got {n_microbatches}"
+        )
+        return spark.table(name).select(
+            "Date", "LINE", F.round("Runtime", 2).alias("Runtime")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)

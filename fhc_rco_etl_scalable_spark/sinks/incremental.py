@@ -177,11 +177,36 @@ class ParquetIncrementalSink:
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
 
+    def _layout_partition_cols(self, table: str) -> list[str]:
+        """Partition columns of an existing hive layout, read from the
+        first leaf dir's ``k=v`` path components."""
+        p = self._path(table)
+        cols: list[str] = []
+        d = p
+        while True:
+            subs = [
+                n for n in os.listdir(d)
+                if "=" in n and os.path.isdir(os.path.join(d, n))
+            ]
+            if not subs:
+                return cols
+            cols.append(subs[0].split("=", 1)[0])
+            d = os.path.join(d, subs[0])
+
     def append_aligned(self, new_rows: DataFrame, table: str, schema: T.StructType) -> None:
         """S8: append with target-schema alignment (reorder, pad
         missing with NULL, cast) — reference
-        App/etl/overall_etl.py:12-43."""
-        align_to_schema(new_rows, schema).write.mode("append").parquet(self._path(table))
+        App/etl/overall_etl.py:12-43.
+
+        Appending into a partition-scoped table (see
+        :meth:`delete_overlap_append`) follows the existing hive
+        layout — a flat append there would mix layouts and break
+        reads."""
+        aligned = align_to_schema(new_rows, schema)
+        writer = aligned.write.mode("append")
+        if self._is_partitioned(table):
+            writer = writer.partitionBy(*self._layout_partition_cols(table))
+        writer.parquet(self._path(table))
 
     def delete_overlap_append(
         self,

@@ -207,3 +207,23 @@ def test_legacy_unpartitioned_table_migrates(spark, tmp_path):
     got = _collect(sink, "co")
     assert got == sorted([("a", "L1", 1.0), ("a2", "L1", 9.0), ("b", "L2", 2.0)])
     assert os.path.isdir(os.path.join(root, "co", "LINE=L1", "Server=S"))
+
+
+def test_append_into_partitioned_table_follows_layout(spark, tmp_path):
+    # append_aligned into a partition-scoped table must write into the
+    # hive layout (flat files at the root would break reads).
+    import os
+
+    root = str(tmp_path / "t8")
+    sink = ParquetIncrementalSink(spark, root)
+    wm = T0 - timedelta(minutes=30)
+    seed = _rows(spark, [("a", "L1", -120, 1.0, "S")])
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    extra = _rows(spark, [("b", "L2", -120, 2.0, "S")])
+    sink.append_aligned(extra, "co", CO_SCHEMA)
+    table_dir = os.path.join(root, "co")
+    flat = [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    assert not flat, f"flat files mixed into hive layout: {flat}"
+    assert os.path.isdir(os.path.join(table_dir, "LINE=L2", "Server=S"))
+    got = _collect(sink, "co")
+    assert got == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])

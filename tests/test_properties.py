@@ -99,3 +99,44 @@ def test_sessionization_deterministic(spark, rows):
         assert sorted(sess_a.values(), key=sorted) == sorted(
             sess_b.values(), key=sorted
         )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    # Spark propagation vs a driver-side union-find reference.
+    from fhc_rco_etl_scalable_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert got == want
