@@ -238,14 +238,24 @@ def jaccard_pairs(
     stop_sets = None
     if max_df is not None:
         # g_long is distinct per (id, gram), so count(*) per gram = df.
-        ndocs = df.agg(F.countDistinct(id_col).alias("__ndocs"))
+        # The cap is PER BLOCK: the O(df²) self-join hot-spot is the
+        # posting list within one (block, gram) join key, so a gram
+        # saturating one block must be capped even when its global
+        # fraction is tiny (1k-doc block inside a 1M-doc corpus).
+        block_ndocs = df.groupBy(*block_cols).agg(
+            F.countDistinct(id_col).alias("__ndocs")
+        )
         stop = (
             g_long.groupBy(*block_cols, "__h")
             .agg(F.count("*").alias("__df"))
-            .crossJoin(F.broadcast(ndocs))
-            .filter(F.col("__df") > F.lit(max_df) * F.col("__ndocs"))
-            .select(*block_cols, "__h")
+            .join(block_ndocs, list(block_cols)) if block_cols
+            else g_long.groupBy("__h")
+            .agg(F.count("*").alias("__df"))
+            .crossJoin(F.broadcast(block_ndocs))
         )
+        stop = stop.filter(
+            F.col("__df") > F.lit(max_df) * F.col("__ndocs")
+        ).select(*block_cols, "__h")
         join_keys = [*block_cols, "__h"]
         # Per-doc stop-gram sets: tiny (few grams can exceed the df cap).
         stop_sets = (
@@ -513,6 +523,7 @@ def connected_components(
     labels = (
         sym.select("u").distinct().select("u", F.col("u").alias("label"))
     ).localCheckpoint(eager=False)
+    converged = False
     for _ in range(max_iterations):
         # neighbor labels: for each node u, min label among v's labels
         nbr = (
@@ -536,7 +547,17 @@ def connected_components(
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Silent partial convergence would split transitive clusters
+        # and silently keep near-duplicate docs — fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise "
+            "max_iterations or use an O(log n) large-star/small-star "
+            "variant for adversarial long-chain graphs"
+        )
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
 
 
@@ -606,9 +627,13 @@ def stratified_split(
         10,
     ).cast("long") % 1_000_000
     expr = None
-    lo = 0
+    lo, cum = 0, 0.0
     for name, w in weights.items():
-        hi = lo + int(w * 1_000_000)
+        # Boundaries from the ROUNDED cumulative weight, not per-weight
+        # truncation: int(1/3 * 1e6) * 3 = 999999 would leave bucket
+        # 999999 unlabeled even though the weights sum to exactly 1.
+        cum += w
+        hi = int(round(cum * 1_000_000))
         cond = (bucket >= lo) & (bucket < hi)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi

@@ -69,11 +69,6 @@ class ParquetIncrementalSink:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
-        # Keep hive partition values as raw strings; align_to_schema
-        # casts them back per the stored schema ("01" must not become 1).
-        spark.conf.set(
-            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
-        )
 
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -98,11 +93,26 @@ class ParquetIncrementalSink:
         )
 
     def _read_raw(self, table: str) -> DataFrame:
+        """Read with partition values kept as RAW strings ("01" must not
+        become 1 — align_to_schema casts per the stored schema). The
+        inference conf is session-global, so save/restore it around the
+        (eager) schema+partition discovery instead of mutating the
+        caller's session permanently."""
         p = self._path(table)
-        return self.spark.read.option("basePath", p).parquet(p)
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = self.spark.conf.get(key, None)
+        self.spark.conf.set(key, "false")
+        try:
+            return self.spark.read.option("basePath", p).parquet(p)
+        finally:
+            if prev is None:
+                self.spark.conf.unset(key)
+            else:
+                self.spark.conf.set(key, prev)
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame | None:
         p = self._path(table)
+        self._recover(table)
         if not os.path.exists(p):
             return None
         df = self._read_raw(table)
@@ -159,13 +169,60 @@ class ParquetIncrementalSink:
         walk(root, "", 0)
         return leaves
 
+    def _manifest_path(self, table: str) -> str:
+        return self._path(table) + ".commit.json"
+
+    def _recover(self, table: str) -> None:
+        """Crash recovery for an interrupted partition swap. The
+        manifest written before a swap records staging/trash paths and
+        the partitions in flight; plain directory renames cannot be
+        made jointly atomic, so recovery restores a consistent state:
+
+        - staging dir still present -> the swap did not finish: roll
+          BACK every manifest partition from trash (the pre-swap
+          copies), then drop staging/trash. The interrupted load simply
+          re-runs (loads are idempotent by design).
+        - staging gone -> every partition was swapped and only cleanup
+          was interrupted: roll FORWARD (drop trash + manifest).
+        """
+        import json
+
+        mp = self._manifest_path(table)
+        if not os.path.exists(mp):
+            return
+        with open(mp) as f:
+            m = json.load(f)
+        p = self._path(table)
+        if os.path.exists(m["staging"]):
+            for rel in m["partitions"]:
+                tdir = os.path.join(m["trash"], rel)
+                if os.path.exists(tdir):
+                    dst = os.path.join(p, rel)
+                    if os.path.exists(dst):
+                        shutil.rmtree(dst, ignore_errors=True)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.rename(tdir, dst)
+            shutil.rmtree(m["staging"], ignore_errors=True)
+        shutil.rmtree(m["trash"], ignore_errors=True)
+        os.remove(mp)
+
     def _swap_partitions(self, staging: str, table: str, depth: int) -> None:
         """Replace only the partition dirs present in ``staging`` —
         untouched partitions' files are never rewritten (asserted by
-        test_incremental.test_untouched_partitions_not_rewritten)."""
+        test_incremental.test_untouched_partitions_not_rewritten).
+
+        A commit manifest makes the multi-rename sequence recoverable
+        (see :meth:`_recover`); on Delta/Iceberg this whole method is
+        one atomic MERGE/replaceWhere commit."""
+        import json
+
         p = self._path(table)
         trash = p + ".trash-" + uuid.uuid4().hex[:8]
-        for rel in self._leaf_partition_dirs(staging, depth):
+        leaves = self._leaf_partition_dirs(staging, depth)
+        mp = self._manifest_path(table)
+        with open(mp, "w") as f:
+            json.dump({"staging": staging, "trash": trash, "partitions": leaves}, f)
+        for rel in leaves:
             src = os.path.join(staging, rel)
             dst = os.path.join(p, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -176,6 +233,7 @@ class ParquetIncrementalSink:
             os.rename(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(trash, ignore_errors=True)
+        os.remove(mp)
 
     def _layout_partition_cols(self, table: str) -> list[str]:
         """Partition columns of an existing hive layout, read from the
@@ -235,7 +293,16 @@ class ParquetIncrementalSink:
         the same default partition; the reference keys (LINE, Server)
         are non-empty by construction.
         """
+        self._recover(table)
         new_aligned = align_to_schema(new_rows, schema)
+        # Batch partition keys: driver-side, bounded by the number of
+        # (LINE, Server) combinations in one load — tiny by design.
+        keys = new_aligned.select(*partition_cols).distinct().collect()
+        if not keys:
+            # Empty batch: the DELETE scope is the batch's keys — no
+            # keys, nothing to delete or append. (Also keeps an empty
+            # FIRST load from creating a rowless, schema-less dir.)
+            return
         if not os.path.exists(self._path(table)):
             self._atomic_write_partitioned(new_aligned, table, schema, partition_cols)
             return
@@ -250,24 +317,27 @@ class ParquetIncrementalSink:
             )
             return
         cutoff = watermark - timedelta(seconds=pad_seconds)
-        # Batch partition keys: driver-side, bounded by the number of
-        # (LINE, Server) combinations in one load — tiny by design.
-        keys = new_aligned.select(*partition_cols).distinct().collect()
+        # Partition cols read back as RAW strings (_read_raw); cast to
+        # the schema type BEFORE comparing so non-string keys match
+        # their hive encodings (str(True)='True' vs dir 'k=true',
+        # str(1e-07) vs '1.0E-7' — a string compare would silently
+        # match nothing and the swap would drop pre-cutoff survivors).
+        types = {f.name: f.dataType for f in schema.fields}
+        raw = self._read_raw(table)
+        for k in partition_cols:
+            raw = raw.withColumn(k, F.col(k).cast(types[k]))
         pred = None
         for row in keys:
             kc = None
             for k in partition_cols:
-                v = row[k]
-                # Partition cols read back as raw strings (type
-                # inference disabled in __init__); compare stringly.
-                c = F.col(k).isNull() if v is None else (F.col(k) == F.lit(str(v)))
-                kc = c if kc is None else kc & c
+                kc_part = F.col(k).eqNullSafe(F.lit(row[k]).cast(types[k]))
+                kc = kc_part if kc is None else kc & kc_part
             pred = kc if pred is None else pred | kc
         # coalesce: `ts >= cutoff` is NULL for NULL-ts rows and a bare
         # `~overlap` filter would silently drop them every load; the
         # reference DELETE (`ts >= cutoff`) keeps NULL-ts rows, so must we.
         overlap = F.coalesce(F.col(ts_col) >= F.lit(cutoff), F.lit(False))
-        scoped = self._read_raw(table).filter(pred)  # partition-pruned scan
+        scoped = raw.filter(pred)  # partition-pruned scan (string keys cast is a no-op)
         survivors = align_to_schema(scoped.filter(~overlap), schema)
         staging = self._path(table) + ".stage-" + uuid.uuid4().hex[:8]
         survivors.unionByName(new_aligned).write.mode("overwrite").partitionBy(

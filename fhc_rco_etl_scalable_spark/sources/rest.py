@@ -82,7 +82,7 @@ def kpi_scan(
     end_date: str,
     line_ids: str,
     kpi: str = "ScheduleTime",
-    pr_option: str = "PR%20In:",
+    pr_option: str = "PR In:",
 ) -> DataFrame:
     """S5: the ``GetProductionDaysKpis`` KPI endpoint adapter
     (reference ref/RCO_ProficyiODS_orchestrator.R:177-181,220-228):
@@ -95,10 +95,23 @@ def kpi_scan(
     Downstream: join the lines dim on PLId and aggregate per day —
     ``operators.aggregate.runtime_per_day`` (A3, reference :240).
     """
+    from urllib.parse import quote
+
+    # URL-encode every parameter (callers pass human-readable values
+    # like 'PR In:'); ':' and ',' stay literal — matching the exact
+    # URL shape the reference emits.
+    enc = {
+        k: quote(str(v), safe=":,")
+        for k, v in {
+            "startTime": start_date, "endTime": end_date, "ids": line_ids,
+            "kpi": kpi, "prOption": pr_option,
+        }.items()
+    }
     url = (
         f"{base_url}/API-iODS/api/Kpi/GetProductionDaysKpis"
-        f"?startTime={start_date}&endTime={end_date}"
-        f"&filterType=lines&ids={line_ids}&kpi={kpi}&prOption={pr_option}"
+        f"?startTime={enc['startTime']}&endTime={enc['endTime']}"
+        f"&filterType=lines&ids={enc['ids']}&kpi={enc['kpi']}"
+        f"&prOption={enc['prOption']}"
     )
     payload = fetch(url)
     page = {"items": payload} if isinstance(payload, list) else payload

@@ -424,3 +424,50 @@ def test_deterministic_sample_and_split_consistency(spark):
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
     assert sum(c.values()) == 2000  # weights sum to 1 -> everyone labeled
+
+
+def test_jaccard_max_df_is_per_block(spark):
+    # A gram saturating ONE block must be capped there even when its
+    # global document fraction is small (the O(df^2) hot-spot is the
+    # per-(block, gram) posting list).
+    rows = []
+    # block 'hot': every doc shares "shared gram here" + one rare gram
+    for i in range(8):
+        rows.append((i, f"shared gram here uniq{i} tail{i} word{i}", "hot"))
+    # block 'cold': enough docs that the hot gram's GLOBAL df is <50%
+    for i in range(100, 140):
+        rows.append((i, f"cold text number{i} other{i} things{i}", "cold"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.jaccard_pairs(df, "doc_id", "text", ["blk"], threshold=0.01).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in DD.jaccard_pairs(
+            df, "doc_id", "text", ["blk"], threshold=0.01, max_df=0.5
+        ).collect()
+    }
+    # every emitted score exact; the hot-block pairs share ONLY the
+    # saturating gram, so the per-block cap excludes them (global df of
+    # that gram is 8/48 < 0.5 — a global cap would NOT have fired).
+    for p, j in capped.items():
+        assert j == exact[p]
+    hot_pairs = [p for p in exact if p[0] < 100 and p[1] < 100]
+    assert hot_pairs and all(p not in capped for p in hot_pairs)
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iterations=2)
+
+
+def test_stratified_split_thirds_full_coverage(spark):
+    docs = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    out = DD.stratified_split(docs, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
+    assert out.filter(F.col("split").isNull()).count() == 0

@@ -227,3 +227,94 @@ def test_append_into_partitioned_table_follows_layout(spark, tmp_path):
     assert os.path.isdir(os.path.join(table_dir, "LINE=L2", "Server=S"))
     got = _collect(sink, "co")
     assert got == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])
+
+
+def test_delete_overlap_empty_batch_is_noop(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t9"))
+    wm = T0 - timedelta(minutes=30)
+    seed = _rows(spark, [("a", "L1", -120, 1.0, "S")])
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    before = _collect(sink, "co")
+    empty = _rows(spark, [])
+    sink.delete_overlap_append(empty, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    assert _collect(sink, "co") == before
+    # empty FIRST load must not create an unreadable schema-less dir
+    sink2 = ParquetIncrementalSink(spark, str(tmp_path / "t9b"))
+    sink2.delete_overlap_append(empty, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    assert sink2.read("co") is None
+
+
+def test_delete_overlap_nonstring_partition_key(spark, tmp_path):
+    # bool/int partition keys: hive dir encoding ('k=true', 'k=7') must
+    # round-trip through the typed predicate — a string compare against
+    # str(True)='True' would match nothing and drop survivors.
+    sch = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t10"))
+    wm = T0 - timedelta(minutes=30)
+    seed = spark.createDataFrame(
+        [("old", True, 7, T0 - timedelta(days=2)), ("keep", False, 8, T0)], sch
+    )
+    sink.delete_overlap_append(
+        seed, "t", sch, "ts", watermark=wm - timedelta(days=7),
+        partition_cols=("flag", "n"),
+    )
+    batch = spark.createDataFrame([("new", True, 7, T0)], sch)
+    sink.delete_overlap_append(
+        batch, "t", sch, "ts", watermark=wm, partition_cols=("flag", "n")
+    )
+    got = sorted((r.id, r.flag, r.n) for r in sink.read("t").collect())
+    # 'old' is pre-cutoff in the touched (true,7) partition -> survives
+    assert got == [("keep", False, 8), ("new", True, 7), ("old", True, 7)]
+
+
+def test_crash_recovery_rolls_back_interrupted_swap(spark, tmp_path):
+    import json
+    import os
+    import shutil
+
+    root = str(tmp_path / "t11")
+    sink = ParquetIncrementalSink(spark, root)
+    wm = T0 - timedelta(minutes=30)
+    seed = _rows(spark, [("a", "L1", -120, 1.0, "S"), ("b", "L2", 0, 2.0, "S")])
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    before = _collect(sink, "co")
+    table_dir = os.path.join(root, "co")
+
+    # simulate a crash mid-swap: partition L1 moved to trash, staging
+    # still present, manifest on disk
+    staging = table_dir + ".stage-test"
+    trash = table_dir + ".trash-test"
+    os.makedirs(os.path.join(staging, "LINE=L1"))
+    shutil.move(
+        os.path.join(table_dir, "LINE=L1", "Server=S"),
+        os.path.join(trash, "LINE=L1", "Server=S"),
+    )
+    with open(table_dir + ".commit.json", "w") as f:
+        json.dump(
+            {"staging": staging, "trash": trash,
+             "partitions": ["LINE=L1/Server=S"]}, f,
+        )
+    # next read triggers rollback: pre-swap state restored, junk gone
+    assert _collect(sink, "co") == before
+    assert not os.path.exists(staging) and not os.path.exists(trash)
+    assert not os.path.exists(table_dir + ".commit.json")
+
+
+def test_sink_does_not_leak_session_conf(spark, tmp_path):
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    before = spark.conf.get(key, None)
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t12"))
+    wm = T0 - timedelta(minutes=30)
+    sink.delete_overlap_append(
+        _rows(spark, [("a", "L1", 0, 1.0, "S")]), "co", CO_SCHEMA,
+        "CO_StartTime", watermark=wm,
+    )
+    sink.read("co").collect()
+    assert spark.conf.get(key, None) == before
