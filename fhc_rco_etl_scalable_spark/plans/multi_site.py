@@ -19,6 +19,7 @@ from datetime import datetime
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import types as T
 
 from .rco_pipeline import SiteParams
 from .site_etl import site_etl
@@ -59,3 +60,62 @@ def run_all_sites(
 
     with ThreadPoolExecutor(max_workers=max_parallel_sites) as pool:
         return dict(pool.map(one, runs))
+
+
+# ---------------------------------------------------------------------------
+# Standard persistence stage: the reference orchestrator's per-table
+# load semantics (ref/RCO_Overall_orchestrator.R:304-394 delete+append
+# with -10 s pad, :362 Gantt (15+5) min pad, :556-585 BRANDCODE merge,
+# :236-282/:502-546 Script_Data upsert), expressed over the
+# partition-scoped parquet sink. ``run_all_sites(runs,
+# incremental_site_loader(sink, watermark))`` is the whole E1 lifecycle.
+# ---------------------------------------------------------------------------
+
+# table -> (mode, time column | merge keys, delete-scope keys, pad seconds)
+_LOAD_SPECS: dict[str, tuple] = {
+    "CO_Aggregated_Data": ("delete_overlap", "CO_StartTime", ("LINE", "Server"), 10.0),
+    "CO_Event_Log": ("delete_overlap", "START_TIME", ("LINE", "Server"), 10.0),
+    "First_Stop_after_CO_Data": ("delete_overlap", "CO_EndTime", ("LINE", "Server"), 10.0),
+    "Gantt_Data": ("delete_overlap", "StartTime", ("Line", "Server"), 1200.0),
+    "Event_Log_for_Gantt": ("delete_overlap", "START_TIME", ("Line", "Server"), 1200.0),
+    "Runtime_per_Day_data": ("delete_overlap", "Date", ("LINE", "Server"), 0.0),
+    "BRANDCODE_data": ("merge", ("BRANDCODE", "Server"), None, None),
+    "Script_Data": ("upsert", ("System", "Server"), None, None),
+}
+
+
+def incremental_site_loader(
+    sink, watermark: datetime
+) -> Callable[[str, dict[str, DataFrame]], None]:
+    """Build the ``load`` callback for :func:`run_all_sites`: every
+    output table lands with the reference's incremental semantics over
+    a :class:`~..sinks.incremental.ParquetIncrementalSink`. ``watermark``
+    is the analysis-window start (the delete cutoff anchor) — at scale
+    derived per run via ``sinks.incremental.lookback_start``."""
+    from ..schemas import OUTPUT_SCHEMAS
+
+    def load(server: str, outputs: dict[str, DataFrame]) -> None:
+        for name, df in outputs.items():
+            spec = _LOAD_SPECS.get(name)
+            schema = OUTPUT_SCHEMAS.get(name)
+            if spec is None or schema is None:
+                continue
+            mode, arg, scope, pad = spec
+            if mode == "delete_overlap":
+                # Date-grained tables delete whole days: floor the
+                # cutoff to midnight or a mid-day watermark strands the
+                # watermark-day row as a survivor while the batch
+                # re-adds its recomputed twin.
+                wm = watermark
+                if isinstance(schema[arg].dataType, T.DateType):
+                    wm = datetime.combine(watermark.date(), datetime.min.time())
+                sink.delete_overlap_append(
+                    df, name, schema, ts_col=arg, watermark=wm,
+                    partition_cols=scope, pad_seconds=pad,
+                )
+            elif mode == "merge":
+                sink.merge_dedup_overwrite(df, name, schema, key=arg)
+            else:
+                sink.upsert_script_data(df, name, schema, keys=arg)
+
+    return load

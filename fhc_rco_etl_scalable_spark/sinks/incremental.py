@@ -384,17 +384,19 @@ class ParquetIncrementalSink:
         new_rows: DataFrame,
         table: str,
         schema: T.StructType,
-        key: str = "BRANDCODE",
+        key: str | tuple[str, ...] = "BRANDCODE",
     ) -> None:
         """S10: historical rows whose key is absent from the new batch
         are kept; everything else comes from the batch (reference
-        R:556-585 anti-join + rewrite)."""
-        new_aligned = align_to_schema(new_rows, schema).dropDuplicates([key])
+        R:556-585 anti-join + rewrite). ``key`` may be composite —
+        (BRANDCODE, Server) when several sites share the master table."""
+        keys = [key] if isinstance(key, str) else list(key)
+        new_aligned = align_to_schema(new_rows, schema).dropDuplicates(keys)
         existing = self.read(table, schema)
         if existing is None:
             self._atomic_write(new_aligned, table, schema)
             return
-        keep = existing.join(new_aligned.select(key), key, "left_anti")
+        keep = existing.join(new_aligned.select(*keys), keys, "left_anti")
         self._atomic_write(keep.unionByName(new_aligned), table, schema)
 
     def upsert_script_data(

@@ -79,3 +79,67 @@ def test_brandcode_master_is_fully_lazy(spark):
     assert after == before, "brandcode_master ran a Spark job during plan construction"
     rows = {r.BRANDCODE: r.BRANDNAME for r in master.collect()}
     assert rows == {"B1": "Alpha", "B2": "Beta", "B3": "Gamma"}
+
+
+def test_incremental_site_loader_end_to_end(spark, tmp_path):
+    # The whole E1 lifecycle: site ETL -> incremental_site_loader ->
+    # partition-scoped sink, run twice with the same window ->
+    # idempotent tables (the reference's overlap re-extraction contract).
+    from fhc_rco_etl_scalable_spark.plans.multi_site import incremental_site_loader
+    from fhc_rco_etl_scalable_spark.sinks.incremental import ParquetIncrementalSink
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "wh"))
+    wm = T0 - timedelta(days=1)
+    runs = [SiteRun(SiteParams(server="S1"), _dt(spark, "L1"))]
+    log = run_all_sites(
+        runs, incremental_site_loader(sink, wm),
+        data_update_time=datetime(2026, 1, 1),
+    )
+    assert log["S1"] == "Success"
+    first = {
+        name: sorted(map(tuple, sink.read(name).collect()))
+        for name in ["CO_Aggregated_Data", "CO_Event_Log", "Script_Data",
+                     "Runtime_per_Day_data", "Gantt_Data"]
+        if sink.read(name) is not None
+    }
+    assert first["CO_Aggregated_Data"], "no CO rows landed"
+    # second identical run: delete-overlap + merge + upsert make it a no-op
+    log2 = run_all_sites(
+        runs, incremental_site_loader(sink, wm),
+        data_update_time=datetime(2026, 1, 1),
+    )
+    assert log2["S1"] == "Success"
+    second = {
+        name: sorted(map(tuple, sink.read(name).collect())) for name in first
+    }
+    assert second == first
+
+
+def test_loader_floors_date_grained_cutoff(spark, tmp_path):
+    # Mid-day watermark + Date-keyed Runtime table: the watermark-day
+    # row must be deleted and re-added, not duplicated.
+    from fhc_rco_etl_scalable_spark.plans.multi_site import incremental_site_loader
+    from fhc_rco_etl_scalable_spark.sinks.incremental import ParquetIncrementalSink
+
+    from pyspark.sql import functions as F
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "wh2"))
+    # two days of data (first-day elimination would otherwise drop the
+    # single day and Runtime_per_Day would be empty)
+    day1 = _dt(spark, "L1")
+    day2 = day1.withColumn(
+        "START_TIME", F.col("START_TIME") + F.expr("INTERVAL 1 DAY")
+    ).withColumn(
+        "END_TIME", F.col("END_TIME") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("downtime_id", F.concat(F.col("downtime_id"), F.lit("_d2")))
+    runs = [SiteRun(SiteParams(server="S1"), day1.unionByName(day2))]
+    midday_wm = (T0 + timedelta(days=1)).replace(hour=12)  # mid-day on day 2
+    for _ in range(2):
+        log = run_all_sites(
+            runs, incremental_site_loader(sink, midday_wm),
+            data_update_time=datetime(2026, 1, 1),
+        )
+        assert log["S1"] == "Success"
+    rpd = sink.read("Runtime_per_Day_data").collect()
+    keys = [(r.Date, r.LINE) for r in rpd]
+    assert len(keys) == len(set(keys)), f"duplicate (Date, LINE) rows: {keys}"
