@@ -126,3 +126,22 @@ def rolling_hashes(text: Column | str, window: int = 5) -> Column:
         idx,
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
     )
+
+
+# Public-knowledge scrub patterns (C4/Gopher-style corpus cleaning):
+# emails, URLs, long digit runs (phone/account numbers).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "digits": r"\b\d{7,}\b",
+}
+
+
+def scrub_pii(text: Column | str, replacement: str = " ") -> Column:
+    """Corpus-prep scrub: emails, URLs and long digit runs replaced
+    (C4-style cheap PII pass). Chained native regexp_replace — one
+    projection, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, replacement)
+    return c

@@ -638,3 +638,35 @@ def stratified_split(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         lo = hi
     return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming sequence packing: assign each doc to a training bin of
+    ~``budget`` tokens, in deterministic id order. Bin id = floor of the
+    EXCLUSIVE running token sum / budget — the standard one-pass packing
+    used to batch pretraining data (docs longer than the budget get a
+    bin to themselves by construction).
+
+    Shape: one window over (partition_cols, id order). With
+    ``partition_cols`` (e.g. a split or shard column) the cumsum is
+    per-shard and the whole pack parallelizes; without, it is a single
+    global ordering — correct, but the degenerate single-partition
+    window, so always shard first at scale.
+    """
+    from pyspark.sql import Window
+
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*parts).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.withColumn(
+        "bin", F.floor(running / F.lit(budget)).cast("long")
+    )

@@ -3023,3 +3023,55 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing + PII scrub — remaining training-pipeline staples.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pack_sequences",
+    """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT *, coalesce(sum(n_tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run
+  FROM t
+)
+SELECT doc_id, lang, n_tokens, CAST(run // 512 AS BIGINT) AS bin FROM r
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (per-lang shards, 512-token bins)
+    — exclusive running sum // budget, deterministic id order."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens")
+    )
+    return DD.pack_sequences(
+        docs, "doc_id", "n_tokens", budget=512, partition_cols=["lang"]
+    )
+
+
+@query(
+    "pii_scrub",
+    r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', ' ', 'g'),
+           'https?://[^\s]+', ' ', 'g'),
+         '\b\d{7,}\b', ' ', 'g') AS clean_text
+FROM documents
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cheap PII pass: emails, URLs, long digit runs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", TX.scrub_pii("text").alias("clean_text"))

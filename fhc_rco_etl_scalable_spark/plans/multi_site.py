@@ -92,9 +92,24 @@ def incremental_site_loader(
     a :class:`~..sinks.incremental.ParquetIncrementalSink`. ``watermark``
     is the analysis-window start (the delete cutoff anchor) — at scale
     derived per run via ``sinks.incremental.lookback_start``."""
+    import threading
+
     from ..schemas import OUTPUT_SCHEMAS
 
+    # The sink's read-modify-swap on a shared table directory is not
+    # safe under run_all_sites' thread pool (two sites loading the same
+    # table would each stage against the same pre-state and one swap
+    # would win). Commits are serialized; each site's Spark jobs still
+    # use the whole cluster while they hold the lock, so compute
+    # parallelism is preserved within a load. (Delta/Iceberg replace
+    # this lock with optimistic transactional commits.)
+    lock = threading.Lock()
+
     def load(server: str, outputs: dict[str, DataFrame]) -> None:
+        with lock:
+            _load_unlocked(server, outputs)
+
+    def _load_unlocked(server: str, outputs: dict[str, DataFrame]) -> None:
         for name, df in outputs.items():
             spec = _LOAD_SPECS.get(name)
             schema = OUTPUT_SCHEMAS.get(name)

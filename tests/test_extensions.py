@@ -471,3 +471,30 @@ def test_stratified_split_thirds_full_coverage(spark):
     docs = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
     out = DD.stratified_split(docs, "doc_id", {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3})
     assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_pack_sequences_bins(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (4, 900), (5, 50)],
+        "doc_id long, n_tokens int",
+    )
+    out = {r.doc_id: r.bin for r in DD.pack_sequences(
+        docs, "doc_id", "n_tokens", budget=512).collect()}
+    # exclusive running sums: 0,100,400,600,1500 -> bins 0,0,0,1,2
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 2}
+
+
+def test_scrub_pii():
+    from fhc_rco_etl_scalable_spark.functions.text import scrub_pii
+    import pyspark.sql.functions as SF  # noqa: F401
+
+    # column-level check via a tiny local frame in the shared session
+    # is covered by the pii_scrub oracle; here assert pattern behavior
+    import re
+    from fhc_rco_etl_scalable_spark.functions.text import PII_PATTERNS
+
+    s = "mail me a@b.co or visit https://x.y/z?q=1 call 12345678 ok 123"
+    for pat in PII_PATTERNS.values():
+        s = re.sub(pat, " ", s)
+    assert "a@b.co" not in s and "https" not in s and "12345678" not in s
+    assert "123" in s  # short digit runs survive

@@ -143,3 +143,25 @@ def test_loader_floors_date_grained_cutoff(spark, tmp_path):
     rpd = sink.read("Runtime_per_Day_data").collect()
     keys = [(r.Date, r.LINE) for r in rpd]
     assert len(keys) == len(set(keys)), f"duplicate (Date, LINE) rows: {keys}"
+
+
+def test_concurrent_sites_shared_tables_no_lost_updates(spark, tmp_path):
+    # 3 sites load the SAME warehouse tables from parallel threads; the
+    # serialized commit stage must not lose any site's rows.
+    from fhc_rco_etl_scalable_spark.plans.multi_site import incremental_site_loader
+    from fhc_rco_etl_scalable_spark.sinks.incremental import ParquetIncrementalSink
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "wh3"))
+    wm = T0 - timedelta(days=1)
+    runs = [
+        SiteRun(SiteParams(server=f"S{i}"), _dt(spark, f"L{i}")) for i in range(3)
+    ]
+    log = run_all_sites(
+        runs, incremental_site_loader(sink, wm), max_parallel_sites=3,
+        data_update_time=datetime(2026, 1, 1),
+    )
+    assert all(v == "Success" for v in log.values())
+    co = sink.read("CO_Aggregated_Data").collect()
+    assert {r.Server for r in co} == {"S0", "S1", "S2"}
+    sd = sink.read("Script_Data").collect()
+    assert {r.Server for r in sd} == {"S0", "S1", "S2"}
