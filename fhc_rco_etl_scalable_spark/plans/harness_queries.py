@@ -3075,3 +3075,50 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style cheap PII pass: emails, URLs, long digit runs."""
     docs = load_table(spark, "documents", sf_dir)
     return docs.select("doc_id", TX.scrub_pii("text").alias("clean_text"))
+
+
+@query(
+    "session_window_native",
+    """
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+trig AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 21600000000 THEN 1
+            ELSE 0 END AS t
+  FROM lagged
+),
+sess AS (
+  SELECT *, sum(t) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sn
+  FROM trig
+)
+SELECT user_id, min(ts) AS s_start,
+       max(ts) + INTERVAL 6 HOUR AS s_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sn
+""",
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in fixed-gap ``session_window`` (the native
+    operator the custom 4-clause sessionizer generalizes): 6-hour gap
+    sessions per user; window end = last event + gap. Oracle is the
+    classic lag/cumsum islands formulation."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "total_value",
+        )
+    )
