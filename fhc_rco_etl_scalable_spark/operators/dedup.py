@@ -650,8 +650,9 @@ def pack_sequences(
     """Streaming sequence packing: assign each doc to a training bin of
     ~``budget`` tokens, in deterministic id order. Bin id = floor of the
     EXCLUSIVE running token sum / budget — the standard one-pass packing
-    used to batch pretraining data (docs longer than the budget get a
-    bin to themselves by construction).
+    used to batch pretraining data. A doc longer than the budget forces
+    its SUCCESSOR into a fresh bin (its own bin may still hold earlier
+    short docs — this is streaming packing, not bin isolation).
 
     Shape: one window over (partition_cols, id order). With
     ``partition_cols`` (e.g. a split or shard column) the cumsum is

@@ -3051,7 +3051,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (per-lang shards, 512-token bins)
     — exclusive running sum // budget, deterministic id order."""
     docs = load_table(spark, "documents", sf_dir).select(
-        "doc_id", "lang", F.size(TX.tokens("text")).alias("n_tokens")
+        "doc_id", "lang", TX.token_count("text").alias("n_tokens")
     )
     return DD.pack_sequences(
         docs, "doc_id", "n_tokens", budget=512, partition_cols=["lang"]
@@ -3081,7 +3081,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_native",
     """
 WITH lagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, event_id, ts, value,
          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ),
@@ -3092,7 +3092,7 @@ trig AS (
   FROM lagged
 ),
 sess AS (
-  SELECT *, sum(t) OVER (PARTITION BY user_id ORDER BY ts
+  SELECT *, sum(t) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING) AS sn
   FROM trig
 )

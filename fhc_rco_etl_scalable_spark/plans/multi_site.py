@@ -15,10 +15,11 @@ from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timedelta
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .rco_pipeline import SiteParams
@@ -99,31 +100,51 @@ def incremental_site_loader(
     # The sink's read-modify-swap on a shared table directory is not
     # safe under run_all_sites' thread pool (two sites loading the same
     # table would each stage against the same pre-state and one swap
-    # would win). Commits are serialized; each site's Spark jobs still
-    # use the whole cluster while they hold the lock, so compute
-    # parallelism is preserved within a load. (Delta/Iceberg replace
-    # this lock with optimistic transactional commits.)
+    # would win). Commits are serialized — but each output is
+    # MATERIALIZED (localCheckpoint) before the lock is taken, so the
+    # site's heavy compute runs with full cluster parallelism outside
+    # the critical section and the sink's multiple actions per table
+    # (key collect + write) read the checkpointed result instead of
+    # re-running the site DAG each time. (Delta/Iceberg replace this
+    # lock with optimistic transactional commits.)
     lock = threading.Lock()
 
     def load(server: str, outputs: dict[str, DataFrame]) -> None:
+        unknown = set(outputs) - set(_LOAD_SPECS)
+        if unknown:
+            # a renamed/new output silently not persisted would be data
+            # loss with a green run log — fail the site instead
+            raise ValueError(f"no load spec for output table(s): {sorted(unknown)}")
+        materialized = {
+            name: df.localCheckpoint(eager=True) for name, df in outputs.items()
+        }
         with lock:
-            _load_unlocked(server, outputs)
+            _load_unlocked(server, materialized)
 
     def _load_unlocked(server: str, outputs: dict[str, DataFrame]) -> None:
         for name, df in outputs.items():
-            spec = _LOAD_SPECS.get(name)
-            schema = OUTPUT_SCHEMAS.get(name)
-            if spec is None or schema is None:
-                continue
+            spec = _LOAD_SPECS[name]
+            schema = OUTPUT_SCHEMAS[name]
             mode, arg, scope, pad = spec
             if mode == "delete_overlap":
-                # Date-grained tables delete whole days: floor the
-                # cutoff to midnight or a mid-day watermark strands the
-                # watermark-day row as a survivor while the batch
-                # re-adds its recomputed twin.
                 wm = watermark
                 if isinstance(schema[arg].dataType, T.DateType):
-                    wm = datetime.combine(watermark.date(), datetime.min.time())
+                    # Date-grained tables delete whole DAYS. The batch
+                    # is the POST-elimination rollup (first-day already
+                    # dropped), so its min Date is precisely the first
+                    # day this batch re-adds — delete from there.
+                    # Anchoring on the watermark instead deletes the
+                    # watermark-day row the batch can never re-add when
+                    # extraction starts ON the watermark day (the
+                    # reference avoids that only by convention:
+                    # extraction starts at watermark-day minus 1,
+                    # R:172-175). A line with no events in part of the
+                    # deleted range simply has no rows there to re-add —
+                    # matching the recomputation, not stale history.
+                    first = df.agg(F.min(arg).alias("m")).first().m
+                    if first is None:
+                        continue  # empty batch: nothing to delete/add
+                    wm = datetime.combine(first, datetime.min.time())
                 sink.delete_overlap_append(
                     df, name, schema, ts_col=arg, watermark=wm,
                     partition_cols=scope, pad_seconds=pad,

@@ -90,7 +90,12 @@ def test_incremental_site_loader_end_to_end(spark, tmp_path):
 
     sink = ParquetIncrementalSink(spark, str(tmp_path / "wh"))
     wm = T0 - timedelta(days=1)
-    runs = [SiteRun(SiteParams(server="S1"), _dt(spark, "L1"))]
+    production = spark.createDataFrame(
+        [("A", "Fam:Alpha", "FA", "G1", 6, 2.0), ("B", "Fam:Beta", "FB", "G1", 12, 3.0)],
+        "BRANDCODE string, ProdDesc string, ProdFam string, ProdGroup string,"
+        " FirstPackCount int, StatFactor double",
+    )
+    runs = [SiteRun(SiteParams(server="S1"), _dt(spark, "L1"), production=production)]
     log = run_all_sites(
         runs, incremental_site_loader(sink, wm),
         data_update_time=datetime(2026, 1, 1),
@@ -99,10 +104,11 @@ def test_incremental_site_loader_end_to_end(spark, tmp_path):
     first = {
         name: sorted(map(tuple, sink.read(name).collect()))
         for name in ["CO_Aggregated_Data", "CO_Event_Log", "Script_Data",
-                     "Runtime_per_Day_data", "Gantt_Data"]
+                     "Runtime_per_Day_data", "Gantt_Data", "BRANDCODE_data"]
         if sink.read(name) is not None
     }
     assert first["CO_Aggregated_Data"], "no CO rows landed"
+    assert first["BRANDCODE_data"], "no brandcode rows landed"
     # second identical run: delete-overlap + merge + upsert make it a no-op
     log2 = run_all_sites(
         runs, incremental_site_loader(sink, wm),
