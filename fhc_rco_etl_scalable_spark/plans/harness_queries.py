@@ -3122,3 +3122,27 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@query(
+    "percentile_stats",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+)
+def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile``
+    == DuckDB ``quantile_cont``: same linear-interpolation definition,
+    so values hash-match bit-for-bit after sink rounding). At 100 TB
+    swap for ``approx_percentile`` (t-digest, one pass, no full sort)
+    — exactness here is what makes the oracle comparison possible."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
