@@ -3146,3 +3146,61 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@query(
+    "sql_api_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end: register the harness tables as temp
+    views and run a TPC-H-Q1-style pricing summary as SQL TEXT through
+    spark.sql — same Catalyst plan as the DataFrame API, proving the
+    engine's second query surface against the same oracle."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "rollup_aggregate",
+    """
+SELECT event_type, user_id % 4 AS shard,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY ROLLUP (event_type, (user_id % 4))
+""",
+)
+def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (subtotals + grand total with NULL-marked
+    levels) — Spark's rollup and ANSI ROLLUP share NULL semantics, so
+    every level hash-matches."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    return ev.rollup("event_type", "shard").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
