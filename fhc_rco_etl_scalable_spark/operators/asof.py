@@ -58,8 +58,28 @@ def asof_join(
     on = list(on)
     value_cols = list(value_cols)
     tie_break = list(tie_break)
+    clash = [c for c in value_cols if c in left.columns]
+    if clash:
+        # duplicate output names would analyze fine here but throw
+        # AMBIGUOUS_REFERENCE at the caller's next select — fail fast
+        raise ValueError(
+            f"value_cols {clash} already exist in left; alias them first"
+        )
+    missing_tb = [c for c in tie_break if c not in right.columns]
+    if missing_tb:
+        raise ValueError(f"tie_break columns not in right: {missing_tb}")
 
     from pyspark.sql import types as T
+
+    # SQL join semantics: a NULL join key matches nothing. The window
+    # formulation would otherwise group NULL-key rows together
+    # (partitionBy treats NULLs as equal) and let a NULL-key right row
+    # donate values — diverging from asof_join_range and the reference.
+    null_key = None
+    for k in on:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    right = right.filter(~null_key)
 
     v_struct_type = T.StructType(
         [T.StructField(c, right.schema[c].dataType) for c in value_cols]
@@ -71,7 +91,7 @@ def asof_join(
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(v_struct_type).alias("__v"),
-        *[F.lit(None).cast(right.schema[c].dataType if c in right.columns else "string").alias(f"__tb_{c}") for c in tie_break],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__tb_{c}") for c in tie_break],
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_keep if c not in on],
@@ -88,18 +108,26 @@ def asof_join(
     # row at equal ts (so they're visible); strict wants them AFTER.
     # backward non-strict / forward strict: right row sorts before an
     # equal-ts left row so the left row can(not) see it as appropriate.
+    #
+    # BOTH directions use the GROWING frame (unboundedPreceding, 0) +
+    # last(ignorenulls): Spark executes it as an O(n) incremental scan,
+    # while (0, unboundedFollowing) + first re-evaluates the remaining
+    # rows per row — O(n²) per partition, a hung stage on a hot key at
+    # scale. Forward is expressed as backward over the REVERSED sort
+    # (every key inverted), which selects the identical row.
     right_first = (direction == "backward") != strict
-    order = [F.col("__ts").asc()]
-    order.append(F.col("__is_left").asc() if right_first else F.col("__is_left").desc())
-    order += [F.col(f"__tb_{c}").asc() for c in tie_break]
+    backward = direction == "backward"
+
+    def _dir(c: Column, asc: bool) -> Column:
+        return c.asc() if asc == backward else c.desc()
+
+    order = [_dir(F.col("__ts"), True)]
+    order.append(_dir(F.col("__is_left"), right_first))
+    order += [_dir(F.col(f"__tb_{c}"), True) for c in tie_break]
 
     w = Window.partitionBy(*on).orderBy(*order)
-    if direction == "backward":
-        frame = w.rowsBetween(Window.unboundedPreceding, 0)
-        pick = F.last("__v", ignorenulls=True).over(frame)
-    else:
-        frame = w.rowsBetween(0, Window.unboundedFollowing)
-        pick = F.first("__v", ignorenulls=True).over(frame)
+    frame = w.rowsBetween(Window.unboundedPreceding, 0)
+    pick = F.last("__v", ignorenulls=True).over(frame)
 
     out = unioned.withColumn("__pick", pick).filter(F.col("__is_left") == 1)
     return out.select(
@@ -136,6 +164,8 @@ def asof_join_range(
     equi-join on ``on`` + range filter; with a small anchor side AQE
     broadcasts it.
     """
+    if pick not in ("first", "last"):
+        raise ValueError(f"pick must be 'first' or 'last' (got {pick!r})")
     # Alias-prefix EVERY event column (keys included): anchors and
     # events often share lineage (both derive from the same event log),
     # and unprefixed key columns would carry identical attribute IDs

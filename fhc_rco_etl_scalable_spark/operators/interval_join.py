@@ -34,6 +34,7 @@ def interval_overlap_join(
     bucketed: bool = False,
     bucket_seconds: int = 86400,
     point_end: str | None = None,
+    max_span_buckets: int | None = None,
 ) -> DataFrame:
     """Join each interval row to every point row with the same keys and
     ``interval_start <= point_ts < interval_end`` (half-open, matching
@@ -46,6 +47,13 @@ def interval_overlap_join(
 
     Column collisions between the two sides must be resolved by the
     caller (select/alias) — only ``on`` keys may be shared.
+
+    ``max_span_buckets`` (bucketed path): clamp each row's bucket
+    explosion — one corrupt interval with a sentinel far-future end
+    (e.g. 9999-12-31 from an SCD-style extract) would otherwise emit
+    millions of bucket rows and OOM the executor. Rows clamped lose
+    matches beyond the cap, so set it well above the legitimate
+    maximum span (or pre-filter sentinels); ``None`` = unbounded.
     """
     on = list(on)
 
@@ -72,6 +80,13 @@ def interval_overlap_join(
         raise ValueError(
             f"bucketed interval join supports how in ('inner','left') (got {how!r})"
         )
+    # Per-row ids make the multi-bucket dedup and the left-path
+    # anti-join exact MULTISET operations: duplicate input rows stay
+    # distinct (bucketed=True must be a drop-in switch for the plain
+    # path, not a distinct-ifying one). monotonically_increasing_id is
+    # stable for deterministic scans; the left path's checkpoint
+    # freezes the ids before they are used twice.
+    iv_base = intervals.withColumn("__iv_id", F.monotonically_increasing_id())
     if how == "left":
         # the left path reads `intervals` twice (probe side + unmatched
         # anti-join) and `inner` twice (projection + matched keys);
@@ -79,27 +94,21 @@ def interval_overlap_join(
         # upstream lineage — for windowed session inputs that tripled
         # the query. localCheckpoint keeps attribute ids, so the
         # iv[c]/pt[c] references below still resolve.
-        intervals = intervals.localCheckpoint(eager=False)
+        iv_base = iv_base.localCheckpoint(eager=False)
     b = F.lit(bucket_seconds)
-    iv = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(interval_start).cast("double") / b),
-                F.floor(F.col(interval_end).cast("double") / b),
-            )
-        ),
-    )
+
+    def _bucket_seq(lo: str, hi: str) -> F.Column:
+        lo_b = F.floor(F.col(lo).cast("double") / b)
+        hi_b = F.floor(F.col(hi).cast("double") / b)
+        if max_span_buckets is not None:
+            hi_b = F.least(hi_b, lo_b + F.lit(max_span_buckets))
+        return F.explode(F.sequence(lo_b, hi_b))
+
+    iv = iv_base.withColumn("__bucket", _bucket_seq(interval_start, interval_end))
     if point_end is not None:
         pt = points.withColumn(
-            "__bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(point_ts).cast("double") / b),
-                    F.floor(F.col(point_end).cast("double") / b),
-                )
-            ),
-        )
+            "__pt_id", F.monotonically_increasing_id()
+        ).withColumn("__bucket", _bucket_seq(point_ts, point_end))
     else:
         pt = points.withColumn("__bucket", F.floor(F.col(point_ts).cast("double") / b))
     cond = None
@@ -109,31 +118,21 @@ def interval_overlap_join(
     cond = cond & _range(iv, pt)
     inner = iv.join(pt, cond, "inner").drop(iv["__bucket"]).drop(pt["__bucket"])
     if point_end is not None:
-        # interval x interval can match in several buckets — dedup on
-        # the FULL row so rows distinguished by any column survive
-        # (a key-subset dedup would collapse distinct interval ids;
-        # fully-identical input rows collapse — multiset caveat).
-        inner = inner.dropDuplicates()
+        # interval x interval can match in several buckets — dedup the
+        # (interval row, point row) PAIR by id, so duplicate input rows
+        # survive while bucket-induced repeat matches collapse.
+        inner = inner.dropDuplicates(["__iv_id", "__pt_id"]).drop("__pt_id")
     if how == "inner":
-        return inner
+        return inner.drop("__iv_id")
     inner = inner.localCheckpoint(eager=False)
-    # left: append a single null-extended row per interval that matched
-    # nothing (null-safe full-row anti-join; never-null window bounds
-    # make this exact for distinct interval rows). Matched keys are
-    # alias-prefixed — inner shares lineage with `intervals`, and bare
-    # column refs would collapse the anti-join condition to true.
+    # left: append a single null-extended row per interval ROW (by id)
+    # that matched nothing.
     pt_only = [c for c in points.columns if c not in intervals.columns]
     inner_proj = inner.select(
         *[iv[c] for c in intervals.columns], *[pt[c] for c in pt_only]
     )
-    matched = inner.select(
-        *[iv[c].alias(f"__m_{c}") for c in intervals.columns]
-    ).dropDuplicates()
-    anti_cond = None
-    for c in intervals.columns:
-        eq = intervals[c].eqNullSafe(F.col(f"__m_{c}"))
-        anti_cond = eq if anti_cond is None else (anti_cond & eq)
-    unmatched = intervals.join(matched, anti_cond, "left_anti")
+    matched = inner.select(iv["__iv_id"].alias("__iv_id")).dropDuplicates()
+    unmatched = iv_base.join(matched, "__iv_id", "left_anti")
     null_ext = unmatched.select(
         *[F.col(c) for c in intervals.columns],
         *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in pt_only],

@@ -257,14 +257,10 @@ def sessionize_stitched(
         ).otherwise(F.col("__trig_p1"))
         starts = out.filter(trig_corr == 1).select(
             *partition_by,
-            F.col(session_col).alias("__start_sess"),
+            F.col(session_col),
             session_id.alias(session_id_col),
         )
-        out = out.join(
-            starts.withColumnRenamed("__start_sess", session_col),
-            [*partition_by, session_col],
-            "left",
-        )
+        out = out.join(starts, [*partition_by, session_col], "left")
     return out.drop(
         "__bkt", "__rn_b", "__n_b", "__trig_p1", "__local_p1", "__delta", "__off",
         *prev_cols,

@@ -148,3 +148,108 @@ def test_asof_null_value_and_multi_col_atomicity(spark):
     row = out.collect()[0]
     assert row.rid is None  # NOT 'old' — nearest row's NULL is kept
     assert row.val == 2.0  # both picks from the same (nearest) row
+
+
+def test_asof_value_col_clash_raises(spark):
+    from fhc_rco_etl_scalable_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, T0, "x")], "k long, ts timestamp, BRAND string")
+    right = spark.createDataFrame([(1, T0, "y")], "k long, rts timestamp, BRAND string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already exist in left"):
+        asof_join(left, right, ["k"], "ts", "rts", ["BRAND"])
+    right2 = right.withColumnRenamed("BRAND", "v")
+    with _pytest.raises(ValueError, match="tie_break"):
+        asof_join(left, right2, ["k"], "ts", "rts", ["v"], tie_break=["nope"])
+
+
+def test_asof_null_keys_match_nothing(spark):
+    # SQL join semantics: NULL keys never match — a NULL-key right row
+    # must not donate its value to NULL-key left rows.
+    from datetime import timedelta
+
+    from fhc_rco_etl_scalable_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, T0 + timedelta(hours=1)), (1, T0 + timedelta(hours=1))],
+        "k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, T0, "RNULL"), (1, T0, "R1")], "k long, rts timestamp, v string"
+    )
+    got = {r.k: r.v for r in asof_join(left, right, ["k"], "ts", "rts", ["v"]).collect()}
+    assert got[1] == "R1"
+    assert got[None] is None
+
+
+def test_asof_forward_uses_linear_frame(spark):
+    # the forward direction must not plan the O(n^2)
+    # (0, unboundedFollowing) frame — it is rewritten as a reversed
+    # growing frame (unboundedPreceding, 0).
+    from fhc_rco_etl_scalable_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, T0)], "k long, ts timestamp")
+    right = spark.createDataFrame([(1, T0, "a")], "k long, rts timestamp, v string")
+    out = asof_join(left, right, ["k"], "ts", "rts", ["v"], direction="forward")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_asof_range_pick_validated(spark):
+    from fhc_rco_etl_scalable_spark.operators.asof import asof_join_range
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    anchors = spark.createDataFrame([(1, 1, T0)], "__anchor_id long, k long, at timestamp")
+    events = spark.createDataFrame([(1, T0, "e")], "k long, ts timestamp, v string")
+    with _pytest.raises(ValueError, match="pick"):
+        asof_join_range(anchors, events, ["k"], F.lit(T0), F.col("at"), "ts", pick="lst")
+
+
+def test_bucketed_interval_preserves_duplicate_rows(spark):
+    # bucketed=True must be a drop-in switch: duplicate input rows stay
+    # distinct in the multiset output (inner AND left).
+    from datetime import timedelta
+
+    from fhc_rco_etl_scalable_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    iv_rows = [("L1", T0, T0 + timedelta(hours=2))] * 2  # identical twice
+    iv = spark.createDataFrame(iv_rows, "k string, s timestamp, e timestamp")
+    pt = spark.createDataFrame(
+        [("L1", T0 + timedelta(minutes=30), T0 + timedelta(minutes=40))],
+        "k string, ps timestamp, pe timestamp",
+    )
+    for how in ("inner", "left"):
+        plain = interval_overlap_join(
+            iv, pt.withColumnRenamed("k", "k2").withColumnRenamed("k2", "k"),
+            ["k"], "s", "e", "ps", how=how, point_end="pe",
+        ).count()
+        buck = interval_overlap_join(
+            iv, pt, ["k"], "s", "e", "ps", how=how, point_end="pe",
+            bucketed=True, bucket_seconds=600,
+        ).count()
+        assert buck == plain == 2, (how, plain, buck)
+
+
+def test_bucketed_interval_span_guard(spark):
+    from datetime import timedelta
+
+    from fhc_rco_etl_scalable_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    # sentinel far-future end: with the cap the explode stays bounded
+    iv = spark.createDataFrame(
+        [("L1", T0, T0.replace(year=9999))], "k string, s timestamp, e timestamp"
+    )
+    pt = spark.createDataFrame(
+        [("L1", T0 + timedelta(minutes=5))], "k string, ps timestamp"
+    )
+    out = interval_overlap_join(
+        iv, pt, ["k"], "s", "e", "ps", bucketed=True, bucket_seconds=86400,
+        max_span_buckets=10,
+    )
+    assert out.count() == 1  # match within the capped span still found
