@@ -88,9 +88,29 @@ def downtime_variants(
 
     All lazy views over one frame; ``isStop`` is informational (used by
     downstream filters, not the lattice — faithful to the reference).
+
+    Multi-constraint sites dedup the LINE stream at extraction — one
+    row per (LINE, START_TIME), deterministically by min downtime_id —
+    so EVERY line-stream consumer (sessionization, first-stop uptime
+    cumulation, Gantt windows, as-of brandcode) sees each physical stop
+    once (reference: R dedups ``fulldata`` before splitting the
+    variants, RCO_Maple_orchestrator.R:54-60; the Python port intends
+    the same at data_from_mdc.py:91-94 but its ``inplace=True``
+    assignment bug nulls the frame — documented in SURVEY O4, not
+    replicated). Machine streams are not deduped, matching the port.
     """
     constraint = F.col("isConstraint")
-    line_dt_full = flagged.filter(constraint)
+    line_stream = flagged
+    if multi_constraint:
+        from pyspark.sql import Window
+
+        w_dedup = Window.partitionBy("LINE", "START_TIME").orderBy("downtime_id")
+        line_stream = (
+            flagged.withColumn("__dd", F.row_number().over(w_dedup))
+            .filter(F.col("__dd") == 1)
+            .drop("__dd")
+        )
+    line_dt_full = line_stream.filter(constraint)
     line_dt = line_dt_full.filter(~F.col("isExcluded")).na.drop(subset=["START_TIME"])
     machine_dt_full = flagged.na.drop(subset=["START_TIME"])
     if not multi_constraint:

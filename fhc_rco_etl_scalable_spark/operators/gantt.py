@@ -46,9 +46,7 @@ def _arr(cond: Column, *points: Column) -> Column:
     return F.when(cond, F.array(*points)).otherwise(F.expr(f"CAST(array() AS {_POINT_T})"))
 
 
-def _plus_s(ts: Column, seconds: Column | float) -> Column:
-    s = F.lit(seconds) if not isinstance(seconds, Column) else seconds
-    return F.timestamp_micros(F.unix_micros(ts) + (s * 1_000_000).cast("long"))
+from ..functions.scalar import ts_plus_seconds as _plus_s  # shared micro-arithmetic
 
 
 def attach_stops_to_windows(co_agg: DataFrame, stops: DataFrame) -> DataFrame:
@@ -173,14 +171,16 @@ def generate_gantt_points(
     )
 
     # Final-point clamp (machine_level.py:179-180): when the last
-    # emitted point overruns the window, pull it back to win_end.
+    # emitted point overruns the window, pull it back to win_end. The
+    # last point is the one with no successor on the SAME ascending
+    # order the repair windows use — one local sort per partition, not
+    # a second descending sort of the whole exploded set.
     w_emit = Window.partitionBy(*g).orderBy("__k", "__pos")
-    w_emit_desc = Window.partitionBy(*g).orderBy(F.col("__k").desc(), F.col("__pos").desc())
-    out = exploded.withColumn("__rn_desc", F.row_number().over(w_emit_desc))
+    out = exploded.withColumn("__is_last_pt", F.lead("__pos").over(w_emit).isNull())
     out = out.withColumn(
         "StartTime",
         F.when(
-            (F.col("__rn_desc") == 1) & (F.col("StartTime") > F.col("win_end")),
+            F.col("__is_last_pt") & (F.col("StartTime") > F.col("win_end")),
             F.col("win_end"),
         ).otherwise(F.col("StartTime")),
     )

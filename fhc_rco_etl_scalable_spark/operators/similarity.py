@@ -96,18 +96,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: str = "spark-graft") -> list[lis
     return planes
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id for a vector under the given hyperplanes."""
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return sig
-
-
 def _signature_udf(tables: list[list[list[float]]], probe_bits: int = 0):
     """Vectorized sign-bit signatures for ALL tables in one Arrow batch:
     (batch x dim) @ (dim x tables*planes) numpy matmul, then bit-pack.
@@ -332,6 +320,14 @@ def ivf_topk(
         .limit(sample_size)
         .collect()
     )
+    if not sample_rows:
+        # empty corpus: return an empty, correctly-typed result instead
+        # of crashing in the quantizer (np.linalg.norm axis error on a
+        # 0-d sample) — matching brute_force_topk/lsh_topk's behavior.
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim double, rank int"
+        )
     sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
 

@@ -42,6 +42,11 @@ class SiteParams:
     co_predicate: str = "CAUSE_LEVELS_2_NAME LIKE '%Changeover%'"  # querySL
     split_cos_based_on_cause_model: bool = False
     run_multi_constraint_analysis: bool = False
+    # The two references compose multi-constraint differently (see
+    # aggregate_changeovers): True = Python-port composition (dedup AND
+    # divide CO_DOWNTIME by per-CO distinct machines, mes_etl.py:225-230);
+    # False = R composition (dedup only, RCO_Maple_orchestrator.R:54-60).
+    multi_constraint_divide_by_machines: bool = True
     run_first_stop_analysis: bool = True
     # Lima SUD rule (mes_etl.py:119-122, R:134-139): suppress the split
     # when the cause mentions 'Changeover Failure' within this gap.
@@ -143,15 +148,35 @@ def detect_changeovers(line_dt: DataFrame, site: SiteParams) -> DataFrame:
 
 def aggregate_changeovers(co_events: DataFrame, site: SiteParams) -> DataFrame:
     """Per-session aggregate (A1 + A8 multi-constraint normalization;
-    reference mes_etl.py:133-152, :225-230)."""
+    reference mes_etl.py:133-152, :225-230).
+
+    Multi-constraint composition note (documented divergence between
+    the two references): the R pipeline dedups the line stream at
+    extraction and does NOT divide CO_DOWNTIME; the Python port's
+    intended flow is dedup at extraction PLUS the :225-230 division by
+    the per-CO distinct machine count (its dedup line nulls the frame
+    via an ``inplace=True`` bug, so only R ever ran in production).
+    The engine follows the Python port's written composition — both
+    operators SURVEY §2 inventories (O4 dedup + A8 divide) — which
+    under-reports CO_DOWNTIME by the machine-count factor relative to
+    R when stops are duplicated per machine. Sites wanting R semantics
+    set ``SiteParams.multi_constraint_divide_by_machines=False``
+    (dedup stays on — both references dedup).
+
+    ``__first_uptime`` (first event's UPTIME per session, for the A9
+    backfill) is computed here so mes_etl doesn't need a second
+    full-frame window + join over the same events.
+    """
     w_sess = (
         Window.partitionBy("LINE", "CO_Identifier")
         .orderBy(*ORDER_COLS)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    enriched = co_events.withColumn(
-        "__first_id", F.first("downtime_id").over(w_sess)
-    ).withColumn("__last_id", F.last("downtime_id").over(w_sess))
+    enriched = (
+        co_events.withColumn("__first_id", F.first("downtime_id").over(w_sess))
+        .withColumn("__last_id", F.last("downtime_id").over(w_sess))
+        .withColumn("__first_up", F.first("UPTIME").over(w_sess))
+    )
     agg = enriched.groupBy("LINE", "CO_Identifier").agg(
         F.min("START_TIME").alias("CO_StartTime"),
         F.max("END_TIME").alias("CO_EndTime"),
@@ -160,8 +185,9 @@ def aggregate_changeovers(co_events: DataFrame, site: SiteParams) -> DataFrame:
         F.min("__first_id").alias("First_CO_Event_ID"),
         F.min("__last_id").alias("Last_CO_Event_ID"),
         F.countDistinct("MACHINE").alias("__n_machines"),
+        F.min("__first_up").alias("__first_uptime"),
     )
-    if site.run_multi_constraint_analysis:
+    if site.run_multi_constraint_analysis and site.multi_constraint_divide_by_machines:
         downtime = F.col("__downtime_sum") / F.col("__n_machines")
     else:
         downtime = F.col("__downtime_sum")
@@ -381,18 +407,9 @@ def mes_etl(
     # at 100 TB a parquet re-scan with pushdown is cheaper than
     # caching the full log.
     co_events = detect_changeovers(line_dt, site).localCheckpoint(eager=False)
-    # First event's UPTIME per session rides along for the A9 backfill.
-    w_sess = (
-        Window.partitionBy("LINE", "CO_Identifier")
-        .orderBy(*ORDER_COLS)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    co_agg = aggregate_changeovers(co_events, site).join(
-        co_events.withColumn("__first_uptime", F.first("UPTIME").over(w_sess))
-        .groupBy("CO_Identifier")
-        .agg(F.min("__first_uptime").alias("__first_uptime")),
-        "CO_Identifier",
-    )
+    # aggregate_changeovers carries __first_uptime (first event's UPTIME
+    # per session) for the A9 backfill — one window pass, no extra join.
+    co_agg = aggregate_changeovers(co_events, site)
     co_agg = with_neighbor_context(co_agg, site)
     co_agg = resolve_brandcodes(co_agg, line_dt_full).localCheckpoint(eager=False)
 

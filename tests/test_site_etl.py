@@ -172,3 +172,66 @@ def test_gantt_outputs_nonempty(site_outputs):
     statuses = {r.Downtime_Status for r in site_outputs["Gantt_Data"].collect()}
     assert statuses <= {1.0, 1.7, 2.0, 2.3, 3.0, 4.0}
     assert 1.0 in statuses  # CO events coded on the constraint pass
+
+
+def test_multi_constraint_dedups_line_stream_at_extraction(spark):
+    # Both references dedup the FULL line stream at extraction
+    # (R Maple:54-60; py-port data_from_mdc.py:91-94 modulo its inplace
+    # bug) so first-stop/gantt/as-of consumers see each physical stop
+    # once — not just the CO stream.
+    from fhc_rco_etl_scalable_spark.operators.extract import (
+        downtime_variants,
+        with_derived_flags,
+    )
+
+    t = datetime(2024, 1, 1, 6, 0)
+    rows = [
+        ("d1", "L1", t, "M_A", None, "Unplanned", None),
+        ("d2", "L1", t, "M_B", None, "Unplanned", None),  # same stop, 2nd machine
+        ("d3", "L1", t + timedelta(minutes=30), "M_A", None, "Unplanned", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "downtime_id string, LINE string, START_TIME timestamp, MACHINE string,"
+        " LineStatus string, dtCategory string, CAUSE_LEVELS_1_NAME string",
+    )
+    flagged = with_derived_flags(df)
+    v = downtime_variants(flagged, multi_constraint=True)
+    got = [(r.downtime_id, r.MACHINE) for r in v["line_dt_full"].collect()]
+    assert sorted(got) == [("d1", "M_A"), ("d3", "M_A")]  # min-id survivor
+    # without the flag, nothing is deduped
+    v0 = downtime_variants(flagged, multi_constraint=False)
+    assert v0["line_dt_full"].count() == 3
+
+
+def test_multi_constraint_divide_knob(spark):
+    # multi_constraint_divide_by_machines=False = R composition
+    # (dedup only): CO_DOWNTIME is the plain per-session sum.
+    from fhc_rco_etl_scalable_spark.plans.rco_pipeline import (
+        SiteParams,
+        aggregate_changeovers,
+    )
+    from pyspark.sql import functions as F
+
+    t = datetime(2024, 1, 1, 6, 0)
+    co_events = spark.createDataFrame(
+        [
+            ("L1", "CO1", t, t + timedelta(minutes=10), 10.0, 5.0, "M_A", "e1"),
+            ("L1", "CO1", t + timedelta(minutes=20), t + timedelta(minutes=30), 10.0, 5.0, "M_B", "e2"),
+        ],
+        "LINE string, CO_Identifier string, START_TIME timestamp,"
+        " END_TIME timestamp, DOWNTIME double, UPTIME double,"
+        " MACHINE string, downtime_id string",
+    )
+    divided = aggregate_changeovers(
+        co_events, SiteParams(run_multi_constraint_analysis=True)
+    ).select("CO_DOWNTIME").first().CO_DOWNTIME
+    assert divided == 10.0  # 20 / 2 machines (python-port composition)
+    plain = aggregate_changeovers(
+        co_events,
+        SiteParams(
+            run_multi_constraint_analysis=True,
+            multi_constraint_divide_by_machines=False,
+        ),
+    ).select("CO_DOWNTIME").first().CO_DOWNTIME
+    assert plain == 20.0  # R composition: dedup only, no division
