@@ -126,7 +126,9 @@ def minhash_lsh_candidates(
     # scales (hashing is map-side, one shuffle for the min-reduce).
     from .skew import spread
 
-    df = spread(df, id_col)
+    # project BEFORE the spread exchange: only (id, text) shuffle,
+    # not every column of the corpus frame
+    df = spread(df.select(id_col, text_col), id_col)
     grams_long = df.select(
         F.col(id_col), F.explode(token_ngrams(F.col(text_col), ngram)).alias("__g")
     ).withColumn("__h", md5_int(F.col("__g")))
@@ -218,7 +220,8 @@ def jaccard_pairs(
     """
     from .skew import spread
 
-    df = spread(df, id_col)
+    # project to the shuffled columns before the spread exchange
+    df = spread(df.select(id_col, text_col, *block_cols), id_col)
     g_long = df.select(
         F.col(id_col),
         *block_cols,
@@ -441,7 +444,8 @@ def simhash_near_dups(
 
     band_bits = -(-bits // n_bands)  # ceil: last band may be narrower
     sigs = simhash64_frame(
-        spread(df, id_col), id_col, text_col, ngram=ngram, hasher=hasher, bits=bits
+        spread(df.select(id_col, text_col), id_col),
+        id_col, text_col, ngram=ngram, hasher=hasher, bits=bits,
     ).withColumnRenamed("simhash", "__sh")
     # barrier: the self-join below reads the signature frame twice; the
     # frame is (id, int64) — cheap to materialize at any scale.
@@ -492,6 +496,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over a pair list -> (id, component), with
     ``component`` = min node id reachable from ``id``.
@@ -501,19 +506,29 @@ def connected_components(
     one doc per CLUSTER, and transitive links A-B, B-C must collapse
     into one cluster even when A-C was never emitted as a pair).
 
-    Spark-first shape: iterative min-label propagation. Each round is
-    one shuffle — labels join edges, each node takes the min of its
-    own label and its neighbors' — and converges in O(graph diameter)
-    rounds (near-dup graphs are shallow: diameter is small because
-    similarity is near-transitive). ``localCheckpoint`` truncates the
-    lineage each round so the plan doesn't grow exponentially; the
-    driver loop only inspects a 1-row convergence count per round
-    (no data collected). For adversarial long-chain graphs the
-    alternating large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) drops
-    rounds to O(log n); diameter-bounded propagation is the right
-    default for dedup workloads.
+    Two Spark-first shapes, property-tested to agree:
+
+    - ``algorithm="propagation"`` (default): iterative min-label
+      propagation. Each round is one shuffle — labels join edges, each
+      node takes the min of its own label and its neighbors' — and
+      converges in O(graph diameter) rounds. Near-dup graphs are
+      shallow (similarity is near-transitive), so this is the right
+      default for dedup workloads.
+    - ``algorithm="star"``: the alternating large-star/small-star
+      algorithm (Kiveris et al., "Connected Components in MapReduce
+      and Beyond", SoCC'14) — O(log n) rounds regardless of diameter.
+      Use for adversarial long-chain graphs where propagation would
+      exceed the round bound.
+
+    Each round ``localCheckpoint``s its output to truncate lineage and
+    unpersists the previous round's checkpoint, so executor storage
+    stays O(1 round), not O(max_iterations). The driver loop inspects
+    only a tiny convergence aggregate per round (no data collected).
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iterations)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown connected_components algorithm {algorithm!r}")
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -523,6 +538,7 @@ def connected_components(
     labels = (
         sym.select("u").distinct().select("u", F.col("u").alias("label"))
     ).localCheckpoint(eager=False)
+    prev = None  # previous round's eager checkpoint, unpersisted once superseded
     converged = False
     for _ in range(max_iterations):
         # neighbor labels: for each node u, min label among v's labels
@@ -545,6 +561,9 @@ def connected_components(
             .localCheckpoint()  # eager: materialize once, reuse twice below
         )
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        if prev is not None:
+            prev.unpersist()  # ADVICE r4: don't accumulate 50 checkpoints
+        prev = new_labels
         labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
@@ -555,10 +574,108 @@ def connected_components(
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
             "iterations (graph diameter exceeds the bound); raise "
-            "max_iterations or use an O(log n) large-star/small-star "
-            "variant for adversarial long-chain graphs"
+            "max_iterations or pass algorithm='star' (O(log n) "
+            "large-star/small-star) for adversarial long-chain graphs"
         )
     return labels.select(F.col("u").alias("id"), F.col("label").alias("component"))
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iterations: int,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., SoCC'14): converges in O(log n) rounds on ANY
+    graph, including long chains that defeat diameter-bounded
+    propagation.
+
+    Each round is two grouped-min joins (large-star hooks every
+    larger neighbor of u onto min(Γ(u) ∪ u); small-star re-hooks the
+    smaller neighborhood), after which the edge set is strictly closer
+    to a star forest. Convergence = edge-set fixed point, detected via
+    a (count, hash-sum) signature — one cheap aggregate, no driver
+    data. The final edge set is a star forest: every node points at
+    its component's min id.
+    """
+    # orient u > v, drop self-loops
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # from the ORIGINAL edges, so self-loop-only nodes keep a label
+    # (propagation parity)
+    all_nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        # bit_xor: order-independent, overflow-free under ANSI mode
+        # (edge sets are distinct, so XOR cancellation can't collide
+        # two different sets of the same size except by hash collision)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iterations):
+        # large-star: operate on the symmetric view; for each node u,
+        # hook every neighbor v > u onto m = min(Γ(u) ∪ {u}).
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m_large = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(m_large, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: on the (u > v)-oriented edges, re-hook u and all
+        # its smaller neighbors onto m = min of that neighborhood.
+        m_small = large.groupBy("u").agg(F.min("v").alias("m"))
+        attach = (
+            large.join(m_small, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        hooked = m_small.select("u", F.col("m").alias("v"))
+        new_e = attach.unionByName(hooked).distinct().localCheckpoint()
+        new_sig = signature(new_e)
+        e.unpersist()
+        e = new_e
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iterations} iterations — not expected for any graph "
+            f"with < 2^{max_iterations} nodes"
+        )
+    # star forest: every non-root points at the root; roots are absent
+    # from the 'u' side or self-identified via all_nodes left join.
+    labels = all_nodes.join(
+        e.select(F.col("u").alias("id"), F.col("v").alias("component")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("component", F.col("id")).alias("component"))
+    return labels
 
 
 def dedup_clusters(
@@ -567,12 +684,14 @@ def dedup_clusters(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Full near-dup dedup decision: candidate pairs -> connected
     components -> keep the min-id doc per cluster. Docs in no pair are
     their own singleton cluster. Returns
-    (id, component, cluster_size, keep)."""
-    comp = connected_components(pairs, src, dst)
+    (id, component, cluster_size, keep). ``algorithm`` selects the
+    component solver (see :func:`connected_components`)."""
+    comp = connected_components(pairs, src, dst, algorithm=algorithm)
     ids = df.select(F.col(id_col).alias("id"))
     labeled = ids.join(comp, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
@@ -621,6 +740,17 @@ def stratified_split(
     ``split`` column; weights must sum to <= 1 (remainder unlabeled
     NULL — useful as a holdout). Same hash-consistency guarantees as
     :func:`deterministic_sample`; map-side only."""
+    if not weights:
+        raise ValueError("stratified_split: weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"stratified_split: negative weight in {weights}")
+    if sum(weights.values()) > 1.0 + 1e-9:
+        # >1 would push the last interval past bucket 999999, silently
+        # under-assigning later labels and breaking the NULL-holdout
+        # contract (remainder = unlabeled).
+        raise ValueError(
+            f"stratified_split: weights sum to {sum(weights.values())} > 1"
+        )
     bucket = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
         16,
@@ -646,6 +776,7 @@ def pack_sequences(
     token_count_col: str,
     budget: int,
     partition_cols: list[str] | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Streaming sequence packing: assign each doc to a training bin of
     ~``budget`` tokens, in deterministic id order. Bin id = floor of the
@@ -662,6 +793,16 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    if not partition_cols and not allow_global:
+        # The unpartitioned cumsum is ONE window partition — a single
+        # task packing the whole corpus. Correct, but silently serial;
+        # at scale always shard first (split/shard column) and let each
+        # shard pack in parallel. Explicit opt-in for the global path.
+        raise ValueError(
+            "pack_sequences without partition_cols builds a single global "
+            "window (one task). Pass partition_cols (e.g. a shard/split "
+            "column) or opt in explicitly with allow_global=True."
+        )
     parts = partition_cols or []
     w = (
         Window.partitionBy(*parts).orderBy(id_col)

@@ -703,7 +703,8 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return DD.simhash64_frame(
-        spread(docs, "doc_id"), "doc_id", "text", ngram=3, hasher=DD.md5_60, bits=60
+        spread(docs.select("doc_id", "text"), "doc_id"),
+        "doc_id", "text", ngram=3, hasher=DD.md5_60, bits=60,
     )
 
 
@@ -3204,3 +3205,169 @@ def q_rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rollup("event_type", "shard").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions (VERDICT r4 items 4, 7, 8): the approximate-
+# percentile operator actually recommended at 100 TB, the O(log n)
+# star connected-components variant, and SQL-text twins of three
+# §2-core shapes proving the SQL surface beyond one aggregate query.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_percentile_stats",
+    """
+SELECT event_type,
+       true AS p50_in_bounds, true AS p95_in_bounds, true AS p99_in_bounds
+FROM (SELECT DISTINCT event_type FROM events) t
+""",
+)
+def q_approx_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies ``approx_percentile`` — the one-pass t-digest-style
+    sketch the docs recommend over exact ``percentile`` at 100 TB
+    (no full sort, mergeable partials, O(accuracy) state per group).
+
+    Approximate values can't be hash-compared to an exact oracle, so
+    the QUERY ITSELF emits the guarantee check: per group, the sketch
+    result at quantile q (accuracy=10000, rank error <= n/10000) must
+    lie within the exact [q - 1e-3, q + 1e-3] quantile envelope — a
+    10x-slack rank-error bound. The oracle asserts the check is true
+    for every group, so a sketch regression breaks the hash gate."""
+    ev = load_table(spark, "events", sf_dir)
+    eps = 1e-3
+    aggs = []
+    for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+        approx = F.approx_percentile("value", F.lit(q), F.lit(10_000))
+        lo = F.percentile("value", F.lit(max(0.0, q - eps)))
+        hi = F.percentile("value", F.lit(min(1.0, q + eps)))
+        aggs.append(
+            ((approx >= lo) & (approx <= hi)).alias(f"{name}_in_bounds")
+        )
+    return ev.groupBy("event_type").agg(*aggs)
+
+
+@query("dedup_clusters_star", _DEDUP_CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same near-dup clustering contract as ``dedup_clusters`` but via
+    the alternating large-star/small-star solver (Kiveris et al.,
+    SoCC'14; O(log n) rounds on any graph) — the scale escalation for
+    adversarial long-chain candidate graphs, certified against the
+    identical recursive-transitive-closure oracle."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = DD.minhash_lsh_candidates(docs, "doc_id", "text").select("id_a", "id_b")
+    return DD.dedup_clusters(docs, pairs, "doc_id", algorithm="star")
+
+
+@query("sql_api_sessionize", _SESSIONIZE_ORACLE)
+def q_sql_api_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship 4-clause sessionization as SQL TEXT through
+    spark.sql — same semantics as q_co_sessionize's DataFrame plan
+    (lag context -> trigger -> running-sum session ids -> rollup),
+    proving the SQL surface carries the engine's hardest §2.7 shape,
+    not just aggregates. Integer-microsecond gap arithmetic mirrors
+    the oracle exactly (4/3 and 2/3 factors stay in BIGINT-then-
+    double, as DuckDB evaluates them)."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        WITH lagged AS (
+          SELECT user_id, event_id, ts, event_type, props, value,
+                 lag(ts)         OVER w AS prev_ts,
+                 lag(event_type) OVER w AS prev_type,
+                 lag(props)      OVER w AS prev_props
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        trig AS (
+          SELECT *,
+            CASE WHEN prev_ts IS NULL THEN 1
+                 WHEN (
+                     (event_type = prev_type AND unix_micros(ts) - unix_micros(prev_ts) < CAST({P_MINUTES} AS BIGINT) * 60000000)
+                  OR (event_type = prev_type AND props = prev_props
+                      AND unix_micros(ts) - unix_micros(prev_ts) < CAST({P_MINUTES} AS BIGINT) * 60000000 * 4 / 3)
+                  OR (props = prev_props AND unix_micros(ts) - unix_micros(prev_ts) < CAST({P_MINUTES} AS BIGINT) * 60000000)
+                  OR (unix_micros(ts) - unix_micros(prev_ts) < CAST({P_MINUTES} AS BIGINT) * 60000000 * 2 / 3)
+                 ) THEN 0 ELSE 1 END AS trig
+          FROM lagged
+        ),
+        sess AS (
+          SELECT *,
+            CAST(sum(trig) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+          FROM trig
+        ),
+        ids AS (
+          SELECT *,
+            first_value(event_id) OVER (PARTITION BY user_id, session_num
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event_id,
+            last_value(event_id) OVER (PARTITION BY user_id, session_num
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_id
+          FROM sess
+        )
+        SELECT user_id, session_num,
+               min(ts)  AS session_start,
+               max(ts)  AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value,
+               min(first_event_id)  AS first_event_id,
+               min(last_event_id)   AS last_event_id
+        FROM ids
+        GROUP BY user_id, session_num
+    """)
+
+
+@query("sql_api_asof", _ASOF_BACKWARD_ORACLE)
+def q_sql_api_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join as SQL TEXT: the union + ordered
+    last_value(IGNORE NULLS) forward-fill formulation (one shuffle,
+    both sides large-safe) — the SQL twin of q_asof_backward's
+    operator, against the identical oracle."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH tagged AS (
+          SELECT user_id, ts, event_id, 1 AS is_left,
+                 CAST(NULL AS BIGINT) AS v_id, CAST(NULL AS DOUBLE) AS v_val
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, event_id, 0, event_id, value
+          FROM events WHERE event_type = 'view'
+        ),
+        f AS (
+          SELECT *,
+            last_value(v_id)  IGNORE NULLS OVER w AS last_view_id,
+            last_value(v_val) IGNORE NULLS OVER w AS last_view_value
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                       ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+               last_view_id, round(last_view_value, 2) AS last_view_value
+        FROM f WHERE is_left = 1
+    """)
+
+
+@query(
+    "sql_api_runtime_per_day",
+    """
+    SELECT CAST(ts AS DATE) AS Date, user_id,
+           round(sum(value), 2) AS runtime, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_sql_api_runtime_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day tumbling aggregation (A3) as SQL TEXT — the third SQL
+    twin, covering the grouped-aggregate shape."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT CAST(ts AS DATE) AS Date, user_id,
+               round(sum(value), 2) AS runtime, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """)

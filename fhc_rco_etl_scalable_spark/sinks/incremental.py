@@ -11,15 +11,37 @@ insert-or-update (:236-282,502-546).
 Spark-first: on Delta/Iceberg these are MERGE INTO / replaceWhere —
 one atomic commit, no read-modify-write. Those jars aren't in this
 environment, so the sink implements the same semantics over plain
-parquet: ``delete_overlap_append`` tables are hive-partitioned by the
+parquet with a **version-pointer table layout** (the same idea Delta's
+transaction log and Iceberg's metadata pointer implement):
+
+    <root>/<table>/
+        _schema.json      # target schema sidecar
+        _version.json     # {"version": N} — the ONLY mutable file
+        v000001/ ...      # immutable data snapshots (flat or hive)
+
+Every write materializes the next snapshot ``v{N+1}`` completely —
+hard-linking the files of untouched partitions from ``v{N}`` (no data
+copy, same inodes) and writing only the touched partitions fresh —
+then commits by atomically replacing ``_version.json``. Readers
+resolve the pointer and scan one immutable snapshot, so a reader
+concurrent with a load sees either the old table or the new table,
+never a mix (snapshot isolation; property-tested by
+tests/test_incremental.py::test_concurrent_reader_sees_single_version).
+Crash recovery is trivial by construction: a crash before the pointer
+flip leaves an orphan ``v{M}`` (M > pointer) that the next write
+garbage-collects; a crash after the flip is already committed. There
+is no partially-swapped state to roll back — this closes the round-4
+advice item on `_recover` leaving staged-only partitions behind.
+
+``delete_overlap_append`` tables are hive-partitioned by the
 delete-scope key (default ``LINE``/``Server``) and a load rewrites
 ONLY the partition directories whose keys appear in the batch (the
 ``replaceWhere`` pattern) — survivors for those keys are read with a
-partition-pruned scan, unioned with the batch, staged, then swapped
-per-partition. Untouched partitions' files are never rewritten, so
-write amplification is O(batch partitions), not O(table). Small state
-tables (brandcode master, Script_Data) still swap whole — they are
-tiny by construction.
+partition-pruned scan, unioned with the batch, and land in the new
+snapshot next to hard-links of every untouched partition. Write
+amplification is O(batch partitions), not O(table). Small state
+tables (brandcode master, Script_Data) snapshot whole — they are tiny
+by construction.
 
 Idempotence invariant (property-tested): loading the same window twice
 yields byte-identical tables.
@@ -27,6 +49,7 @@ yields byte-identical tables.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -37,6 +60,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..schemas import align_to_schema
+
+#: How many superseded snapshots to keep after a commit. Readers
+#: resolve the pointer per read and scan immediately, so one previous
+#: version is enough to cover a reader that resolved just before a
+#: flip; two adds slack for slow readers. Hard links make the cost of
+#: a retained version O(touched partitions), not O(table).
+_KEEP_PREVIOUS_VERSIONS = 2
 
 
 def lookback_start(now: datetime, watermark: datetime | None) -> datetime:
@@ -61,9 +91,31 @@ def lookback_start(now: datetime, watermark: datetime | None) -> datetime:
     return anchor - timedelta(days=days)
 
 
+def _link_tree(src: str, dst: str, skip_rels: set[str] | None = None) -> None:
+    """Recursively hard-link every file under ``src`` into ``dst``,
+    skipping any subtree whose src-relative path is in ``skip_rels``.
+    Hard links preserve inodes — untouched partitions in a new
+    snapshot are literally the same file bytes on disk."""
+    skip = skip_rels or set()
+
+    def walk(s: str, rel: str) -> None:
+        if rel in skip:
+            return
+        os.makedirs(os.path.join(dst, rel) if rel else dst, exist_ok=True)
+        for name in os.listdir(s):
+            sub = os.path.join(s, name)
+            r = os.path.join(rel, name) if rel else name
+            if os.path.isdir(sub):
+                walk(sub, r)
+            elif r not in skip:
+                os.link(sub, os.path.join(dst, r))
+
+    walk(src, "")
+
+
 class ParquetIncrementalSink:
     """Directory-per-table parquet sink with the reference's
-    incremental semantics."""
+    incremental semantics and snapshot-isolated reads."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -73,9 +125,91 @@ class ParquetIncrementalSink:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    # --- version pointer --------------------------------------------------
+
+    def _pointer_path(self, table: str) -> str:
+        return os.path.join(self._path(table), "_version.json")
+
+    def _version_dir(self, table: str, n: int) -> str:
+        return os.path.join(self._path(table), f"v{n:06d}")
+
+    def _current_version(self, table: str) -> int | None:
+        pp = self._pointer_path(table)
+        if not os.path.exists(pp):
+            return None
+        with open(pp) as f:
+            return int(json.load(f)["version"])
+
+    def _data_path(self, table: str) -> str | None:
+        """Path of the current immutable snapshot (resolving the
+        pointer), or the table dir itself for a legacy pre-pointer
+        layout, or None if the table doesn't exist."""
+        p = self._path(table)
+        n = self._current_version(table)
+        if n is not None:
+            return self._version_dir(table, n)
+        if os.path.isdir(p) and self._has_data_entries(p):
+            return p  # legacy layout: data directly in the table dir
+        return None
+
+    @staticmethod
+    def _has_data_entries(p: str) -> bool:
+        # "_" = sidecars (_schema.json, _version.json); "." = staging
+        return any(not e.startswith(("_", ".")) for e in os.listdir(p))
+
+    def _migrate_legacy(self, table: str) -> int:
+        """Move a legacy layout's data entries into ``v000001`` and
+        write the pointer. Returns the resulting current version (0 if
+        the table is empty/new). Only writers call this — readers
+        never mutate the table."""
+        p = self._path(table)
+        n = self._current_version(table)
+        if n is not None:
+            return n
+        if not (os.path.isdir(p) and self._has_data_entries(p)):
+            return 0
+        v1 = self._version_dir(table, 1)
+        os.makedirs(v1, exist_ok=True)
+        for e in os.listdir(p):
+            if not e.startswith(("_", ".")) and e != os.path.basename(v1):
+                os.rename(os.path.join(p, e), os.path.join(v1, e))
+        self._commit_version(table, 1)
+        return 1
+
+    def _commit_version(self, table: str, n: int) -> None:
+        """Atomically flip the pointer to snapshot ``n``, then GC
+        snapshots older than ``n - _KEEP_PREVIOUS_VERSIONS`` and any
+        orphan staged snapshot above ``n`` (a crashed writer's
+        leftovers — its pointer flip never happened, so it was never
+        visible)."""
+        p = self._path(table)
+        os.makedirs(p, exist_ok=True)
+        tmp = self._pointer_path(table) + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump({"version": n}, f)
+        os.replace(tmp, self._pointer_path(table))
+        for e in os.listdir(p):
+            if e.startswith("v") and e[1:].isdigit():
+                m = int(e[1:])
+                if m < n - _KEEP_PREVIOUS_VERSIONS or m > n:
+                    shutil.rmtree(os.path.join(p, e), ignore_errors=True)
+            elif e.startswith(".stage-"):
+                shutil.rmtree(os.path.join(p, e), ignore_errors=True)
+
+    def _next_version_dir(self, table: str) -> tuple[str, int]:
+        """Dir for the next snapshot (clearing any crashed leftover)."""
+        cur = self._migrate_legacy(table)
+        n = cur + 1
+        vd = self._version_dir(table, n)
+        if os.path.exists(vd):  # crashed writer's orphan — never visible
+            shutil.rmtree(vd, ignore_errors=True)
+        os.makedirs(os.path.dirname(vd), exist_ok=True)
+        return vd, n
+
     # --- schema sidecar (hidden from parquet readers: leading "_") ----
 
     def _store_schema(self, table: str, schema: T.StructType) -> None:
+        os.makedirs(self._path(table), exist_ok=True)
         with open(os.path.join(self._path(table), "_schema.json"), "w") as f:
             f.write(schema.json())
 
@@ -84,26 +218,26 @@ class ParquetIncrementalSink:
         if not os.path.exists(sp):
             return None
         with open(sp) as f:
-            return T.StructType.fromJson(__import__("json").load(f))
+            return T.StructType.fromJson(json.load(f))
 
     def _is_partitioned(self, table: str) -> bool:
-        p = self._path(table)
-        return os.path.isdir(p) and any(
-            "=" in d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d))
+        dp = self._data_path(table)
+        return dp is not None and any(
+            "=" in d for d in os.listdir(dp) if os.path.isdir(os.path.join(dp, d))
         )
 
     def _read_raw(self, table: str) -> DataFrame:
-        """Read with partition values kept as RAW strings ("01" must not
-        become 1 — align_to_schema casts per the stored schema). The
-        inference conf is session-global, so save/restore it around the
-        (eager) schema+partition discovery instead of mutating the
-        caller's session permanently."""
-        p = self._path(table)
+        """Read the current snapshot with partition values kept as RAW
+        strings ("01" must not become 1 — align_to_schema casts per the
+        stored schema). The inference conf is session-global, so
+        save/restore it around the (eager) schema+partition discovery
+        instead of mutating the caller's session permanently."""
+        dp = self._data_path(table)
         key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = self.spark.conf.get(key, None)
         self.spark.conf.set(key, "false")
         try:
-            return self.spark.read.option("basePath", p).parquet(p)
+            return self.spark.read.option("basePath", dp).parquet(dp)
         finally:
             if prev is None:
                 self.spark.conf.unset(key)
@@ -111,26 +245,23 @@ class ParquetIncrementalSink:
                 self.spark.conf.set(key, prev)
 
     def read(self, table: str, schema: T.StructType | None = None) -> DataFrame | None:
-        p = self._path(table)
-        self._recover(table)
-        if not os.path.exists(p):
+        """Snapshot-isolated read: resolve the version pointer once and
+        scan that immutable snapshot. Never mutates the table (safe for
+        concurrent read-only consumers)."""
+        if self._data_path(table) is None:
             return None
         df = self._read_raw(table)
         schema = schema if schema is not None else self._stored_schema(table)
         return align_to_schema(df, schema) if schema is not None else df
 
+    # --- snapshot writers -------------------------------------------------
+
     def _atomic_write(self, df: DataFrame, table: str, schema: T.StructType | None = None) -> None:
-        p = self._path(table)
-        tmp = p + ".tmp-" + uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").parquet(tmp)
-        old = p + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(p):
-            os.rename(p, old)
-        os.rename(tmp, p)
+        vd, n = self._next_version_dir(table)
+        df.write.mode("overwrite").parquet(vd)
         if schema is not None:
             self._store_schema(table, schema)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        self._commit_version(table, n)
 
     def _atomic_write_partitioned(
         self,
@@ -139,16 +270,10 @@ class ParquetIncrementalSink:
         schema: T.StructType,
         partition_cols: tuple[str, ...],
     ) -> None:
-        p = self._path(table)
-        tmp = p + ".tmp-" + uuid.uuid4().hex[:8]
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
-        old = p + ".old-" + uuid.uuid4().hex[:8]
-        if os.path.exists(p):
-            os.rename(p, old)
-        os.rename(tmp, p)
+        vd, n = self._next_version_dir(table)
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(vd)
         self._store_schema(table, schema)
-        if os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        self._commit_version(table, n)
 
     @staticmethod
     def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
@@ -169,78 +294,11 @@ class ParquetIncrementalSink:
         walk(root, "", 0)
         return leaves
 
-    def _manifest_path(self, table: str) -> str:
-        return self._path(table) + ".commit.json"
-
-    def _recover(self, table: str) -> None:
-        """Crash recovery for an interrupted partition swap. The
-        manifest written before a swap records staging/trash paths and
-        the partitions in flight; plain directory renames cannot be
-        made jointly atomic, so recovery restores a consistent state:
-
-        - staging dir still present -> the swap did not finish: roll
-          BACK every manifest partition from trash (the pre-swap
-          copies), then drop staging/trash. The interrupted load simply
-          re-runs (loads are idempotent by design).
-        - staging gone -> every partition was swapped and only cleanup
-          was interrupted: roll FORWARD (drop trash + manifest).
-        """
-        import json
-
-        mp = self._manifest_path(table)
-        if not os.path.exists(mp):
-            return
-        with open(mp) as f:
-            m = json.load(f)
-        p = self._path(table)
-        if os.path.exists(m["staging"]):
-            for rel in m["partitions"]:
-                tdir = os.path.join(m["trash"], rel)
-                if os.path.exists(tdir):
-                    dst = os.path.join(p, rel)
-                    if os.path.exists(dst):
-                        shutil.rmtree(dst, ignore_errors=True)
-                    os.makedirs(os.path.dirname(dst), exist_ok=True)
-                    os.rename(tdir, dst)
-            shutil.rmtree(m["staging"], ignore_errors=True)
-        shutil.rmtree(m["trash"], ignore_errors=True)
-        os.remove(mp)
-
-    def _swap_partitions(self, staging: str, table: str, depth: int) -> None:
-        """Replace only the partition dirs present in ``staging`` —
-        untouched partitions' files are never rewritten (asserted by
-        test_incremental.test_untouched_partitions_not_rewritten).
-
-        A commit manifest makes the multi-rename sequence recoverable
-        (see :meth:`_recover`); on Delta/Iceberg this whole method is
-        one atomic MERGE/replaceWhere commit."""
-        import json
-
-        p = self._path(table)
-        trash = p + ".trash-" + uuid.uuid4().hex[:8]
-        leaves = self._leaf_partition_dirs(staging, depth)
-        mp = self._manifest_path(table)
-        with open(mp, "w") as f:
-            json.dump({"staging": staging, "trash": trash, "partitions": leaves}, f)
-        for rel in leaves:
-            src = os.path.join(staging, rel)
-            dst = os.path.join(p, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if os.path.exists(dst):
-                tdir = os.path.join(trash, rel)
-                os.makedirs(os.path.dirname(tdir), exist_ok=True)
-                os.rename(dst, tdir)
-            os.rename(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(trash, ignore_errors=True)
-        os.remove(mp)
-
     def _layout_partition_cols(self, table: str) -> list[str]:
         """Partition columns of an existing hive layout, read from the
         first leaf dir's ``k=v`` path components."""
-        p = self._path(table)
         cols: list[str] = []
-        d = p
+        d = self._data_path(table)
         while True:
             subs = [
                 n for n in os.listdir(d)
@@ -256,15 +314,26 @@ class ParquetIncrementalSink:
         missing with NULL, cast) — reference
         App/etl/overall_etl.py:12-43.
 
+        The append lands in a NEW snapshot (existing files hard-linked,
+        new files appended beside them, pointer flipped once) so
+        concurrent readers never see a half-appended table.
+
         Appending into a partition-scoped table (see
         :meth:`delete_overlap_append`) follows the existing hive
         layout — a flat append there would mix layouts and break
         reads."""
         aligned = align_to_schema(new_rows, schema)
+        partitioned = self._is_partitioned(table)
+        cur = self._migrate_legacy(table)
+        vd, n = self._next_version_dir(table)
+        if cur:
+            _link_tree(self._version_dir(table, cur), vd)
         writer = aligned.write.mode("append")
-        if self._is_partitioned(table):
+        if partitioned:
             writer = writer.partitionBy(*self._layout_partition_cols(table))
-        writer.parquet(self._path(table))
+        writer.parquet(vd)
+        self._store_schema(table, schema)
+        self._commit_version(table, n)
 
     def delete_overlap_append(
         self,
@@ -285,15 +354,17 @@ class ParquetIncrementalSink:
         hive-partitioned by ``partition_cols`` and only the partition
         directories whose keys appear in the batch are rewritten:
         survivors for those keys come from a partition-pruned scan,
-        union the batch, stage, swap per-partition. At 100 TB this
-        bounds each load's write amplification to the touched
-        (LINE, Server) partitions instead of the whole table.
+        union the batch, land in a new snapshot whose untouched
+        partitions are hard-links of the previous snapshot's files. At
+        100 TB this bounds each load's write amplification to the
+        touched (LINE, Server) partitions instead of the whole table.
 
-        Note: hive layout folds NULL and empty-string key values into
-        the same default partition; the reference keys (LINE, Server)
-        are non-empty by construction.
+        Hive layout folds NULL and empty-string key values into the
+        same ``__HIVE_DEFAULT_PARTITION__`` directory, which would
+        corrupt the key on read-back — such batches are rejected up
+        front (the reference keys LINE/Server are non-empty by
+        construction, but the API is generic).
         """
-        self._recover(table)
         new_aligned = align_to_schema(new_rows, schema)
         # Batch partition keys: driver-side, bounded by the number of
         # (LINE, Server) combinations in one load — tiny by design.
@@ -303,13 +374,24 @@ class ParquetIncrementalSink:
             # keys, nothing to delete or append. (Also keeps an empty
             # FIRST load from creating a rowless, schema-less dir.)
             return
-        if not os.path.exists(self._path(table)):
+        for row in keys:
+            for k in partition_cols:
+                if row[k] is None or row[k] == "":
+                    raise ValueError(
+                        f"delete_overlap_append: partition column {k!r} has a "
+                        f"NULL/empty value in the batch — hive layout cannot "
+                        f"round-trip it (folds into __HIVE_DEFAULT_PARTITION__)"
+                    )
+        if self._data_path(table) is None:
             self._atomic_write_partitioned(new_aligned, table, schema, partition_cols)
             return
         if not self._is_partitioned(table):
-            # One-time migration of a legacy unpartitioned directory:
+            # One-time migration of a legacy unpartitioned table:
             # full rewrite into the partitioned layout, then future
-            # loads are partition-scoped.
+            # loads are partition-scoped. Migrate the files under the
+            # version pointer FIRST — the read below is lazy, and the
+            # snapshot write that consumes it must not race the move.
+            self._migrate_legacy(table)
             legacy = self.read(table, schema)
             self._delete_overlap_full(
                 legacy, new_aligned, table, schema, ts_col, watermark,
@@ -321,7 +403,8 @@ class ParquetIncrementalSink:
         # the schema type BEFORE comparing so non-string keys match
         # their hive encodings (str(True)='True' vs dir 'k=true',
         # str(1e-07) vs '1.0E-7' — a string compare would silently
-        # match nothing and the swap would drop pre-cutoff survivors).
+        # match nothing and the new snapshot would drop pre-cutoff
+        # survivors).
         types = {f.name: f.dataType for f in schema.fields}
         raw = self._read_raw(table)
         for k in partition_cols:
@@ -339,11 +422,25 @@ class ParquetIncrementalSink:
         overlap = F.coalesce(F.col(ts_col) >= F.lit(cutoff), F.lit(False))
         scoped = raw.filter(pred)  # partition-pruned scan (string keys cast is a no-op)
         survivors = align_to_schema(scoped.filter(~overlap), schema)
-        staging = self._path(table) + ".stage-" + uuid.uuid4().hex[:8]
+        staging = os.path.join(self._path(table), ".stage-" + uuid.uuid4().hex[:8])
         survivors.unionByName(new_aligned).write.mode("overwrite").partitionBy(
             *partition_cols
         ).parquet(staging)
-        self._swap_partitions(staging, table, len(partition_cols))
+        # Assemble the next snapshot: hard-link every untouched
+        # partition from the current one, move the freshly written
+        # touched partitions in, flip the pointer once.
+        cur = self._migrate_legacy(table)
+        vd, n = self._next_version_dir(table)
+        touched = set(self._leaf_partition_dirs(staging, len(partition_cols)))
+        _link_tree(self._version_dir(table, cur), vd, skip_rels=touched)
+        for rel in touched:
+            dst = os.path.join(vd, rel)
+            if os.path.exists(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(os.path.join(staging, rel), dst)
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit_version(table, n)
 
     def _delete_overlap_full(
         self,
@@ -357,7 +454,7 @@ class ParquetIncrementalSink:
         pad_seconds: float,
     ) -> None:
         """Legacy full-rewrite path (also the partitioned-layout
-        migration): same semantics, whole-directory swap."""
+        migration): same semantics, whole-snapshot rewrite."""
         cutoff = watermark - timedelta(seconds=pad_seconds)
         keys = new_aligned.select(*partition_cols).distinct()
         overlap = F.coalesce(F.col(ts_col) >= F.lit(cutoff), F.lit(False))

@@ -33,22 +33,39 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
-def _pin_timestamp_confs(spark: SparkSession) -> None:
-    """Make timestamp ingestion independent of the parquet physical encoding.
-
-    The engine contract is: every timestamp column loads as Spark
-    ``TimestampType`` (LTZ) with UTC wall-clock values, whatever the writer
-    emitted — TIMESTAMP(NANOS), TIMESTAMP(MICROS) isAdjustedToUTC=true, or
-    TIMESTAMP(MICROS) with no timezone (which Spark 4 would otherwise infer
-    as TIMESTAMP_NTZ, breaking ``unix_micros``/``timestamp_micros`` call
-    sites at analysis time). Runtime confs, set here so the loader works
-    under ANY caller's session (the harness driver builds its own).
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+#: The engine's session-level ingestion contract. Every timestamp column
+#: loads as Spark ``TimestampType`` (LTZ) with UTC wall-clock values,
+#: whatever the writer emitted — TIMESTAMP(NANOS), TIMESTAMP(MICROS)
+#: isAdjustedToUTC=true, or TIMESTAMP(MICROS) with no timezone (which
+#: Spark 4 would otherwise infer as TIMESTAMP_NTZ, breaking
+#: ``unix_micros``/``timestamp_micros`` call sites at analysis time).
+#: ``session.get_spark`` sets all three at build time, so under an
+#: engine-built session ``load_table`` mutates nothing.
+_PINNED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Pin UTC so naive (untagged) parquet values keep identical wall-clock
     # readings under the LTZ type — required for oracle hash stability.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _pin_timestamp_confs(spark: SparkSession) -> None:
+    """Pin the ingestion-contract confs for the LIFETIME of the session.
+
+    These deliberately stay pinned (conditional set, never restored):
+    DataFrames are lazy and Spark re-reads these confs when the scan
+    actually executes — parquet schema conversion (nanosAsLong, NTZ
+    inference) happens again per task, and session.timeZone governs
+    every timestamp computation at action time. A save/restore around
+    the ``spark.read`` call would hand back a frame whose execution
+    behaves differently from its analyzed schema. Callers that need
+    local-timezone rendering should scope their OWN conf change around
+    that work (as the sink's ``_read_raw`` does for inference).
+    """
+    for key, want in _PINNED_CONFS.items():
+        if spark.conf.get(key, None) != want:
+            spark.conf.set(key, want)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -153,10 +153,10 @@ def test_delete_overlap_keeps_null_ts_rows(spark, tmp_path):
     assert ("ok", "L1", 2.0) in got and ("new1", "L1", 3.0) in got
 
 
-def _partition_file_stats(table_dir, rel):
+def _partition_file_stats(data_dir, rel):
     import os
 
-    d = os.path.join(table_dir, rel)
+    d = os.path.join(data_dir, rel)
     return sorted(
         (f, os.stat(os.path.join(d, f)).st_mtime_ns, os.stat(os.path.join(d, f)).st_ino)
         for f in os.listdir(d)
@@ -167,7 +167,9 @@ def _partition_file_stats(table_dir, rel):
 def test_untouched_partitions_not_rewritten(spark, tmp_path):
     # VERDICT r3 item 4: a load must rewrite ONLY the (LINE, Server)
     # partition dirs whose keys appear in the batch — the replaceWhere
-    # pattern over plain parquet. Assert via file inode/mtime identity.
+    # pattern over plain parquet. With the version-pointer layout,
+    # untouched partitions in the new snapshot are HARD LINKS of the
+    # previous snapshot's files. Assert via file inode/mtime identity.
     root = str(tmp_path / "t6")
     sink = ParquetIncrementalSink(spark, root)
     wm = T0 - timedelta(minutes=30)
@@ -176,17 +178,17 @@ def test_untouched_partitions_not_rewritten(spark, tmp_path):
         [("a", "L1", -120, 1.0, "S"), ("b", "L2", -120, 2.0, "S"), ("c", "L3", 0, 3.0, "S")],
     )
     sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm - timedelta(days=1))
-    table_dir = str(tmp_path / "t6" / "co")
-    before_l2 = _partition_file_stats(table_dir, "LINE=L2/Server=S")
-    before_l3 = _partition_file_stats(table_dir, "LINE=L3/Server=S")
+    before_l2 = _partition_file_stats(sink._data_path("co"), "LINE=L2/Server=S")
+    before_l3 = _partition_file_stats(sink._data_path("co"), "LINE=L3/Server=S")
     assert before_l2 and before_l3
 
     batch = _rows(spark, [("a2", "L1", 0, 9.0, "S")])
     sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
 
-    # L2/L3 files are byte-identical (same inode — never rewritten)
-    assert _partition_file_stats(table_dir, "LINE=L2/Server=S") == before_l2
-    assert _partition_file_stats(table_dir, "LINE=L3/Server=S") == before_l3
+    # L2/L3 files in the new snapshot are byte-identical (same inode —
+    # never rewritten, just hard-linked forward)
+    assert _partition_file_stats(sink._data_path("co"), "LINE=L2/Server=S") == before_l2
+    assert _partition_file_stats(sink._data_path("co"), "LINE=L3/Server=S") == before_l3
     got = _collect(sink, "co")
     assert ("a", "L1", 1.0) in got  # pre-cutoff survivor in touched partition
     assert ("a2", "L1", 9.0) in got and ("b", "L2", 2.0) in got and ("c", "L3", 3.0) in got
@@ -206,7 +208,7 @@ def test_legacy_unpartitioned_table_migrates(spark, tmp_path):
     sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
     got = _collect(sink, "co")
     assert got == sorted([("a", "L1", 1.0), ("a2", "L1", 9.0), ("b", "L2", 2.0)])
-    assert os.path.isdir(os.path.join(root, "co", "LINE=L1", "Server=S"))
+    assert os.path.isdir(os.path.join(sink._data_path("co"), "LINE=L1", "Server=S"))
 
 
 def test_append_into_partitioned_table_follows_layout(spark, tmp_path):
@@ -221,10 +223,10 @@ def test_append_into_partitioned_table_follows_layout(spark, tmp_path):
     sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
     extra = _rows(spark, [("b", "L2", -120, 2.0, "S")])
     sink.append_aligned(extra, "co", CO_SCHEMA)
-    table_dir = os.path.join(root, "co")
-    flat = [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    data_dir = sink._data_path("co")
+    flat = [f for f in os.listdir(data_dir) if f.endswith(".parquet")]
     assert not flat, f"flat files mixed into hive layout: {flat}"
-    assert os.path.isdir(os.path.join(table_dir, "LINE=L2", "Server=S"))
+    assert os.path.isdir(os.path.join(data_dir, "LINE=L2", "Server=S"))
     got = _collect(sink, "co")
     assert got == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])
 
@@ -274,10 +276,12 @@ def test_delete_overlap_nonstring_partition_key(spark, tmp_path):
     assert got == [("keep", False, 8), ("new", True, 7), ("old", True, 7)]
 
 
-def test_crash_recovery_rolls_back_interrupted_swap(spark, tmp_path):
-    import json
+def test_crashed_writer_leftovers_are_invisible_and_gcd(spark, tmp_path):
+    # Version-pointer layout: a writer crash before the pointer flip
+    # leaves an orphan v{N+1} (and possibly a .stage dir) that was
+    # never visible. Reads stay exactly at the committed snapshot
+    # without any mutation; the next successful write GCs the orphans.
     import os
-    import shutil
 
     root = str(tmp_path / "t11")
     sink = ParquetIncrementalSink(spark, root)
@@ -287,24 +291,109 @@ def test_crash_recovery_rolls_back_interrupted_swap(spark, tmp_path):
     before = _collect(sink, "co")
     table_dir = os.path.join(root, "co")
 
-    # simulate a crash mid-swap: partition L1 moved to trash, staging
-    # still present, manifest on disk
-    staging = table_dir + ".stage-test"
-    trash = table_dir + ".trash-test"
-    os.makedirs(os.path.join(staging, "LINE=L1"))
-    shutil.move(
-        os.path.join(table_dir, "LINE=L1", "Server=S"),
-        os.path.join(trash, "LINE=L1", "Server=S"),
-    )
-    with open(table_dir + ".commit.json", "w") as f:
-        json.dump(
-            {"staging": staging, "trash": trash,
-             "partitions": ["LINE=L1/Server=S"]}, f,
-        )
-    # next read triggers rollback: pre-swap state restored, junk gone
+    # simulate a crash mid-write: a partial next snapshot + stale staging
+    cur = sink._current_version("co")
+    orphan = os.path.join(table_dir, f"v{cur + 1:06d}")
+    os.makedirs(os.path.join(orphan, "LINE=L1", "Server=S"))
+    with open(os.path.join(orphan, "LINE=L1", "Server=S", "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    os.makedirs(os.path.join(table_dir, ".stage-crashed", "LINE=L1"))
+
+    # reads never see the orphan (pointer still at the committed version)
     assert _collect(sink, "co") == before
-    assert not os.path.exists(staging) and not os.path.exists(trash)
-    assert not os.path.exists(table_dir + ".commit.json")
+    assert os.path.exists(orphan)  # read did NOT mutate the table
+
+    # next write replaces the orphan's slot and GCs stale staging
+    batch = _rows(spark, [("a2", "L1", 0, 9.0, "S")])
+    sink.delete_overlap_append(batch, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    got = _collect(sink, "co")
+    assert ("a2", "L1", 9.0) in got and ("b", "L2", 2.0) in got
+    assert not os.path.exists(os.path.join(table_dir, ".stage-crashed"))
+
+
+def test_old_versions_garbage_collected(spark, tmp_path):
+    import os
+
+    root = str(tmp_path / "t13")
+    sink = ParquetIncrementalSink(spark, root)
+    wm = T0 - timedelta(minutes=30)
+    for i in range(6):
+        batch = _rows(spark, [(f"r{i}", "L1", i, float(i), "S")])
+        sink.delete_overlap_append(
+            batch, "co", CO_SCHEMA, "CO_StartTime",
+            # far-future cutoff: prior rows are all pre-cutoff
+            # survivors, so each load is a pure append + new snapshot
+            watermark=wm + timedelta(days=30),
+        )
+    vdirs = sorted(
+        e for e in os.listdir(os.path.join(root, "co"))
+        if e.startswith("v") and e[1:].isdigit()
+    )
+    # current + at most _KEEP_PREVIOUS_VERSIONS retained
+    assert len(vdirs) <= 3, vdirs
+    assert vdirs[-1] == f"v{sink._current_version('co'):06d}"
+    # all six batches' rows are present in the current snapshot
+    assert len(_collect(sink, "co")) == 6
+
+
+def test_delete_overlap_rejects_null_or_empty_partition_key(spark, tmp_path):
+    # ADVICE r4: hive layout folds NULL/'' keys into
+    # __HIVE_DEFAULT_PARTITION__, which cannot round-trip — fail fast.
+    sink = ParquetIncrementalSink(spark, str(tmp_path / "t14"))
+    wm = T0 - timedelta(minutes=30)
+    bad_null = spark.createDataFrame(
+        [("x", None, T0, 1.0, "S")], CO_SCHEMA
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        sink.delete_overlap_append(bad_null, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    bad_empty = spark.createDataFrame(
+        [("x", "", T0, 1.0, "S")], CO_SCHEMA
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        sink.delete_overlap_append(bad_empty, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+
+
+def test_concurrent_reader_sees_single_version(spark, tmp_path):
+    # VERDICT r4 item 3: a reader concurrent with a load must see
+    # either the whole old snapshot or the whole new one, never a mix.
+    # Each load rewrites EVERY partition with one batch id; a mixed
+    # view would surface as >1 distinct batch id in a single read.
+    import threading
+
+    root = str(tmp_path / "t15")
+    sink = ParquetIncrementalSink(spark, root)
+    wm = T0 - timedelta(minutes=30)
+    lines = ["L1", "L2", "L3"]
+
+    def batch_df(i):
+        return _rows(spark, [(f"b{i}", ln, 0, float(i), "S") for ln in lines])
+
+    sink.delete_overlap_append(batch_df(0), "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+
+    stop = threading.Event()
+    violations = []
+    reads = [0]
+
+    def reader():
+        while not stop.is_set():
+            vals = {r.CO_DOWNTIME for r in sink.read("co").collect()}
+            reads[0] += 1
+            if len(vals) != 1:
+                violations.append(vals)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(1, 5):
+            sink.delete_overlap_append(
+                batch_df(i), "co", CO_SCHEMA, "CO_StartTime", watermark=wm
+            )
+    finally:
+        stop.set()
+        t.join()
+    assert not violations, f"mixed-version reads observed: {violations}"
+    assert reads[0] > 0  # the reader actually raced the writer
+    assert {r.CO_DOWNTIME for r in sink.read("co").collect()} == {4.0}
 
 
 def test_sink_does_not_leak_session_conf(spark, tmp_path):

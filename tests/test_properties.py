@@ -140,3 +140,8 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == want
+    star = {
+        r.id: r.component
+        for r in connected_components(df, algorithm="star").collect()
+    }
+    assert star == want
