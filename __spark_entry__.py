@@ -58,6 +58,14 @@ _CERTIFY_FIRST = [
     "sql_api_sessionize",
     "sql_api_asof",
     "sql_api_runtime_per_day",
+    "approx_distinct_stats",
+    "winnow_fingerprints",
+    "tpch_shipping_priority",
+    "tpch_local_supplier_volume",
+    "cube_aggregate",
+    "pivot_event_counts",
+    "sliding_time_window",
+    "salted_replicate_join",
 ]
 
 

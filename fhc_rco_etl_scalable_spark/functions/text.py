@@ -128,6 +128,45 @@ def rolling_hashes(text: Column | str, window: int = 5) -> Column:
     )
 
 
+def winnow_fingerprints(
+    text: Column | str, k: int = 5, w: int = 4, hasher=None
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-token window, then keep the MINIMUM hash
+    of each sliding window of ``w`` consecutive hashes — guaranteeing
+    at least one shared fingerprint for any match of length k + w - 1
+    tokens, with an expected density of 2/(w+1).
+
+    Returns ``array<bigint>`` of DISTINCT selected hashes, entirely
+    map-side (no shuffle — a per-doc pure function like the simhash
+    fold). Default ``hasher`` is xxhash64; pass an md5-based hasher
+    for cross-engine-reproducible fingerprints.
+
+    Evaluation-order trap avoided here: a naive
+    ``transform(windows, j -> array_min(slice(hashes, j, w)))`` embeds
+    the ``hashes`` EXPRESSION in the lambda body, and higher-order
+    functions re-evaluate their body per element — O(n^2) hashing per
+    document. Binding ``hashes`` as a LAMBDA VARIABLE (via a
+    1-element-array transform) materializes it once per row; inner
+    references then read the value, not the expression.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n = F.size(toks)
+    h = hasher or F.xxhash64
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    hashes = F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i, k))))
+
+    def winnow(hs: Column) -> Column:
+        m = F.size(hs)
+        widx = F.sequence(F.lit(1), F.greatest(m - w + 1, F.lit(1)))
+        return F.array_distinct(
+            F.transform(widx, lambda j: F.array_min(F.slice(hs, j, w)))
+        )
+
+    return F.transform(F.array(hashes), winnow)[0]
+
+
 # Public-knowledge scrub patterns (C4/Gopher-style corpus cleaning):
 # emails, URLs, long digit runs (phone/account numbers).
 PII_PATTERNS = {

@@ -3371,3 +3371,299 @@ def q_sql_api_runtime_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(sum(value), 2) AS runtime, count(*) AS n_events
         FROM events GROUP BY 1, 2
     """)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 breadth: sketch certification (HLL), winnowing fingerprints,
+# TPC-H-shaped multi-join analytics, CUBE/pivot/sliding-window SQL
+# analytics, and the salted-replicate join — each oracle-paired.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_distinct_stats",
+    """
+SELECT event_type, count(DISTINCT user_id) AS exact_nd,
+       true AS hll_in_bounds
+FROM events GROUP BY event_type
+""",
+)
+def q_approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies ``approx_count_distinct`` (HyperLogLog++) — the
+    mergeable constant-space NDV sketch recommended over exact
+    count-distinct at 100 TB (exact NDV shuffles every distinct value;
+    HLL shuffles a fixed-size register set per group).
+
+    Same envelope pattern as ``approx_percentile_stats``: the sketch
+    value can't hash-match an exact oracle, so the query emits the
+    guarantee check — relative error within 5 sigma of the configured
+    rsd=0.01 — next to the exact NDV (which IS hash-compared)."""
+    ev = load_table(spark, "events", sf_dir)
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", rsd=0.01)
+    return ev.groupBy("event_type").agg(
+        exact.alias("exact_nd"),
+        (
+            F.abs(approx - exact) <= F.greatest(exact * 0.05, F.lit(1.0))
+        ).alias("hll_in_bounds"),
+    )
+
+
+_WINNOW_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - 4, 1) + 1),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))::BIGINT
+         ) AS hashes
+  FROM t
+),
+wn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hashes) - 3, 1) + 1),
+           j -> list_min(list_slice(hashes, j, j + 3))
+         )) AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fp FROM wn
+"""
+
+
+@query("winnow_fingerprints", _WINNOW_SQL)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (SIGMOD'03) with the
+    oracle-portable md5-60 hash family: hash every 5-token window,
+    keep the min of each 4-hash sliding window — the MOSS-style
+    plagiarism/near-dup fingerprint set, computed entirely map-side
+    (lambda-variable binding materializes the hash array once per doc;
+    see functions/text.py::winnow_fingerprints)."""
+    from ..operators.dedup import md5_60
+    from ..operators.skew import spread
+
+    docs = load_table(spark, "documents", sf_dir)
+    return spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints("text", k=5, w=4, hasher=md5_60)).alias("fp"),
+    )
+
+
+@query(
+    "tpch_shipping_priority",
+    """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+)
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> 3-way join -> grouped
+    revenue. Scale plan: customer filter broadcast into orders (BHJ),
+    the orders->lineitem join shuffles on orderkey with both filters
+    pushed to the scans — Catalyst plans it from the declarative join
+    chain, nothing hand-scheduled."""
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "tpch_local_supplier_volume",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the local-supplier equi-
+    constraint (c_nationkey = s_nationkey) riding the supplier join.
+    supplier/nation/region are broadcast (no shuffle for the dim
+    chain); the only exchanges are the fact-fact orderkey join."""
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "cube_aggregate",
+    """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def q_cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with per-column GROUPING flags (disambiguates a real NULL
+    group from a rollup total — the flags are portable across engines,
+    unlike the combined grouping_id bitmask whose bit order is
+    engine-defined)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "pivot_event_counts",
+    """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY user_id
+""",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) with an EXPLICIT value list: one shuffle,
+    map-side partial counts. The explicit list is the scale contract —
+    an unlisted pivot first runs a distinct-values job over the whole
+    table AND breaks schema stability between runs."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0, ["click", "error", "purchase", "signup", "view"])
+    )
+
+
+@query(
+    "sliding_time_window",
+    """
+SELECT event_id, user_id,
+       round(sum(value) OVER w, 2) AS rolling_sum_1h,
+       count(*) OVER w AS rolling_n_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_sliding_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range sliding window (RANGE BETWEEN 1 HOUR PRECEDING):
+    per-key rolling sums over a TIME interval, not a row count — the
+    windowed-aggregation shape Spark executes in one exchange +
+    in-partition frame scan. Frame bounds are integer microseconds, so
+    membership is exact on both engines (tie rows share the frame
+    regardless of intra-ts order — deterministic under ties, unlike a
+    ROWS frame)."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("rolling_sum_1h"),
+        F.count("*").over(w).alias("rolling_n_1h"),
+    )
+
+
+@query(
+    "salted_replicate_join",
+    """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+""",
+)
+def q_salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies ``skew.salted_broadcast_left`` — the replicate-the-
+    dim salt join for a skewed fact key against a dim too big to
+    broadcast whole: the fact side salts 8 ways, the dim replicates 8x,
+    and every hot l_partkey spreads over 8 shuffle partitions instead
+    of pinning one straggler. Result provably equals the plain join
+    (the oracle IS the plain join)."""
+    from ..operators.skew import salted_broadcast_left
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, "part", sf_dir).select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_broadcast_left(li, part, ["l_partkey"], salt_buckets=8, how="inner")
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )

@@ -31,6 +31,17 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # local[N] runs all N task slots inside the driver JVM, and
+        # Spark's default driver heap is 1g — 32 concurrent gram-
+        # explode/signature tasks OOM at a few hundred thousand docs
+        # (found by tools/scale_probe.py at 40x sf0.1). Size the heap
+        # like the single multi-core executor this process actually is.
+        # Only effective before the JVM launches; a caller-provided
+        # session keeps its own setting.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
         # AQE: runtime coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

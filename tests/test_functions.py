@@ -77,3 +77,51 @@ def test_dynamic_round_precision_tiers(spark):
     assert out.tiny == 0.01235  # mean < 0.1 -> 5dp
     assert out.mid == 5.123    # mean < 10 -> 3dp
     assert out.big == 555.1    # mean >= 100 -> 1dp
+
+
+def test_winnow_guarantee_and_density(spark):
+    # Winnowing guarantee: two docs sharing a run of >= k + w - 1 = 8
+    # tokens must share at least one fingerprint; fully disjoint docs
+    # share none (md5-60 collisions aside).
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.functions.text import winnow_fingerprints
+    from fhc_rco_etl_scalable_spark.operators.dedup import md5_60
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    docs = [
+        (1, f"one two three {shared} four five six"),
+        (2, f"seven eight nine ten {shared} eleven"),
+        (3, "completely different words with no overlap at all whatsoever"),
+        (4, "tiny"),  # fewer than k tokens -> one window over all
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = df.select(
+        "doc_id",
+        winnow_fingerprints("text", k=5, w=4, hasher=md5_60).alias("fps"),
+    ).collect()
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1  # degenerate short doc still fingerprints
+    # density: selected fingerprints are a strict subset of all window
+    # hashes (that's the point of winnowing)
+    n_tokens = len(docs[0][1].split())
+    assert 0 < len(fps[1]) < n_tokens - 5 + 1
+
+
+def test_winnow_hash_array_not_reevaluated_per_window(spark):
+    # The lambda-variable binding keeps the hash build O(n): a doc with
+    # ~2000 tokens winnows in well under a second; the naive expression
+    # (hashes referenced inside the window lambda) is O(n^2) hashing
+    # and takes minutes at this size.
+    import time
+
+    from fhc_rco_etl_scalable_spark.functions.text import winnow_fingerprints
+
+    text = " ".join(f"tok{i % 97}x{i % 13}" for i in range(2000))
+    df = spark.createDataFrame([(1, text)] * 64, "doc_id long, text string")
+    t0 = time.time()
+    n = df.select(F.explode(winnow_fingerprints("text")).alias("fp")).count()
+    assert n > 0
+    assert time.time() - t0 < 20

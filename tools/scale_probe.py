@@ -9,8 +9,11 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [sf_dir] [N ...]
-Prints one line per N plus a JSON summary.
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus] [--base B] [sf_dir] [N ...]
+Prints one line per N plus a JSON summary. --base B pre-replicates
+the input B-fold before the probe's own N-fold replication, so
+N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
+per-query fixed costs no longer dominate the data-proportional work.
 """
 
 from __future__ import annotations
@@ -65,24 +68,161 @@ def run_pipeline(spark, ev) -> dict[str, int]:
     return {k: df.count() for k, df in sorted(outs.items())}
 
 
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def scaled_documents(spark, sf_dir: str, n: int, mode: str = "cipher"):
+    """N-fold replicated documents with disjoint ids AND disjoint text,
+    so replication grows the candidate/pair space LINEARLY (like
+    ingesting N independent crawl shards), never quadratically.
+
+    Per-replica salting depends on what the probe dedups on:
+
+    - ``cipher`` (minhash near-dup probe): full Caesar rotation of the
+      letters (k mod 26), token-reversed for k >= 26. Token n-gram sets
+      map bijectively, so within-replica Jaccard structure is preserved
+      EXACTLY, while cross-replica grams share nothing — a mere prefix/
+      suffix tag would leave cross-replica signatures near-identical
+      and banding would emit ~N^2/tag pairs.
+    - ``suffix`` (exact-fingerprint corpus probe): append one replica
+      token. Exact md5 fingerprints become disjoint across replicas
+      (one token is enough), while language/stopword/quality stats are
+      essentially untouched, so the kept-row count scales ~N-fold.
+    """
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table
+
+    base = load_table(spark, "documents", sf_dir)
+    parts = []
+    for k in range(n):
+        if mode == "suffix":
+            text = (
+                F.col("text")
+                if k == 0
+                else F.concat(F.col("text"), F.lit(f" zqshard{k}"))
+            )
+        else:
+            rot = ALPHA[k % 26:] + ALPHA[: k % 26]
+            text = F.translate(F.col("text"), ALPHA + ALPHA.upper(), rot + rot.upper())
+            if k >= 26:
+                text = F.reverse(text)
+        parts.append(
+            base.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def run_minhash(spark, docs) -> dict[str, int]:
+    from fhc_rco_etl_scalable_spark.operators import dedup as DD
+
+    return {"pairs": DD.minhash_lsh_candidates(docs, "doc_id", "text").count()}
+
+
+def run_corpus_prep(spark, docs) -> dict[str, int]:
+    from pyspark.sql import Window
+
+    from fhc_rco_etl_scalable_spark.functions import text as TX
+
+    toks = TX.tokens("text")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        TX.detect_language("text").alias("lang_guess"),
+        TX.quality_score("text").alias("quality"),
+        TX.normalized_fingerprint("text").alias("__fp"),
+    )
+    w = Window.partitionBy("__fp")
+    out = (
+        enriched.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter(
+            (F.col("n_tokens") >= 10)
+            & (F.col("lang_guess") == F.col("lang"))
+            & F.col("keep")
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+    return {"kept": out.count()}
+
+
+RUNNERS = {
+    "site": lambda spark, data: run_pipeline(spark, data),
+    "minhash": run_minhash,
+    "corpus": run_corpus_prep,
+}
+
+
 def main() -> None:
     from fhc_rco_etl_scalable_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    ns = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
+    argv = sys.argv[1:]
+    probe = "site"
+    base_mult = 1
+    materialize = False
+    while argv and argv[0].startswith("--"):
+        if argv[0] == "--probe":
+            probe = argv[1]
+            argv = argv[2:]
+        elif argv[0] == "--base":
+            base_mult = int(argv[1])
+            argv = argv[2:]
+        elif argv[0] == "--materialize":
+            materialize = True
+            argv = argv[1:]
+        else:
+            raise SystemExit(f"unknown flag {argv[0]}")
+    sf_dir = argv[0] if argv and not argv[0].isdigit() else "/root/testdata/sf0.1"
+    ns = [int(a) for a in argv if a.isdigit()] or [1, 2, 4, 8]
+
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).groupBy((F.col("id") % 10).alias("k")).count().collect()
 
     results = []
     for n in ns:
-        ev = scaled_events(spark, sf_dir, n)
-        t0 = time.time()
-        counts = run_pipeline(spark, ev)
-        dt = time.time() - t0
-        results.append({"n": n, "wall_sec": round(dt, 2), "rows": counts})
+        eff = n * base_mult
+        if probe == "site":
+            data = scaled_events(spark, sf_dir, eff)
+        elif probe == "minhash":
+            data = scaled_documents(spark, sf_dir, eff, mode="cipher")
+        elif probe == "corpus":
+            data = scaled_documents(spark, sf_dir, eff, mode="suffix")
+        else:
+            raise SystemExit(f"unknown probe {probe}")
+        if materialize:
+            # Write the replicated input to parquet and time the probe
+            # reading from disk: a union of `eff` scan branches is a
+            # plan-size artifact of the replication trick (80 branches
+            # provoke driver GC storms), not part of the measured
+            # workload, and a real 100 TB input arrives as files.
+            import shutil
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix=f"scale_probe_{probe}_")
+            try:
+                path = f"{tmp}/input.parquet"
+                data.write.mode("overwrite").parquet(path)
+                data = spark.read.parquet(path)
+                t0 = time.time()
+                counts = RUNNERS[probe](spark, data)
+                dt = time.time() - t0
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            t0 = time.time()
+            counts = RUNNERS[probe](spark, data)
+            dt = time.time() - t0
+        results.append({"n": n, "replicas": eff, "wall_sec": round(dt, 2), "rows": counts})
         print(
-            f"# N={n}: {dt:.2f}s  "
+            f"# {probe} N={n} (x{eff}): {dt:.2f}s  "
             + " ".join(f"{k}={v}" for k, v in counts.items()),
             file=sys.stderr,
         )
@@ -91,7 +231,17 @@ def main() -> None:
         r["speedup_vs_linear"] = round(
             (base * r["n"]) / r["wall_sec"], 2
         )  # >1 = better than linear
-    print(json.dumps({"metric": "site_etl_scale_probe", "sf_dir": sf_dir, "results": results}))
+    print(
+        json.dumps(
+            {
+                "metric": f"{probe}_scale_probe",
+                "sf_dir": sf_dir,
+                "base_mult": base_mult,
+                "materialized": materialize,
+                "results": results,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
