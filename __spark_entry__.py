@@ -66,6 +66,7 @@ _CERTIFY_FIRST = [
     "pivot_event_counts",
     "sliding_time_window",
     "salted_replicate_join",
+    "streaming_dedup",
 ]
 
 

@@ -3667,3 +3667,87 @@ def q_salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_streaming_dedup — §2.11 + dedup family: watermarked first-arrival
+# exact dedup on a stream, provably equal to batch SELECT DISTINCT
+# because the dedup key's recurrence window (one day) is far inside
+# the 7-day watermark delay.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup",
+    """
+SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS Date
+FROM events
+""",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (`dropDuplicates` + watermark): the
+    continuous-ingest twin of `exact_dedup`. Time-sliced micro-batches
+    arrive in event-time order, per-key state is bounded by the
+    watermark (7 days vs the 1-day key recurrence window), so the
+    streamed first-arrival key set equals the batch DISTINCT —
+    hash-compared via the driver oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.dedup_stream import streaming_exact_dedup
+
+    feed = (
+        load_table(spark, "events", sf_dir)
+        .select(
+            "user_id", "event_type", "ts", F.col("ts").cast("date").alias("Date")
+        )
+    )
+    n_batches = 4
+    sliced = feed.withColumn(
+        "__k", F.ntile(n_batches).over(Window.orderBy("ts", "user_id"))
+    )
+    src = tempfile.mkdtemp(prefix="sg-dedup-harness-")
+    stage = tempfile.mkdtemp(prefix="sg-dedup-stage-")
+    try:
+        for k in range(1, n_batches + 1):
+            out_dir = os.path.join(stage, f"b{k}")
+            (
+                sliced.filter(F.col("__k") == k)
+                .drop("__k")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"batch-{k:03d}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = streaming_exact_dedup(
+            stream, ["user_id", "event_type", "Date"], event_time="ts", delay="7 days"
+        )
+        name = f"dedup_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming dedup harness timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches, (
+            f"expected >= {n_batches} micro-batches, got {n_microbatches}"
+        )
+        return spark.table(name).select("user_id", "event_type", "Date")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)

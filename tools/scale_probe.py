@@ -68,9 +68,6 @@ def run_pipeline(spark, ev) -> dict[str, int]:
     return {k: df.count() for k, df in sorted(outs.items())}
 
 
-ALPHA = "abcdefghijklmnopqrstuvwxyz"
-
-
 def scaled_documents(spark, sf_dir: str, n: int, mode: str = "cipher"):
     """N-fold replicated documents with disjoint ids AND disjoint text,
     so replication grows the candidate/pair space LINEARLY (like
@@ -78,13 +75,15 @@ def scaled_documents(spark, sf_dir: str, n: int, mode: str = "cipher"):
 
     Per-replica salting depends on what the probe dedups on:
 
-    - ``cipher`` (minhash near-dup probe): full Caesar rotation of the
-      letters (k mod 26), token-reversed for k >= 26. Token n-gram sets
-      map bijectively, so within-replica Jaccard structure is preserved
-      EXACTLY, while cross-replica grams share nothing — a mere prefix/
-      suffix tag would leave cross-replica signatures near-identical
-      and banding would emit ~N^2/tag pairs.
-    - ``suffix`` (exact-fingerprint corpus probe): append one replica
+    - ``cipher`` (minhash near-dup probe): suffix EVERY token with a
+      per-replica tag (one regexp_replace). Token n-gram sets map
+      bijectively, so within-replica Jaccard structure is preserved
+      EXACTLY, while cross-replica grams share nothing for ANY replica
+      count — a whole-document prefix/suffix tag would leave
+      cross-replica signatures near-identical and banding would emit
+      ~N^2 pairs (as would any finite cipher family once replicas
+      exceed its size).
+    - ``suffix`` (exact-fingerprint corpus probe): append ONE replica
       token. Exact md5 fingerprints become disjoint across replicas
       (one token is enough), while language/stopword/quality stats are
       essentially untouched, so the kept-row count scales ~N-fold.
@@ -101,10 +100,11 @@ def scaled_documents(spark, sf_dir: str, n: int, mode: str = "cipher"):
                 else F.concat(F.col("text"), F.lit(f" zqshard{k}"))
             )
         else:
-            rot = ALPHA[k % 26:] + ALPHA[: k % 26]
-            text = F.translate(F.col("text"), ALPHA + ALPHA.upper(), rot + rot.upper())
-            if k >= 26:
-                text = F.reverse(text)
+            text = (
+                F.col("text")
+                if k == 0
+                else F.regexp_replace(F.col("text"), r"(\S+)", f"$1zq{k}")
+            )
         parts.append(
             base.select(
                 (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
