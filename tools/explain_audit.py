@@ -163,6 +163,24 @@ def main() -> int:
         detail=f"{n_scans} parquet scan nodes",
     )
 
+    # 12. TPC-H-shaped joins: dims broadcast (no shuffle for the dim
+    #     chain), date/segment filters reach the parquet scans, and the
+    #     only sort-merge/shuffle join is fact-fact on orderkey.
+    p = plan_of(hq.q_tpch_shipping_priority(spark, sf_dir))
+    check("broadcast(tpch_q3 customer)", "BroadcastHashJoin" in p)
+    check(
+        "filter_pushdown(tpch_q3 scans)",
+        "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+        or "EqualTo(c_mktsegment,BUILDING)" in p,
+    )
+    p = plan_of(hq.q_tpch_local_supplier_volume(spark, sf_dir))
+    n_bhj = len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M))
+    check(
+        "broadcast(tpch_q5 dim chain)",
+        n_bhj >= 3,
+        detail=f"{n_bhj} broadcast joins (supplier+nation+region)",
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
