@@ -67,6 +67,10 @@ _CERTIFY_FIRST = [
     "sliding_time_window",
     "salted_replicate_join",
     "streaming_dedup",
+    # re-certify: implementation changed in round 5 (map-side packed
+    # vote fold replaced the explode+groupBy signature computation)
+    "simhash_dups",
+    "simhash_near_dups",
 ]
 
 
