@@ -176,8 +176,17 @@ class ParquetIncrementalSink:
         self._commit_version(table, 1)
         return 1
 
-    def _commit_version(self, table: str, n: int) -> None:
-        """Atomically flip the pointer to snapshot ``n``, then GC
+    def _pointer_meta(self, table: str) -> dict:
+        pp = self._pointer_path(table)
+        if not os.path.exists(pp):
+            return {}
+        with open(pp) as f:
+            return json.load(f)
+
+    def _commit_version(self, table: str, n: int, meta: dict | None = None) -> None:
+        """Atomically flip the pointer to snapshot ``n`` (optionally
+        carrying extra commit metadata, e.g. the streaming batch id —
+        written in the SAME atomic rename as the version flip), then GC
         snapshots older than ``n - _KEEP_PREVIOUS_VERSIONS`` and any
         orphan staged snapshot above ``n`` (a crashed writer's
         leftovers — its pointer flip never happened, so it was never
@@ -186,7 +195,7 @@ class ParquetIncrementalSink:
         os.makedirs(p, exist_ok=True)
         tmp = self._pointer_path(table) + ".tmp-" + uuid.uuid4().hex[:8]
         with open(tmp, "w") as f:
-            json.dump({"version": n}, f)
+            json.dump({**(meta or {}), "version": n}, f)
         os.replace(tmp, self._pointer_path(table))
         for e in os.listdir(p):
             if e.startswith("v") and e[1:].isdigit():
@@ -232,7 +241,9 @@ class ParquetIncrementalSink:
         stored schema). The inference conf is session-global, so
         save/restore it around the (eager) schema+partition discovery
         instead of mutating the caller's session permanently."""
-        dp = self._data_path(table)
+        return self._read_raw_at(self._data_path(table))
+
+    def _read_raw_at(self, dp: str) -> DataFrame:
         key = "spark.sql.sources.partitionColumnTypeInference.enabled"
         prev = self.spark.conf.get(key, None)
         self.spark.conf.set(key, "false")
@@ -244,13 +255,34 @@ class ParquetIncrementalSink:
             else:
                 self.spark.conf.set(key, prev)
 
-    def read(self, table: str, schema: T.StructType | None = None) -> DataFrame | None:
+    def read(
+        self,
+        table: str,
+        schema: T.StructType | None = None,
+        version: int | None = None,
+    ) -> DataFrame | None:
         """Snapshot-isolated read: resolve the version pointer once and
         scan that immutable snapshot. Never mutates the table (safe for
-        concurrent read-only consumers)."""
+        concurrent read-only consumers).
+
+        ``version`` time-travels to a specific retained snapshot
+        (the pointer keeps the last ``_KEEP_PREVIOUS_VERSIONS`` behind
+        the current one alive). Raises ValueError for a version that
+        was never committed or has been GC'd — silently reading the
+        wrong snapshot is worse than failing."""
         if self._data_path(table) is None:
             return None
-        df = self._read_raw(table)
+        if version is not None:
+            cur = self._current_version(table)
+            vd = self._version_dir(table, version)
+            if cur is None or version > cur or not os.path.isdir(vd):
+                raise ValueError(
+                    f"{table}: snapshot v{version} not available "
+                    f"(current={cur}, retention={_KEEP_PREVIOUS_VERSIONS} back)"
+                )
+            df = self._read_raw_at(vd)
+        else:
+            df = self._read_raw(table)
         schema = schema if schema is not None else self._stored_schema(table)
         return align_to_schema(df, schema) if schema is not None else df
 
@@ -261,7 +293,7 @@ class ParquetIncrementalSink:
         df.write.mode("overwrite").parquet(vd)
         if schema is not None:
             self._store_schema(table, schema)
-        self._commit_version(table, n)
+        self._commit_version(table, n, meta=self._carry_meta(table))
 
     def _atomic_write_partitioned(
         self,
@@ -273,7 +305,7 @@ class ParquetIncrementalSink:
         vd, n = self._next_version_dir(table)
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(vd)
         self._store_schema(table, schema)
-        self._commit_version(table, n)
+        self._commit_version(table, n, meta=self._carry_meta(table))
 
     @staticmethod
     def _leaf_partition_dirs(root: str, depth: int) -> list[str]:
@@ -333,7 +365,7 @@ class ParquetIncrementalSink:
             writer = writer.partitionBy(*self._layout_partition_cols(table))
         writer.parquet(vd)
         self._store_schema(table, schema)
-        self._commit_version(table, n)
+        self._commit_version(table, n, meta=self._carry_meta(table))
 
     def delete_overlap_append(
         self,
@@ -440,7 +472,7 @@ class ParquetIncrementalSink:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(os.path.join(staging, rel), dst)
         shutil.rmtree(staging, ignore_errors=True)
-        self._commit_version(table, n)
+        self._commit_version(table, n, meta=self._carry_meta(table))
 
     def _delete_overlap_full(
         self,
@@ -522,3 +554,80 @@ class ParquetIncrementalSink:
             return None
         row = df.agg(F.max("Data_Update_Time").alias("wm")).first()
         return row.wm
+
+    # --- maintenance + streaming bridge -----------------------------------
+
+    def compact(self, table: str, target_files: int = 8) -> int:
+        """Small-file compaction: rewrite the current snapshot with
+        ``target_files`` files (per partition for hive layouts), flip
+        the pointer. Data is byte-identical; only the file layout
+        changes. The at-scale maintenance op for tables grown by many
+        small incremental appends — scan cost is dominated by file
+        count once files shrink below a row group.
+
+        Returns the new version number. Concurrent readers keep their
+        snapshot (old versions retained per the GC policy)."""
+        df = self.read(table)
+        if df is None:
+            raise ValueError(f"{table}: nothing to compact")
+        schema = self._stored_schema(table)
+        pcols = self._layout_partition_cols(table) if self._is_partitioned(table) else []
+        vd, n = self._next_version_dir(table)
+        if pcols:
+            (
+                df.repartition(target_files, *[F.col(c) for c in pcols])
+                .write.mode("overwrite")
+                .partitionBy(*pcols)
+                .parquet(vd)
+            )
+        else:
+            df.coalesce(target_files).write.mode("overwrite").parquet(vd)
+        if schema is not None:
+            self._store_schema(table, schema)
+        self._commit_version(table, n, meta=self._carry_meta(table))
+        return n
+
+    def _carry_meta(self, table: str) -> dict:
+        """Commit metadata that must survive unrelated commits (e.g.
+        the streaming batch id)."""
+        return {
+            k: v
+            for k, v in self._pointer_meta(table).items()
+            if k.startswith("stream_batch:")
+        }
+
+    def last_stream_batch(self, table: str, query_id: str) -> int:
+        return int(
+            self._pointer_meta(table).get(f"stream_batch:{query_id}", -1)
+        )
+
+    def foreach_batch_appender(
+        self, table: str, schema: T.StructType, query_id: str = "default"
+    ):
+        """Exactly-once bridge from Structured Streaming to this sink:
+        pass the returned function to ``writeStream.foreachBatch``.
+
+        Structured Streaming guarantees at-least-once foreachBatch
+        delivery with a MONOTONIC batch_id (replayed after restart with
+        the same id). The appender records the last committed batch id
+        INSIDE the version pointer — the same atomic rename that makes
+        the data visible — so a replayed batch sees itself already
+        committed and becomes a no-op: at-least-once delivery + an
+        idempotent transactional commit = exactly-once table state.
+        """
+
+        def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_id <= self.last_stream_batch(table, query_id):
+                return  # replay of a committed batch
+            aligned = align_to_schema(batch_df, schema)
+            cur = self._migrate_legacy(table)
+            vd, n = self._next_version_dir(table)
+            if cur:
+                _link_tree(self._version_dir(table, cur), vd)
+            aligned.write.mode("append").parquet(vd)
+            self._store_schema(table, schema)
+            meta = self._carry_meta(table)
+            meta[f"stream_batch:{query_id}"] = batch_id
+            self._commit_version(table, n, meta=meta)
+
+        return append_batch

@@ -407,3 +407,115 @@ def test_sink_does_not_leak_session_conf(spark, tmp_path):
     )
     sink.read("co").collect()
     assert spark.conf.get(key, None) == before
+
+
+def test_time_travel_read(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "tt", CO_SCHEMA)
+    sink.append_aligned(_rows(spark, [("b", "L1", 5, 2.0, "S")]), "tt", CO_SCHEMA)
+    sink.append_aligned(_rows(spark, [("c", "L1", 9, 3.0, "S")]), "tt", CO_SCHEMA)
+    assert len(_collect(sink, "tt")) == 3
+    v = sink._current_version("tt")
+    old = sink.read("tt", version=v - 1)
+    assert sorted(r.CO_Identifier for r in old.collect()) == ["a", "b"]
+    older = sink.read("tt", version=v - 2)
+    assert [r.CO_Identifier for r in older.collect()] == ["a"]
+    with pytest.raises(ValueError):
+        sink.read("tt", version=v + 1)  # never committed
+    # push v1 past retention (keep=2) and confirm loud failure
+    sink.append_aligned(_rows(spark, [("d", "L1", 12, 4.0, "S")]), "tt", CO_SCHEMA)
+    sink.append_aligned(_rows(spark, [("e", "L1", 15, 5.0, "S")]), "tt", CO_SCHEMA)
+    with pytest.raises(ValueError):
+        sink.read("tt", version=1)
+
+
+def test_compact_preserves_data_and_shrinks_files(spark, tmp_path):
+    import glob
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    for i in range(6):
+        sink.append_aligned(
+            _rows(spark, [(f"c{i}", "L1", i, float(i), "S")]), "cp", CO_SCHEMA
+        )
+    before = _collect(sink, "cp")
+    dp = sink._data_path("cp")
+    n_before = len(glob.glob(os.path.join(dp, "*.parquet")))
+    assert n_before >= 6  # one file (or more) per append
+    v = sink.compact("cp", target_files=1)
+    assert sink._current_version("cp") == v
+    dp = sink._data_path("cp")
+    n_after = len(glob.glob(os.path.join(dp, "*.parquet")))
+    assert n_after == 1
+    assert _collect(sink, "cp") == before
+
+
+def test_foreach_batch_appender_exactly_once(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    append = sink.foreach_batch_appender("st", CO_SCHEMA, query_id="q1")
+    b0 = _rows(spark, [("a", "L1", 0, 1.0, "S")])
+    b1 = _rows(spark, [("b", "L1", 5, 2.0, "S")])
+    append(b0, 0)
+    append(b1, 1)
+    assert len(_collect(sink, "st")) == 2
+    # at-least-once replay after a simulated restart: same batch ids
+    append(b0, 0)
+    append(b1, 1)
+    assert len(_collect(sink, "st")) == 2  # no duplicates
+    append(_rows(spark, [("c", "L1", 9, 3.0, "S")]), 2)
+    assert len(_collect(sink, "st")) == 3
+    assert sink.last_stream_batch("st", "q1") == 2
+    # batch metadata survives unrelated commits (e.g. compaction)
+    sink.compact("st", target_files=1)
+    assert sink.last_stream_batch("st", "q1") == 2
+    append(_rows(spark, [("x", "L1", 1, 9.0, "S")]), 2)  # replay post-compact
+    assert len(_collect(sink, "st")) == 3
+
+
+def test_foreach_batch_appender_real_stream(spark, tmp_path):
+    """End-to-end: a real availableNow file stream through foreachBatch
+    into the versioned sink."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    feed = _rows(
+        spark,
+        [("a", "L1", 0, 1.0, "S"), ("b", "L1", 5, 2.0, "S"),
+         ("c", "L2", 9, 3.0, "S"), ("d", "L2", 12, 4.0, "S")],
+    )
+    src = tempfile.mkdtemp(prefix="sg-fb-src-")
+    stage = tempfile.mkdtemp(prefix="sg-fb-stage-")
+    try:
+        rows = feed.collect()
+        for k, r in enumerate(rows):
+            out_dir = os.path.join(stage, f"b{k}")
+            spark.createDataFrame([r], CO_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(out_dir)
+            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(src, f"batch-{k:03d}.parquet"))
+        sink = ParquetIncrementalSink(spark, str(tmp_path))
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                sink.foreach_batch_appender("live", CO_SCHEMA, query_id="s1")
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+        assert len(_collect(sink, "live")) == 4
+        assert sink.last_stream_batch("live", "s1") >= 1
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(src, ignore_errors=True)
