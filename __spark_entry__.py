@@ -71,6 +71,7 @@ _CERTIFY_FIRST = [
     # vote fold replaced the explode+groupBy signature computation)
     "simhash_dups",
     "simhash_near_dups",
+    "dq_profile",
 ]
 
 

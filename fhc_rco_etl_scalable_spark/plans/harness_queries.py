@@ -3751,3 +3751,52 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q_dq_profile — one-scan data-quality profiling (ingest validation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_profile",
+    """
+WITH w AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nu_q,
+         count(DISTINCT l_quantity) AS nd_q,
+         min(l_quantity) AS mi_q, max(l_quantity) AS ma_q,
+         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nu_d,
+         count(DISTINCT l_discount) AS nd_d,
+         min(l_discount) AS mi_d, max(l_discount) AS ma_d,
+         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nu_e,
+         count(DISTINCT l_extendedprice) AS nd_e,
+         min(l_extendedprice) AS mi_e, max(l_extendedprice) AS ma_e
+  FROM lineitem
+)
+SELECT 'l_quantity' AS column, n AS n_rows, nu_q AS n_nulls, nd_q AS n_distinct,
+       round(mi_q, 4) AS min_v, round(ma_q, 4) AS max_v FROM w
+UNION ALL
+SELECT 'l_discount', n, nu_d, nd_d, round(mi_d, 4), round(ma_d, 4) FROM w
+UNION ALL
+SELECT 'l_extendedprice', n, nu_e, nd_e, round(mi_e, 4), round(ma_e, 4) FROM w
+""",
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan per-column data-quality profile (functions/dq.py):
+    null counts, exact NDV, value ranges for three lineitem measures —
+    all aggregates share a single global aggregation (map-side
+    partials), then unpivot via stack. The ingest-validation shape
+    that runs ahead of every 100 TB load."""
+    from ..functions.dq import profile
+
+    li = load_table(spark, "lineitem", sf_dir)
+    out = profile(li, ["l_quantity", "l_discount", "l_extendedprice"])
+    return out.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )
