@@ -24,6 +24,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -71,6 +72,53 @@ def write_range_sorted(
     (
         df.repartitionByRange(n_files, *sort_cols)
         .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits_per_col: int = 10,
+) -> None:
+    """Z-order (Morton-curve) clustered export: interleave the bits of
+    each column's rank bucket into one clustering key, then range-
+    partition + sort on it. Each output file then covers a SMALL range
+    of EVERY clustering column — parquet min/max stats prune scans for
+    filters on any of them, where a plain sort only prunes its leading
+    column.
+
+    Rank buckets come from ``percent_rank`` (value-distribution
+    quantiles, so skewed columns still spread over the full 2^bits
+    range); the rank windows are per-column global sorts of just
+    (value) pairs — at 100 TB swap in ``approxQuantile`` breakpoints
+    computed on a sample, the curve only needs monotone bucketing.
+
+    The z-value is built natively (shift/OR folds — no UDF)."""
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    zdf = df
+    for c in cols:
+        r = F.percent_rank().over(Window.orderBy(F.col(c)))
+        bucket = F.least(
+            (r * (1 << bits_per_col)).cast("long"), F.lit((1 << bits_per_col) - 1)
+        )
+        zdf = zdf.withColumn(f"__b_{c}", bucket)
+    # interleave: output bit (i * n_cols + j) = bit i of column j's bucket
+    z = F.lit(0).cast("long")
+    for i in range(bits_per_col):
+        for j, c in enumerate(cols):
+            bit = F.shiftrightunsigned(F.col(f"__b_{c}"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    zdf = zdf.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -108,3 +108,49 @@ def test_range_sorted_export_stats_prune(spark, tmp_path):
     first = spark.read.parquet(files[0]).select("key").collect()
     vals = [r.key for r in first]
     assert vals == sorted(vals)
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    """Z-ordering bounds each file's range in EVERY clustering column;
+    a plain sort on (x, y) leaves y unpruned (each file spans ~the full
+    y range)."""
+    import pyarrow.parquet as pq
+
+    from fhc_rco_etl_scalable_spark.sinks.layout import write_zordered
+
+    df = spark.range(0, 40_000).select(
+        (F.xxhash64("id") % 10_000).alias("x"),
+        (F.xxhash64(F.col("id") + 1) % 10_000).alias("y"),
+    )
+    n_files = 16
+
+    def avg_range_fraction(path, col_idx):
+        import glob
+        import os
+
+        fracs = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            fracs.append((max(maxs) - min(mins)) / 20_000.0)
+        return sum(fracs) / len(fracs)
+
+    zpath = str(tmp_path / "z")
+    write_zordered(df, zpath, ["x", "y"], n_files=n_files)
+    spath = str(tmp_path / "s")
+    from fhc_rco_etl_scalable_spark.sinks.layout import write_range_sorted
+
+    write_range_sorted(df, spath, ["x", "y"], n_files=n_files)
+
+    # plain sort: x prunes hard, y doesn't
+    assert avg_range_fraction(spath, 0) < 0.2
+    assert avg_range_fraction(spath, 1) > 0.8
+    # z-order: BOTH columns bounded well below the full range
+    zx, zy = avg_range_fraction(zpath, 0), avg_range_fraction(zpath, 1)
+    assert zx < 0.5 and zy < 0.5, (zx, zy)
+    # same rows either way
+    assert spark.read.parquet(zpath).count() == 40_000
