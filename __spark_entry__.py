@@ -72,6 +72,10 @@ _CERTIFY_FIRST = [
     "simhash_dups",
     "simhash_near_dups",
     "dq_profile",
+    "tpch_customer_distribution",
+    "sql_api_correlated_scalar",
+    "sql_api_exists_semi",
+    "streaming_interval_join",
 ]
 
 
