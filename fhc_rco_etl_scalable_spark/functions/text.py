@@ -112,19 +112,21 @@ def normalized_fingerprint(text: Column | str) -> Column:
     return F.md5(norm)
 
 
-def rolling_hashes(text: Column | str, window: int = 5) -> Column:
+def rolling_hashes(text: Column | str, window: int = 5, hasher=None) -> Column:
     """Winnowing-style rolling token-window hashes
     (array<bigint>): hash of each consecutive ``window`` tokens.
-    Basis for robust near-dup fingerprints."""
+    Basis for robust near-dup fingerprints. Default ``hasher`` is
+    xxhash64; pass an md5-based one for cross-engine reproducibility."""
     toks = tokens(text)
     n = F.size(toks)
+    h = hasher or F.xxhash64
     # lower bound 1, not 0: sequence(1, 0) would step DOWN to index 0
     # and slice(toks, 0, ..) throws; short texts get one window over
     # all available tokens.
     idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
     return F.transform(
         idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, window))),
+        lambda i: h(F.concat_ws(" ", F.slice(toks, i, window))),
     )
 
 
@@ -150,12 +152,7 @@ def winnow_fingerprints(
     1-element-array transform) materializes it once per row; inner
     references then read the value, not the expression.
     """
-    c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
-    n = F.size(toks)
-    h = hasher or F.xxhash64
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    hashes = F.transform(idx, lambda i: h(F.concat_ws(" ", F.slice(toks, i, k))))
+    hashes = rolling_hashes(text, window=k, hasher=hasher)
 
     def winnow(hs: Column) -> Column:
         m = F.size(hs)

@@ -2472,6 +2472,55 @@ def q_site_catalog_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
+
+def _staged_file_stream(df, n_batches: int, order_cols: list[str], prefix: str):
+    """Context manager: stage ``df`` as ``n_batches`` event-time-ordered
+    parquet files for a deterministic availableNow file-source replay.
+
+    Global-order ntile gives each slice a disjoint range of
+    ``order_cols`` (the sort is one task over a harness-sized frame —
+    plumbing, not an engine operator), and ``os.utime`` stamps strictly
+    increasing mtimes: the file source processes oldest-first, so the
+    replay presents batches in event-time order even on filesystems
+    with coarse mtime granularity. Yields the source directory; all
+    four streaming harnesses share this scaffold so the ordering
+    guarantee cannot drift between them.
+    """
+    import contextlib
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    @contextlib.contextmanager
+    def cm():
+        sliced = df.withColumn(
+            "__k", F.ntile(n_batches).over(Window.orderBy(*order_cols))
+        )
+        src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
+        stage = tempfile.mkdtemp(prefix=f"{prefix}-stage-")
+        try:
+            for k in range(1, n_batches + 1):
+                out_dir = os.path.join(stage, f"b{k}")
+                (
+                    sliced.filter(F.col("__k") == k)
+                    .drop("__k")
+                    .coalesce(1)
+                    .write.mode("overwrite")
+                    .parquet(out_dir)
+                )
+                part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+                dst = os.path.join(src, f"batch-{k:03d}.parquet")
+                shutil.copy(part, dst)
+                os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+            yield src
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(src, ignore_errors=True)
+
+    return cm()
+
+
 # ---------------------------------------------------------------------------
 # q_streaming_sessionize_harness — §2.11 promoted from pytest-only to
 # driver-gate evidence: the applyInPandasWithState sessionizer runs
@@ -2493,10 +2542,6 @@ SELECT LINE, downtime_id, START_TIME, co_id AS CO_Identifier FROM sid
 
 @query("streaming_sessionize_harness", _STREAMING_SESS_ORACLE)
 def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from ..streaming.sessionize_stream import streaming_sessionize
@@ -2510,28 +2555,9 @@ def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFram
         "CAUSE_LEVELS_3_NAME",
     )
     n_batches = 4
-    # Global-order ntile = disjoint time ranges per slice; the sort is
-    # one task over the (small) CO subset — harness-only plumbing, not
-    # an engine operator.
-    sliced = co.withColumn(
-        "__k", F.ntile(n_batches).over(Window.orderBy("START_TIME", "downtime_id"))
-    )
-    src = tempfile.mkdtemp(prefix="sg-stream-harness-")
-    stage = tempfile.mkdtemp(prefix="sg-stream-stage-")
-    try:
-        for k in range(1, n_batches + 1):
-            out_dir = os.path.join(stage, f"b{k}")
-            (
-                sliced.filter(F.col("__k") == k)
-                .drop("__k")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
-            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"batch-{k:03d}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    with _staged_file_stream(
+        co, n_batches, ["START_TIME", "downtime_id"], "sg-sess"
+    ) as src:
         events = (
             spark.readStream.schema(co.schema)
             .option("maxFilesPerTrigger", 1)
@@ -2557,9 +2583,6 @@ def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFram
         return spark.table(name).select(
             "LINE", "downtime_id", "START_TIME", "CO_Identifier"
         )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -2969,35 +2992,15 @@ FROM ds GROUP BY 1, 2
 
 @query("streaming_tumbling_harness", _STREAMING_TUMBLING_ORACLE)
 def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from ..streaming.sessionize_stream import streaming_runtime_per_day
 
     feed = harness_downtime_log(spark, sf_dir).select("LINE", "START_TIME", "UPTIME")
     n_batches = 4
-    sliced = feed.withColumn(
-        "__k", F.ntile(n_batches).over(Window.orderBy("START_TIME", "LINE"))
-    )
-    src = tempfile.mkdtemp(prefix="sg-tumb-harness-")
-    stage = tempfile.mkdtemp(prefix="sg-tumb-stage-")
-    try:
-        for k in range(1, n_batches + 1):
-            out_dir = os.path.join(stage, f"b{k}")
-            (
-                sliced.filter(F.col("__k") == k)
-                .drop("__k")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
-            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"batch-{k:03d}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    with _staged_file_stream(
+        feed, n_batches, ["START_TIME", "LINE"], "sg-tumb"
+    ) as src:
         events = (
             spark.readStream.schema(feed.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3021,9 +3024,6 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).select(
             "Date", "LINE", F.round("Runtime", 2).alias("Runtime")
         )
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3691,10 +3691,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (7 days vs the 1-day key recurrence window), so the
     streamed first-arrival key set equals the batch DISTINCT —
     hash-compared via the driver oracle."""
-    import glob
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from ..streaming.dedup_stream import streaming_exact_dedup
@@ -3706,25 +3702,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_batches = 4
-    sliced = feed.withColumn(
-        "__k", F.ntile(n_batches).over(Window.orderBy("ts", "user_id"))
-    )
-    src = tempfile.mkdtemp(prefix="sg-dedup-harness-")
-    stage = tempfile.mkdtemp(prefix="sg-dedup-stage-")
-    try:
-        for k in range(1, n_batches + 1):
-            out_dir = os.path.join(stage, f"b{k}")
-            (
-                sliced.filter(F.col("__k") == k)
-                .drop("__k")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
-            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
-            dst = os.path.join(src, f"batch-{k:03d}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
+    with _staged_file_stream(
+        feed, n_batches, ["ts", "user_id"], "sg-dedup"
+    ) as src:
         stream = (
             spark.readStream.schema(feed.schema)
             .option("maxFilesPerTrigger", 1)
@@ -3748,9 +3728,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected >= {n_batches} micro-batches, got {n_microbatches}"
         )
         return spark.table(name).select("user_id", "event_type", "Date")
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -3941,10 +3918,6 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermarks; Spark bounds each side's join state from the range
     predicate. availableNow ordered replay + generous watermark ==
     exactly the batch join, hash-compared via the oracle."""
-    import glob
-    import os
-    import shutil
-    import tempfile
     import uuid
 
     from ..streaming.join_stream import stream_stream_interval_join
@@ -3953,23 +3926,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
     n_batches = 3
-    sliced = ev.withColumn(
-        "__k", F.ntile(n_batches).over(Window.orderBy("ts", "event_id"))
-    )
-    src = tempfile.mkdtemp(prefix="sg-ssj-src-")
-    stage = tempfile.mkdtemp(prefix="sg-ssj-stage-")
-    try:
-        for k in range(1, n_batches + 1):
-            out_dir = os.path.join(stage, f"b{k}")
-            (
-                sliced.filter(F.col("__k") == k)
-                .drop("__k")
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(out_dir)
-            )
-            part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
-            shutil.copy(part, os.path.join(src, f"batch-{k:03d}.parquet"))
+    with _staged_file_stream(ev, n_batches, ["ts", "event_id"], "sg-ssj") as src:
         feed = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
@@ -4006,6 +3963,3 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         assert n_microbatches >= n_batches
         return spark.table(name)
-    finally:
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(src, ignore_errors=True)

@@ -13,6 +13,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """~1/3 of physical RAM in whole GiB, clamped to [2g, 48g]."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, gb // 3))}g"
+    except OSError:
+        pass
+    return "2g"
+
+
 def get_spark(
     app_name: str = "fhc_rco_etl_scalable_spark",
     master: str | None = None,
@@ -35,12 +48,14 @@ def get_spark(
         # Spark's default driver heap is 1g — 32 concurrent gram-
         # explode/signature tasks OOM at a few hundred thousand docs
         # (found by tools/scale_probe.py at 40x sf0.1). Size the heap
-        # like the single multi-core executor this process actually is.
-        # Only effective before the JVM launches; a caller-provided
-        # session keeps its own setting.
+        # like the single multi-core executor this process actually is:
+        # ~1/3 of physical RAM, capped at 48g (so a small laptop/CI box
+        # gets a modest heap instead of an overcommitted 48g that the
+        # OOM killer would reap mid-job). Only effective before the JVM
+        # launches; a caller-provided session keeps its own setting.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         # AQE: runtime coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")

@@ -567,6 +567,12 @@ class ParquetIncrementalSink:
 
         Returns the new version number. Concurrent readers keep their
         snapshot (old versions retained per the GC policy)."""
+        # Migrate a legacy layout under the version pointer BEFORE the
+        # (lazy) read: _next_version_dir's migration renames the data
+        # files, which would invalidate a file index built over the
+        # pre-migration paths (same ordering hazard delete_overlap_append
+        # documents).
+        self._migrate_legacy(table)
         df = self.read(table)
         if df is None:
             raise ValueError(f"{table}: nothing to compact")
@@ -601,9 +607,7 @@ class ParquetIncrementalSink:
             self._pointer_meta(table).get(f"stream_batch:{query_id}", -1)
         )
 
-    def foreach_batch_appender(
-        self, table: str, schema: T.StructType, query_id: str = "default"
-    ):
+    def foreach_batch_appender(self, table: str, schema: T.StructType, query_id: str):
         """Exactly-once bridge from Structured Streaming to this sink:
         pass the returned function to ``writeStream.foreachBatch``.
 
@@ -614,6 +618,15 @@ class ParquetIncrementalSink:
         the data visible — so a replayed batch sees itself already
         committed and becomes a no-op: at-least-once delivery + an
         idempotent transactional commit = exactly-once table state.
+
+        ``query_id`` is the Delta ``txnAppId`` contract and has two
+        REQUIREMENTS the dedup logic cannot check for you: (1) unique
+        per logical stream — two streams sharing an id would dedup each
+        other's batches; (2) tied to ONE checkpoint location for the
+        stream's lifetime — restarting with a fresh checkpoint resets
+        batch_id to 0, which this guard would read as already-committed
+        replays and silently drop. When retiring a checkpoint, retire
+        the query_id with it (e.g. suffix a run epoch).
         """
 
         def append_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -621,10 +634,17 @@ class ParquetIncrementalSink:
                 return  # replay of a committed batch
             aligned = align_to_schema(batch_df, schema)
             cur = self._migrate_legacy(table)
+            partitioned = self._is_partitioned(table)
             vd, n = self._next_version_dir(table)
             if cur:
                 _link_tree(self._version_dir(table, cur), vd)
-            aligned.write.mode("append").parquet(vd)
+            if partitioned:
+                # follow the existing hive layout — a flat append would
+                # mix leaf depths and break partition discovery
+                pcols = self._layout_partition_cols(table)
+                aligned.write.mode("append").partitionBy(*pcols).parquet(vd)
+            else:
+                aligned.write.mode("append").parquet(vd)
             self._store_schema(table, schema)
             meta = self._carry_meta(table)
             meta[f"stream_batch:{query_id}"] = batch_id

@@ -101,6 +101,12 @@ def write_zordered(
     from pyspark.sql import Window
 
     cols = list(cols)
+    # one 64-bit z-value: shiftleft wraps its amount mod 64, so bits
+    # past position 62 would silently collide across columns
+    if bits_per_col * len(cols) > 62:
+        bits_per_col = 62 // len(cols)
+        if bits_per_col < 1:
+            raise ValueError(f"too many z-order columns ({len(cols)}) for one long")
     zdf = df
     for c in cols:
         r = F.percent_rank().over(Window.orderBy(F.col(c)))

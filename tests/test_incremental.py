@@ -519,3 +519,41 @@ def test_foreach_batch_appender_real_stream(spark, tmp_path):
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_compact_legacy_layout(spark, tmp_path):
+    # compact() must migrate a legacy flat layout BEFORE building its
+    # (lazy) read plan — migrating after would rename the input files
+    # out from under the scan.
+    import os
+
+    root = str(tmp_path / "leg")
+    sink = ParquetIncrementalSink(spark, root)
+    legacy = _rows(
+        spark, [("a", "L1", 0, 1.0, "S"), ("b", "L2", 5, 2.0, "S")]
+    )
+    legacy.write.parquet(os.path.join(root, "co"))  # flat legacy layout
+    sink.compact("co", target_files=1)
+    assert _collect(sink, "co") == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])
+
+
+def test_foreach_batch_appender_partitioned_layout(spark, tmp_path):
+    # Streaming appends into a hive-partitioned table must follow the
+    # existing layout — flat files at the snapshot root would break
+    # partition discovery.
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    wm = T0 - timedelta(minutes=30)
+    seed = _rows(spark, [("a", "L1", 0, 1.0, "S")])
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    assert sink._is_partitioned("co")
+    append = sink.foreach_batch_appender("co", CO_SCHEMA, query_id="qp")
+    append(_rows(spark, [("b", "L2", 5, 2.0, "S")]), 0)
+    got = _collect(sink, "co")
+    assert got == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])
+    dp = sink._data_path("co")
+    # no flat data files beside the partition dirs
+    flat = [e for e in os.listdir(dp) if e.endswith(".parquet")]
+    assert flat == []
+    assert os.path.isdir(os.path.join(dp, "LINE=L2", "Server=S"))

@@ -6,7 +6,6 @@ import os
 import shutil
 import tempfile
 
-import pytest
 from pyspark.sql import functions as F
 
 from fhc_rco_etl_scalable_spark.sinks.layout import (
@@ -14,13 +13,6 @@ from fhc_rco_etl_scalable_spark.sinks.layout import (
     write_bucketed,
     write_range_sorted,
 )
-
-
-@pytest.fixture(scope="module")
-def warehouse_spark(spark):
-    # saveAsTable needs a writable warehouse; point the existing session
-    # at a temp dir via the catalog's default database location.
-    yield spark
 
 
 def _physical_plan(df) -> str:
