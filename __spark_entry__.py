@@ -76,6 +76,8 @@ _CERTIFY_FIRST = [
     "sql_api_correlated_scalar",
     "sql_api_exists_semi",
     "streaming_interval_join",
+    "chunk_documents",
+    "build_vocab",
 ]
 
 

@@ -181,3 +181,23 @@ def scrub_pii(text: Column | str, replacement: str = " ") -> Column:
     for pat in PII_PATTERNS.values():
         c = F.regexp_replace(c, pat, replacement)
     return c
+
+
+def chunk_documents(
+    text: Column | str, size: int = 100, overlap: int = 20
+) -> Column:
+    """Split a document into token chunks of ``size`` with ``overlap``
+    tokens shared between consecutive chunks — the context-window prep
+    step of an LLM training pipeline. Returns ``array<string>`` of
+    chunk texts, entirely map-side (explode downstream to get one row
+    per chunk).
+
+    Chunk starts advance by ``size - overlap``; the final chunk may be
+    shorter. A short document yields exactly one chunk."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    toks = tokens(text)
+    n = F.size(toks)
+    step = size - overlap
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, size)))

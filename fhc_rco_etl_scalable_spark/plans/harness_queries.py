@@ -3963,3 +3963,79 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         assert n_microbatches >= n_batches
         return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline staples: context-window chunking and vocabulary build.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chunk_documents",
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - 5, 1) + 1, 15),
+           i -> array_to_string(list_slice(toks, i, i + 19), ' ')
+         ) AS chunks
+  FROM t
+)
+SELECT doc_id, j - 1 AS chunk_id, chunks[j] AS chunk,
+       len(list_filter(string_split_regex(chunks[j], '\\s+'), x -> x <> '')) AS n_tokens
+FROM c, unnest(range(1, len(chunks) + 1)) AS r(j)
+""",
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (size=20, overlap=5 — small enough that
+    the fixture docs split into several overlapping chunks, so the
+    overlap arithmetic is actually exercised by the hash gate):
+    map-side token slicing + posexplode — one scan, no shuffle; the
+    100 TB shape for training-example preparation."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.posexplode(TX.chunk_documents("text", size=20, overlap=5)).alias(
+            "chunk_id", "chunk"
+        ),
+    ).select(
+        "doc_id", "chunk_id", "chunk", TX.token_count("chunk").alias("n_tokens")
+    )
+
+
+@query(
+    "build_vocab",
+    """
+WITH tok AS (
+  SELECT lower(u.t) AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)
+),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+top AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id
+  FROM counts
+)
+SELECT token, n, token_id FROM top WHERE token_id <= 500
+""",
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: explode tokens -> one count shuffle ->
+    top-500 via distributed TakeOrdered -> ids ranked over the tiny
+    result (the global row_number window runs over 500 rows, never the
+    full vocabulary)."""
+    docs = load_table(spark, "documents", sf_dir)
+    counts = (
+        docs.select(F.explode(TX.tokens("text")).alias("t"))
+        .select(F.lower("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), "token").limit(500)
+    w = Window.orderBy(F.col("n").desc(), "token")
+    return top.withColumn("token_id", F.row_number().over(w))
