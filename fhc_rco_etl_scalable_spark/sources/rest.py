@@ -30,6 +30,39 @@ from .json_flatten import flatten_structs
 DEFAULT_ROW_SIZE = 9999
 
 
+def default_fetch(
+    url: str,
+    timeout: float = 30.0,
+    retries: int = 3,
+    backoff: float = 0.5,
+    headers: dict[str, str] | None = None,
+) -> dict:
+    """Production HTTP fetcher for ``rest_scan``: urllib GET with
+    timeout and exponential-backoff retries on transient failures
+    (5xx, connection resets). 4xx raises immediately — retrying a bad
+    request only hides the bug. Injectable ``fetch`` callables remain
+    the test/fixture path; this is the live one."""
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            req = urllib.request.Request(url, headers=headers or {})
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as exc:
+            if exc.code < 500:
+                raise
+            last = exc
+        except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
+            last = exc
+        if attempt < retries:
+            _time.sleep(backoff * (2 ** attempt))
+    raise last  # type: ignore[misc]
+
+
 def iter_pages(
     fetch: Callable[[str], dict],
     first_url: str,

@@ -125,3 +125,33 @@ def test_winnow_hash_array_not_reevaluated_per_window(spark):
     n = df.select(F.explode(winnow_fingerprints("text")).alias("fp")).count()
     assert n > 0
     assert time.time() - t0 < 20
+
+
+def test_chunk_documents_reconstruction(spark):
+    # Dropping each chunk's overlap prefix (after the first) and
+    # concatenating must reproduce the original token sequence exactly,
+    # for lengths around every boundary condition.
+    from fhc_rco_etl_scalable_spark.functions.text import chunk_documents
+
+    size, overlap, step = 10, 3, 7
+    texts = [
+        (n, " ".join(f"w{i}" for i in range(n)))
+        for n in [1, 5, 9, 10, 11, 17, 18, 24, 50]
+    ]
+    df = spark.createDataFrame(texts, "n long, text string")
+    rows = df.select(
+        "n", chunk_documents("text", size=size, overlap=overlap).alias("chunks")
+    ).collect()
+    for r in rows:
+        rebuilt = []
+        for j, ch in enumerate(r.chunks):
+            toks = ch.split()
+            assert len(toks) <= size
+            rebuilt.extend(toks if j == 0 else toks[overlap:])
+        assert rebuilt == [f"w{i}" for i in range(r.n)], (r.n, r.chunks)
+        # consecutive chunks share exactly `overlap` tokens (when long enough)
+        for a, b in zip(r.chunks, r.chunks[1:]):
+            assert a.split()[-overlap:] == b.split()[:overlap] or len(b.split()) < overlap
+
+    with pytest.raises(ValueError):
+        chunk_documents("text", size=5, overlap=5)

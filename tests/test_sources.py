@@ -128,3 +128,62 @@ def test_kpi_scan_items_wrapped_payload(spark):
         line_ids="1",
     )
     assert df.count() == 1
+
+
+def test_rest_scan_live_http_server(spark):
+    """End-to-end over a real HTTP socket: default_fetch + pagination +
+    retry (first hit of page 2 returns 500 once)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from fhc_rco_etl_scalable_spark.sources.rest import default_fetch, rest_scan
+
+    state = {"page2_failures": 1}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path.startswith("/dt") and "page=2" not in self.path:
+                body = {
+                    "items": [{"id": 1, "line": "L1"}, {"id": 2, "line": "L2"}],
+                    "_links": {"next": {"href": f"http://{self.headers['Host']}/dt?page=2"}},
+                }
+            elif "page=2" in self.path:
+                if state["page2_failures"] > 0:
+                    state["page2_failures"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                body = {"items": [{"id": 3, "line": "L1"}], "_links": {}}
+            else:
+                self.send_response(404)
+                self.end_headers()
+                return
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = rest_scan(
+            spark,
+            lambda url: default_fetch(url, retries=2, backoff=0.05),
+            base,
+            "dt",
+            site="S1",
+            start_date="2024-01-01",
+        )
+        rows = sorted((r.id, r.line) for r in df.collect())
+        assert rows == [(1, "L1"), (2, "L2"), (3, "L1")]
+        assert state["page2_failures"] == 0  # the 503 was retried
+    finally:
+        srv.shutdown()
