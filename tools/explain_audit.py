@@ -181,6 +181,23 @@ def main() -> int:
         detail=f"{n_bhj} broadcast joins (supplier+nation+region)",
     )
 
+    # 13. Round-5 map-side claims: chunking, winnowing and the simhash
+    #     fold must plan with ZERO exchanges (pure per-row functions;
+    #     the only allowed exchange is skew.spread's pinned repartition).
+    for qname, fn in [
+        ("chunk_documents", hq.q_chunk_documents),
+        ("winnow_fingerprints", hq.q_winnow_fingerprints),
+        ("simhash_dups", hq.q_simhash_dups),
+    ]:
+        p = plan_of(fn(spark, sf_dir))
+        n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+        check(f"map_side({qname})", n_ex <= 1, detail=f"{n_ex} exchanges")
+
+    # 14. Time-range window: ONE exchange feeds the frame scan.
+    p = plan_of(hq.q_sliding_time_window(spark, sf_dir))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    check("single_shuffle(sliding_time_window)", n_ex == 1, detail=f"{n_ex} exchanges")
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
