@@ -2473,6 +2473,30 @@ def q_site_catalog_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _clamped_shuffle(spark: SparkSession, n: int = 8):
+    """Context manager: temporarily clamp shuffle partitions for a
+    STREAMING harness query. A stateful streaming query instantiates
+    one state store per shuffle partition per micro-batch — under the
+    driver's vanilla session (200 partitions) that is pure fixed cost
+    at harness scale. Batch entries don't need this (AQE coalesces);
+    streaming state partitioning is fixed at query start and AQE does
+    not apply."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return cm()
+
+
+
 def _staged_file_stream(df, n_batches: int, order_cols: list[str], prefix: str):
     """Context manager: stage ``df`` as ``n_batches`` event-time-ordered
     parquet files for a deterministic availableNow file-source replay.
@@ -2555,7 +2579,7 @@ def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFram
         "CAUSE_LEVELS_3_NAME",
     )
     n_batches = 4
-    with _staged_file_stream(
+    with _clamped_shuffle(spark), _staged_file_stream(
         co, n_batches, ["START_TIME", "downtime_id"], "sg-sess"
     ) as src:
         events = (
@@ -2998,7 +3022,7 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feed = harness_downtime_log(spark, sf_dir).select("LINE", "START_TIME", "UPTIME")
     n_batches = 4
-    with _staged_file_stream(
+    with _clamped_shuffle(spark), _staged_file_stream(
         feed, n_batches, ["START_TIME", "LINE"], "sg-tumb"
     ) as src:
         events = (
@@ -3702,7 +3726,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_batches = 4
-    with _staged_file_stream(
+    with _clamped_shuffle(spark), _staged_file_stream(
         feed, n_batches, ["ts", "user_id"], "sg-dedup"
     ) as src:
         stream = (
@@ -3926,7 +3950,7 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts", "event_type"
     )
     n_batches = 3
-    with _staged_file_stream(ev, n_batches, ["ts", "event_id"], "sg-ssj") as src:
+    with _clamped_shuffle(spark), _staged_file_stream(ev, n_batches, ["ts", "event_id"], "sg-ssj") as src:
         feed = (
             spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
