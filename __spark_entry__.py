@@ -78,6 +78,7 @@ _CERTIFY_FIRST = [
     "streaming_interval_join",
     "chunk_documents",
     "build_vocab",
+    "winnow_near_dups",
 ]
 
 

@@ -4063,3 +4063,65 @@ def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("n").desc(), "token").limit(500)
     w = Window.orderBy(F.col("n").desc(), "token")
     return top.withColumn("token_id", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# q_winnow_near_dups — near-dup candidates via shared winnowing
+# fingerprints: the inverted-index join over the SELECTED hashes only
+# (density 2/(w+1) of all window hashes), i.e. the index is ~2.5x
+# smaller than the full n-gram index for the same guarantee window.
+# ---------------------------------------------------------------------------
+
+_WINNOW_PAIRS_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - 4, 1) + 1),
+           i -> ('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 15))::BIGINT
+         ) AS hashes
+  FROM t
+),
+wn AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(hashes) - 3, 1) + 1),
+           j -> list_min(list_slice(hashes, j, j + 3))
+         )) AS fps
+  FROM h
+),
+x AS (SELECT doc_id, unnest(fps) AS fp FROM wn)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM x a JOIN x b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
+@query("winnow_near_dups", _WINNOW_PAIRS_SQL)
+def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs sharing >= 2 winnowing fingerprints (id_a <
+    id_b): ONE equi-join shuffle on the 8-byte fingerprint — the
+    winnowing guarantee means any pair sharing a k+w-1 = 8-token run
+    surfaces, while the index holds only the selected minima."""
+    from ..operators.dedup import md5_60
+    from ..operators.skew import spread
+
+    docs = load_table(spark, "documents", sf_dir)
+    fps = spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.explode(TX.winnow_fingerprints("text", k=5, w=4, hasher=md5_60)).alias("fp"),
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
