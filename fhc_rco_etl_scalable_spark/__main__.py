@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{name}  [{oracle}]")
         return 0
 
+    if args.cmd in ("run", "explain") and args.name not in hq.QUERIES:
+        print(f"unknown query {args.name!r} — see `list`", file=sys.stderr)
+        return 2
+
     from .session import get_spark
 
     spark = get_spark("cli")
@@ -62,15 +66,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name}: {df.count()} rows")
         return 0
 
-    if args.name not in hq.QUERIES:
-        print(f"unknown query {args.name!r} — see `list`", file=sys.stderr)
-        return 2
     df = hq.QUERIES[args.name](spark, args.sf)
     if args.cmd == "explain":
         df.explain("formatted")
     else:
-        df.show(args.n, truncate=80)
-        print(f"[{df.count()} rows]")
+        rows = df.collect()  # one execution; catalog results are small
+        spark.createDataFrame(rows, df.schema).show(args.n, truncate=80)
+        print(f"[{len(rows)} rows]")
     return 0
 
 

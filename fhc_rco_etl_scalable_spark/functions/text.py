@@ -193,11 +193,20 @@ def chunk_documents(
     per chunk).
 
     Chunk starts advance by ``size - overlap``; the final chunk may be
-    shorter. A short document yields exactly one chunk."""
+    shorter. A short document yields exactly one chunk.
+
+    The token array is bound as a lambda variable (1-element-array
+    transform) so it is materialized ONCE per document — embedding the
+    ``tokens(text)`` expression in the per-chunk lambda would re-run
+    the tokenizer once per chunk (the higher-order re-evaluation trap
+    documented at :func:`winnow_fingerprints`)."""
     if overlap >= size:
         raise ValueError("overlap must be smaller than size")
-    toks = tokens(text)
-    n = F.size(toks)
     step = size - overlap
-    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
-    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, size)))
+
+    def chunk(toks: Column) -> Column:
+        n = F.size(toks)
+        starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step))
+        return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, size)))
+
+    return F.transform(F.array(tokens(text)), chunk)[0]

@@ -46,6 +46,8 @@ def default_fetch(
     import urllib.error
     import urllib.request
 
+    if retries < 0:
+        raise ValueError("retries must be >= 0")
     last: Exception | None = None
     for attempt in range(retries + 1):
         try:

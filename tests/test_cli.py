@@ -1,8 +1,5 @@
 """CLI surface: list is Spark-free; run/explain resolve catalog names."""
 
-import io
-import sys
-
 
 def test_cli_list(capsys):
     from fhc_rco_etl_scalable_spark.__main__ import main
@@ -16,7 +13,6 @@ def test_cli_list(capsys):
 def test_cli_unknown_query(capsys):
     from fhc_rco_etl_scalable_spark.__main__ import main
 
-    # ensure a session exists so the error path (not session build) is
-    # what's under test
+    # name validation happens BEFORE session construction — instant error
     assert main(["explain", "no_such_query"]) == 2
     assert "unknown query" in capsys.readouterr().err

@@ -187,3 +187,4 @@ def test_rest_scan_live_http_server(spark):
         assert state["page2_failures"] == 0  # the 503 was retried
     finally:
         srv.shutdown()
+        srv.server_close()
