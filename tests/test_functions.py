@@ -155,3 +155,20 @@ def test_chunk_documents_reconstruction(spark):
 
     with pytest.raises(ValueError):
         chunk_documents("text", size=5, overlap=5)
+
+
+def test_chunk_documents_tokenizer_not_reevaluated_per_chunk(spark):
+    # Same O(n) guard as the winnow test: a ~2000-token doc splits into
+    # ~25 chunks; with the token array bound as a lambda variable this
+    # is sub-second-per-doc work, while re-tokenizing per chunk would
+    # be ~25x the tokenization cost and blow the bound.
+    import time
+
+    from fhc_rco_etl_scalable_spark.functions.text import chunk_documents
+
+    text = " ".join(f"tok{i % 89}y{i % 17}" for i in range(2000))
+    df = spark.createDataFrame([(1, text)] * 64, "doc_id long, text string")
+    t0 = time.time()
+    n = df.select(F.explode(chunk_documents("text", size=100, overlap=20)).alias("c")).count()
+    assert n == 64 * 25
+    assert time.time() - t0 < 20
