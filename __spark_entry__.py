@@ -79,6 +79,7 @@ _CERTIFY_FIRST = [
     "chunk_documents",
     "build_vocab",
     "winnow_near_dups",
+    "embedding_topk_l2",
 ]
 
 

@@ -362,3 +362,46 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance of two equal-length double arrays."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+    )
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k by EUCLIDEAN distance (the metric when embeddings
+    are not normalized and magnitude carries signal). Same plan shape
+    as the cosine baseline: corpus partitioned, queries broadcast,
+    per-query top-k via window rank. Returns
+    (query_id, neighbor_id, l2, rank)."""
+    from .skew import spread
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+    )
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = scored.withColumn("l2", l2_dist(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("l2").asc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("l2", 6).alias("l2"), "rank")
+    )

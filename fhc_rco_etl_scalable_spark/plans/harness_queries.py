@@ -4125,3 +4125,37 @@ def q_winnow_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_topk_l2 — Euclidean-metric exact top-k (completes the
+# similarity-metric surface beside the cosine family).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_topk_l2",
+    """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         sqrt(list_sum(list_transform(
+           list_zip(qv, cv), p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)
+         ))) AS l2
+  FROM q JOIN c ON query_id <> neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, round(l2, 6) AS l2,
+         row_number() OVER (PARTITION BY query_id ORDER BY l2 ASC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, l2, rank FROM ranked WHERE rank <= 5
+""",
+)
+def q_embedding_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean top-5 per query vector — the un-normalized
+    metric twin of embedding_topk; corpus partitioned, queries
+    broadcast, rank ties broken by neighbor id on both engines."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.brute_force_topk_l2(emb, emb.filter(F.col("vec_id") < 10), k=5)
