@@ -80,6 +80,7 @@ _CERTIFY_FIRST = [
     "build_vocab",
     "winnow_near_dups",
     "embedding_topk_l2",
+    "value_histogram",
 ]
 
 

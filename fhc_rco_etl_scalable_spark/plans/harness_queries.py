@@ -4159,3 +4159,38 @@ def q_embedding_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, rank ties broken by neighbor id on both engines."""
     emb = load_table(spark, "embeddings", sf_dir)
     return SIM.brute_force_topk_l2(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# q_value_histogram — fixed-bin histogram: one aggregation over a
+# map-side bin assignment (floor arithmetic identical on both engines).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_histogram",
+    """
+WITH b AS (
+  SELECT least(greatest(CAST(floor(value / 5.0) AS BIGINT), 0), 19) AS bin, value
+  FROM events WHERE value IS NOT NULL
+)
+SELECT bin, round(bin * 5.0::DOUBLE, 2) AS bin_lo, count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM b GROUP BY bin
+""",
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin fixed-width histogram of event values (width 5, clamped
+    tails): bin id is pure map-side floor arithmetic, then ONE
+    aggregation — the constant-memory distribution profile at any
+    scale, vs exact percentiles' full sort."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    bin_ = F.least(
+        F.greatest(F.floor(F.col("value") / 5.0).cast("long"), F.lit(0)), F.lit(19)
+    )
+    return (
+        ev.select(bin_.alias("bin"), "value")
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select("bin", F.round(F.col("bin") * 5.0, 2).alias("bin_lo"), "n", "sum_value")
+    )
