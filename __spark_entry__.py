@@ -81,6 +81,8 @@ _CERTIFY_FIRST = [
     "winnow_near_dups",
     "embedding_topk_l2",
     "value_histogram",
+    "sql_api_interval_join",
+    "token_budget_stats",
 ]
 
 

@@ -4194,3 +4194,67 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
         .select("bin", F.round(F.col("bin") * 5.0, 2).alias("bin_lo"), "n", "sum_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Final SQL-surface twin + token-budget certification.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_api_interval_join",
+    """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def q_sql_api_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi + time-range join AS SQL TEXT through spark.sql — the
+    interval-join shape (J7/F8) on the SQL surface; identical text runs
+    on DuckDB, and the same semantics are certified on the streaming
+    surface by streaming_interval_join."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+               unix_micros(p.ts) - unix_micros(v.ts) AS gap_us
+        FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts <= p.ts
+         AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """)
+
+
+@query(
+    "token_budget_stats",
+    """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id, len(toks) AS n_tokens,
+       CAST(coalesce(list_sum(list_transform(
+         toks, x -> CAST(ceil(length(x)::DOUBLE / 4) AS BIGINT)
+       )), 0) AS BIGINT) AS bpe_pieces
+FROM t
+""",
+)
+def q_token_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies BOTH token-counting surfaces from the brief: the
+    whitespace count and the BPE-ish piece proxy (ceil(len/4) pieces
+    per word — the budget estimator a packing/chunking stage uses
+    before a real tokenizer runs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_piece_count("text").cast("long").alias("bpe_pieces"),
+    )
