@@ -4258,3 +4258,147 @@ def q_token_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         TX.token_count("text").alias("n_tokens"),
         TX.bpe_ish_piece_count("text").cast("long").alias("bpe_pieces"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes round-out: Q6 (pure scan-aggregate with pushed range
+# predicates), Q10 (returned-item revenue, fact->dim chain), Q14
+# (conditional-aggregate promo share), Q19 (disjunctive multi-attribute
+# predicate evaluated in one pass).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_revenue_forecast",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_tpch_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan-aggregate whose entire predicate set pushes
+    to the parquet scan — no join, no shuffle beyond the final 1-row
+    combine. The plan IS the pushdown."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@query(
+    "tpch_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, n_name
+""",
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer — fact-fact
+    join on orderkey, broadcast customer/nation enrichment, grouped
+    revenue."""
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_promo_share",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+)
+def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio (promo revenue
+    share) over a month of shipments — one broadcast join, both
+    aggregates in the same pass."""
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load_table(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "tpch_disjunctive_filter",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q_tpch_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of multi-attribute conjunctions
+    spanning BOTH join sides, evaluated post-join in one pass (Catalyst
+    still pushes the per-side implied predicates)."""
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
