@@ -190,7 +190,21 @@ class ParquetIncrementalSink:
         snapshots older than ``n - _KEEP_PREVIOUS_VERSIONS`` and any
         orphan staged snapshot above ``n`` (a crashed writer's
         leftovers — its pointer flip never happened, so it was never
-        visible)."""
+        visible).
+
+        Optimistic concurrency: the commit asserts the pointer still
+        reads ``n - 1``. Two writers racing the same table both stage
+        ``v{n}``; whoever commits second would otherwise silently
+        overwrite the winner's committed data with its own (written
+        into the SAME directory the loser staged). Raising instead
+        turns the lost-update into a visible conflict the caller
+        retries — the single-writer-per-table contract, enforced."""
+        cur = self._current_version(table)
+        if cur is not None and cur != n - 1:
+            raise RuntimeError(
+                f"{table}: concurrent commit detected (expected current "
+                f"v{n - 1}, found v{cur}) — retry the load"
+            )
         p = self._path(table)
         os.makedirs(p, exist_ok=True)
         tmp = self._pointer_path(table) + ".tmp-" + uuid.uuid4().hex[:8]

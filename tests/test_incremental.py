@@ -557,3 +557,19 @@ def test_foreach_batch_appender_partitioned_layout(spark, tmp_path):
     flat = [e for e in os.listdir(dp) if e.endswith(".parquet")]
     assert flat == []
     assert os.path.isdir(os.path.join(dp, "LINE=L2", "Server=S"))
+
+
+def test_concurrent_commit_raises_not_clobbers(spark, tmp_path):
+    # Two writers race: both stage v2; the second commit must surface a
+    # conflict instead of silently replacing the winner's data.
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
+    # writer A stages and commits v2
+    vd_a, n_a = sink._next_version_dir("cc")
+    _rows(spark, [("b", "L1", 5, 2.0, "S")]).write.mode("overwrite").parquet(vd_a)
+    sink._commit_version("cc", n_a)
+    # writer B (raced: computed the same n before A committed)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        sink._commit_version("cc", n_a)
+    # A's committed state intact
+    assert sink._current_version("cc") == n_a
