@@ -24,77 +24,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return hq.q_co_sessionize(spark, "/root/testdata/sf0.001")
 
 
-# The driver grades at most the first 50 registry entries per round.  Entries
-# added after round 2 therefore never received an official CORRECTNESS row
-# (they are green under tools/check_oracle.py, the repo's replica of the same
-# gate).  Rotate them to the front so round 5 certifies them officially; the
-# displaced entries have two rounds of green driver history (CORRECTNESS_r02
-# .. r04) and remain covered by the local gate + pytest.
-_CERTIFY_FIRST = [
-    # ungraded as of CORRECTNESS_r04.json (registry positions 50-69)
-    "site_catalog_predicate",
-    "streaming_sessionize_harness",
-    "flag_lattice",
-    "count_distinct_machines",
-    "max_positive_per_key",
-    "yes_no_decode",
-    "dynamic_round",
-    "json_flatten",
-    "tumbling_window",
-    "dedup_clusters",
-    "deterministic_sample",
-    "stratified_split",
-    "corpus_prep",
-    "streaming_tumbling_harness",
-    "pack_sequences",
-    "pii_scrub",
-    "session_window_native",
-    "percentile_stats",
-    "sql_api_pricing_summary",
-    "rollup_aggregate",
-    # new in round 5 — need their first official row
-    "approx_percentile_stats",
-    "dedup_clusters_star",
-    "sql_api_sessionize",
-    "sql_api_asof",
-    "sql_api_runtime_per_day",
-    "approx_distinct_stats",
-    "winnow_fingerprints",
+# The driver grades at most the first 50 registry entries per round, so the
+# registry is re-ordered each round to maximize official certification
+# coverage.  The order is DERIVED from the CORRECTNESS_r*.json history on
+# disk (VERDICT r5 #8: no hand-maintained rotation list to rot):
+#   1. entries with no green official row in any round (never graded, or
+#      graded red and never since green) come first;
+#   2. entries whose implementation changed this round (_RECERTIFY, the one
+#      deliberate hand-maintained input) come next;
+#   3. the rest follow, stalest certification first, so long-green entries
+#      keep getting refreshed official rows over the rounds.
+# Ties preserve catalog definition order; the whole ordering is a pure
+# function of the JSON history + _RECERTIFY, so it never drifts from what
+# the driver actually recorded.
+_RECERTIFY = [
+    # round 6: DECIMAL(18,4) money accumulation replaced double sums in the
+    # TPC-H revenue family (VERDICT r5 #1/#2); dq_profile's hashed surface
+    # is now explicitly DOUBLE-typed on both engines (VERDICT r5 #3/#4).
     "tpch_shipping_priority",
+    "tpch_returned_items",
+    "tpch_revenue_forecast",
+    "tpch_promo_share",
+    "tpch_disjunctive_filter",
     "tpch_local_supplier_volume",
-    "cube_aggregate",
-    "pivot_event_counts",
-    "sliding_time_window",
     "salted_replicate_join",
-    "streaming_dedup",
-    # re-certify: implementation changed in round 5 (map-side packed
-    # vote fold replaced the explode+groupBy signature computation)
-    "simhash_dups",
-    "simhash_near_dups",
-    "dq_profile",
-    "tpch_customer_distribution",
+    "sql_api_pricing_summary",
     "sql_api_correlated_scalar",
-    "sql_api_exists_semi",
-    "streaming_interval_join",
-    "chunk_documents",
-    "build_vocab",
-    "winnow_near_dups",
-    "embedding_topk_l2",
-    "value_histogram",
-    "sql_api_interval_join",
-    "token_budget_stats",
+    "dq_profile",
 ]
 
 
-def _rotated(mapping: dict) -> dict:
-    front = {n: mapping[n] for n in _CERTIFY_FIRST if n in mapping}
-    rest = {n: v for n, v in mapping.items() if n not in front}
-    return {**front, **rest}
+def _green_history() -> dict[str, int]:
+    """name -> latest round with a fully-green official row."""
+    import glob
+    import json
+    import re
+
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                # hash_match may be absent for rows-only (no-oracle) checks
+                and row.get("hash_match") is not False
+                and row.get("err") is None
+            )
+            if ok:
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+def _rotation() -> list[str]:
+    green = _green_history()
+    recert = {n: i for i, n in enumerate(_RECERTIFY)}
+    names = list(hq.QUERIES)
+    order = {n: i for i, n in enumerate(names)}
+
+    def key(n: str):
+        if n not in green:
+            return (0, 0, order[n])
+        if n in recert:
+            return (1, recert[n], 0)
+        return (2, green[n], order[n])
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _rotated(dict(hq.QUERIES))
+    return {n: hq.QUERIES[n] for n in _rotation()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return _rotated(dict(hq.ORACLES))
+    return {n: hq.ORACLES[n] for n in _rotation() if n in hq.ORACLES}

@@ -3178,8 +3178,8 @@ def q_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*) AS count_order
 FROM lineitem
@@ -3199,8 +3199,8 @@ def q_sql_api_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
                round(avg(l_quantity), 6) AS avg_qty,
                count(*) AS count_order
         FROM lineitem
@@ -3477,11 +3477,51 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact money arithmetic for the TPC-H revenue family (VERDICT r5 #1/#2).
+#
+# The fixtures store prices/discounts as doubles that are exactly
+# 2-decimal values, but summing double PRODUCTS accumulates in a
+# partition-dependent order, and round(sum, 2) amplifies the ~1e-10
+# drift into a visible cent whenever a group lands near a .005 boundary
+# (3/1180 Q3 groups, 1/640 Q10 groups on the sf0.01 seed).  TPC-H
+# itself specifies DECIMAL money; so does this engine: cast to
+# DECIMAL(18,4) BEFORE multiply/sum (lossless for 2-decimal inputs),
+# round the exact sum, then cast to DOUBLE so the hashed output type is
+# stable across engines.  Identical casts go in the DuckDB oracles —
+# decimal accumulation is associative, so the result is independent of
+# partitioning on BOTH engines, and ties at the 2nd decimal are exact
+# .0050 values that Spark (HALF_UP) and DuckDB (half away from zero)
+# round identically for positive money.
+# ---------------------------------------------------------------------------
+
+_MONEY = "decimal(18,4)"
+
+
+def _dec(name: str):
+    """Money double -> exact DECIMAL(18,4) (lossless for the fixtures'
+    2-decimal prices/discounts; same cast on both engines)."""
+    return F.col(name).cast(_MONEY)
+
+
+def _revenue(nd: int = 2):
+    """``round(sum(l_extendedprice*(1-l_discount)), nd)`` with DECIMAL
+    accumulation, emitted as DOUBLE — exact and order-independent."""
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+    return F.round(F.sum(rev), nd).cast("double")
+
+
+_REV_SQL = (
+    "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)"
+)
+
+
 @query(
     "tpch_shipping_priority",
-    """
+    f"""
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       {_REV_SQL} AS revenue,
        CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -3513,11 +3553,7 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue().alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -3529,8 +3565,8 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_local_supplier_volume",
-    """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    f"""
+SELECT n_name, {_REV_SQL} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -3569,11 +3605,7 @@ def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue().alias("revenue"))
     )
 
 
@@ -3662,8 +3694,8 @@ def q_sliding_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "salted_replicate_join",
-    """
-SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""
+SELECT p_brand, {_REV_SQL} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -3686,9 +3718,7 @@ def q_salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_broadcast_left(li, part, ["l_partkey"], salt_buckets=8, how="inner")
     return joined.groupBy("p_brand").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        _revenue().alias("revenue"),
         F.count("*").alias("n_items"),
     )
 
@@ -3776,11 +3806,14 @@ WITH w AS (
   FROM lineitem
 )
 SELECT 'l_quantity' AS column, n AS n_rows, nu_q AS n_nulls, nd_q AS n_distinct,
-       round(mi_q, 4) AS min_v, round(ma_q, 4) AS max_v FROM w
+       CAST(round(mi_q, 4) AS DOUBLE) AS min_v,
+       CAST(round(ma_q, 4) AS DOUBLE) AS max_v FROM w
 UNION ALL
-SELECT 'l_discount', n, nu_d, nd_d, round(mi_d, 4), round(ma_d, 4) FROM w
+SELECT 'l_discount', n, nu_d, nd_d,
+       CAST(round(mi_d, 4) AS DOUBLE), CAST(round(ma_d, 4) AS DOUBLE) FROM w
 UNION ALL
-SELECT 'l_extendedprice', n, nu_e, nd_e, round(mi_e, 4), round(ma_e, 4) FROM w
+SELECT 'l_extendedprice', n, nu_e, nd_e,
+       CAST(round(mi_e, 4) AS DOUBLE), CAST(round(ma_e, 4) AS DOUBLE) FROM w
 """,
 )
 def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3793,13 +3826,17 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, "lineitem", sf_dir)
     out = profile(li, ["l_quantity", "l_discount", "l_extendedprice"])
+    # Explicit DOUBLE on the hashed surface in BOTH engines: the oracle's
+    # round() may come back DECIMAL-typed depending on the DuckDB build,
+    # and a DECIMAL repr ("3.00") hash-diverges from a double ("3.0")
+    # even when the values are identical (VERDICT r5 #3).
     return out.select(
         "column",
         "n_rows",
         "n_nulls",
         "n_distinct",
-        F.round("min_v", 4).alias("min_v"),
-        F.round("max_v", 4).alias("max_v"),
+        F.round("min_v", 4).cast("double").alias("min_v"),
+        F.round("max_v", 4).cast("double").alias("max_v"),
     )
 
 
@@ -3847,7 +3884,7 @@ def q_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_api_correlated_scalar",
     """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#11'
   AND l_quantity < (
@@ -3865,7 +3902,7 @@ def q_sql_api_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#11'
           AND l_quantity < (
@@ -4271,7 +4308,8 @@ def q_token_budget_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "tpch_revenue_forecast",
     """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -4291,17 +4329,17 @@ def q_tpch_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        )
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+        .cast("double")
+        .alias("revenue")
     )
 
 
 @query(
     "tpch_returned_items",
-    """
+    f"""
 SELECT c_custkey, c_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       {_REV_SQL} AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -4329,11 +4367,7 @@ def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_revenue().alias("revenue"))
     )
 
 
@@ -4341,9 +4375,13 @@ def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_promo_share",
     """
 SELECT round(
-         100.0 * sum(CASE WHEN p_type = 'PROMO'
-                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+         100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                               * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                          ELSE 0 END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+         4) AS promo_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-03-01'
   AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -4359,24 +4397,26 @@ def q_tpch_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     part = load_table(spark, "part", sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Exact DECIMAL sums on both engines -> identical doubles -> the
+    # ratio/round is a deterministic IEEE op on identical inputs.
+    rev = _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(_MONEY))
+    ).cast("double")
     return (
         li.join(broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
-            ).alias("promo_pct")
+            F.round(F.lit(100.0) * promo / F.sum(rev).cast("double"), 4).alias(
+                "promo_pct"
+            )
         )
     )
 
 
 @query(
     "tpch_disjunctive_filter",
-    """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""
+SELECT {_REV_SQL} AS revenue,
        count(*) AS n_items
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
@@ -4399,6 +4439,6 @@ def q_tpch_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
     )
     return j.filter(cond).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        _revenue().alias("revenue"),
         F.count("*").alias("n_items"),
     )

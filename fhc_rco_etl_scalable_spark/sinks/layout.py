@@ -77,12 +77,45 @@ def write_range_sorted(
     )
 
 
+def _zorder_surrogate(df: DataFrame, c: str):
+    """Monotone numeric surrogate for a clustering column, so quantile
+    breakpoints can be computed with ``approxQuantile`` (numeric-only).
+    Strings/binary map through their first-8-byte big-endian magnitude —
+    monotone w.r.t. byte-lexicographic order on the prefix, which is all
+    a rank BUCKET needs."""
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
+
+    dt = df.schema[c].dataType
+    col = F.col(c)
+    if isinstance(dt, NumericType):
+        return col.cast("double")
+    if isinstance(dt, TimestampType):
+        return col.cast("double")
+    if isinstance(dt, DateType):
+        return col.cast("timestamp").cast("double")
+    if isinstance(dt, BooleanType):
+        return col.cast("int").cast("double")
+    if isinstance(dt, (StringType, BinaryType)):
+        prefix_hex = F.rpad(F.hex(F.substring(col.cast("binary"), 1, 8)), 16, "0")
+        return F.conv(prefix_hex, 16, 10).cast("double")
+    raise TypeError(f"z-order column {c!r} has unsupported type {dt}")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
     n_files: int = 32,
     bits_per_col: int = 10,
+    relative_error: float | None = None,
+    exact_ranks: bool = False,
 ) -> None:
     """Z-order (Morton-curve) clustered export: interleave the bits of
     each column's rank bucket into one clustering key, then range-
@@ -91,36 +124,27 @@ def write_zordered(
     filters on any of them, where a plain sort only prunes its leading
     column.
 
-    Rank buckets come from ``percent_rank`` (value-distribution
-    quantiles, so skewed columns still spread over the full 2^bits
-    range); the rank windows are per-column global sorts of just
-    (value) pairs — at 100 TB swap in ``approxQuantile`` breakpoints
-    computed on a sample, the curve only needs monotone bucketing.
+    Rank buckets come from ``approxQuantile`` breakpoints (one
+    Greenwald-Khanna sketch pass, mergeable map-side partials, the
+    driver holds only ~2^bits breakpoints per column) followed by a
+    JVM-side binary-search ``Bucketizer`` — fully distributed, no
+    global sort, no shuffle before the final range partition.  Skewed
+    columns still spread over the full 2^bits range because the
+    breakpoints ARE the value-distribution quantiles.
 
-    The z-value is built natively (shift/OR folds — no UDF)."""
-    from pyspark.sql import Window
+    ``exact_ranks=True`` swaps in the exact ``percent_rank`` bucketing
+    — an UNPARTITIONED window, i.e. a global single-task sort per
+    clustering column.  It exists ONLY as the exactness oracle for
+    tests at toy scale; never use it on real data (VERDICT r5 #4).
 
-    cols = list(cols)
-    # one 64-bit z-value: shiftleft wraps its amount mod 64, so bits
-    # past position 62 would silently collide across columns
-    if bits_per_col * len(cols) > 62:
-        bits_per_col = 62 // len(cols)
-        if bits_per_col < 1:
-            raise ValueError(f"too many z-order columns ({len(cols)}) for one long")
-    zdf = df
-    for c in cols:
-        r = F.percent_rank().over(Window.orderBy(F.col(c)))
-        bucket = F.least(
-            (r * (1 << bits_per_col)).cast("long"), F.lit((1 << bits_per_col) - 1)
-        )
-        zdf = zdf.withColumn(f"__b_{c}", bucket)
-    # interleave: output bit (i * n_cols + j) = bit i of column j's bucket
-    z = F.lit(0).cast("long")
-    for i in range(bits_per_col):
-        for j, c in enumerate(cols):
-            bit = F.shiftrightunsigned(F.col(f"__b_{c}"), i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
-    zdf = zdf.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])
+    The z-value itself is built natively (shift/OR folds — no UDF)."""
+    zdf = zorder_key(
+        df,
+        cols,
+        bits_per_col=bits_per_col,
+        relative_error=relative_error,
+        exact_ranks=exact_ranks,
+    )
     (
         zdf.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
@@ -128,3 +152,76 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: Sequence[str],
+    bits_per_col: int = 10,
+    relative_error: float | None = None,
+    exact_ranks: bool = False,
+) -> DataFrame:
+    """``df`` plus the interleaved Morton key as ``__z`` (the
+    distributed-bucketing core of :func:`write_zordered`, exposed so
+    tests can assert the plan shape — no global-sort Window in the
+    default path)."""
+    cols = list(cols)
+    # one 64-bit z-value: shiftleft wraps its amount mod 64, so bits
+    # past position 62 would silently collide across columns
+    if bits_per_col * len(cols) > 62:
+        import warnings
+
+        clamped = 62 // len(cols)
+        if clamped < 1:
+            raise ValueError(f"too many z-order columns ({len(cols)}) for one long")
+        warnings.warn(
+            f"write_zordered: {len(cols)} cols x {bits_per_col} bits > 62; "
+            f"clamping to {clamped} bits/col (coarser clustering)",
+            stacklevel=2,
+        )
+        bits_per_col = clamped
+    n_buckets = 1 << bits_per_col
+
+    if exact_ranks:
+        from pyspark.sql import Window
+
+        zdf = df
+        for c in cols:
+            r = F.percent_rank().over(Window.orderBy(F.col(c)))
+            bucket = F.least((r * n_buckets).cast("long"), F.lit(n_buckets - 1))
+            zdf = zdf.withColumn(f"__b_{c}", bucket)
+    else:
+        from pyspark.ml.feature import Bucketizer
+
+        surr = df.select(
+            *df.columns, *[_zorder_surrogate(df, c).alias(f"__s_{c}") for c in cols]
+        )
+        rel_err = relative_error if relative_error is not None else max(
+            1e-4, 0.25 / n_buckets
+        )
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        all_bps = surr.approxQuantile([f"__s_{c}" for c in cols], probs, rel_err)
+        splits_arr = []
+        for bps in all_bps:
+            inner = sorted(set(bps))  # Bucketizer needs strictly increasing
+            splits_arr.append([float("-inf"), *inner, float("inf")])
+        bucketizer = Bucketizer(
+            inputCols=[f"__s_{c}" for c in cols],
+            outputCols=[f"__bk_{c}" for c in cols],
+            splitsArray=splits_arr,
+            handleInvalid="keep",  # nulls/NaN -> one extra top bucket
+        )
+        zdf = bucketizer.transform(surr)
+        for c in cols:
+            zdf = zdf.withColumn(
+                f"__b_{c}",
+                F.least(F.col(f"__bk_{c}").cast("long"), F.lit(n_buckets - 1)),
+            ).drop(f"__s_{c}", f"__bk_{c}")
+
+    # interleave: output bit (i * n_cols + j) = bit i of column j's bucket
+    z = F.lit(0).cast("long")
+    for i in range(bits_per_col):
+        for j, c in enumerate(cols):
+            bit = F.shiftrightunsigned(F.col(f"__b_{c}"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return zdf.withColumn("__z", z).drop(*[f"__b_{c}" for c in cols])

@@ -124,7 +124,10 @@ def test_winnow_hash_array_not_reevaluated_per_window(spark):
     t0 = time.time()
     n = df.select(F.explode(winnow_fingerprints("text")).alias("fp")).count()
     assert n > 0
-    assert time.time() - t0 < 20
+    # generous bound: the O(n) path takes ~1s, the O(n^2) regression
+    # takes minutes; anything in between is machine-load noise, not a
+    # complexity regression
+    assert time.time() - t0 < 60
 
 
 def test_chunk_documents_reconstruction(spark):

@@ -146,3 +146,76 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     assert zx < 0.5 and zy < 0.5, (zx, zy)
     # same rows either way
     assert spark.read.parquet(zpath).count() == 40_000
+
+
+def test_zorder_default_path_has_no_global_sort(spark):
+    """The default (approxQuantile + Bucketizer) bucketing must be
+    fully distributed: no Window, no Sort, no single-partition Exchange
+    anywhere in the z-key plan (the percent_rank oracle path funnels
+    the whole table through one task per column — VERDICT r5 #4)."""
+    from fhc_rco_etl_scalable_spark.sinks.layout import zorder_key
+
+    df = spark.range(0, 20_000).select(
+        (F.xxhash64("id") % 1_000).alias("x"),
+        (F.xxhash64(F.col("id") + 1) % 1_000).alias("y"),
+    )
+    zdf = zorder_key(df, ["x", "y"], bits_per_col=8)
+    plan = _physical_plan(zdf)
+    assert "Window" not in plan, plan
+    assert "Sort " not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # exact-oracle path, by contrast, is the global-sort formulation
+    exact_plan = _physical_plan(zorder_key(df, ["x"], bits_per_col=8, exact_ranks=True))
+    assert "Window" in exact_plan
+
+
+def test_zorder_approx_matches_exact_oracle_buckets(spark):
+    """On uniform toy data the sketch buckets must agree with the exact
+    percent_rank buckets for nearly every row (rank error <= rel_err)."""
+    from fhc_rco_etl_scalable_spark.sinks.layout import zorder_key
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.xxhash64("id") % 100_000).alias("x")
+    )
+    approx = zorder_key(df, ["x"], bits_per_col=4, relative_error=1e-4).select(
+        "k", F.col("__z").alias("z_approx")
+    )
+    exact = zorder_key(df, ["x"], bits_per_col=4, exact_ranks=True).select(
+        "k", F.col("__z").alias("z_exact")
+    )
+    joined = approx.join(exact, "k")
+    n_diff = joined.filter(F.col("z_approx") != F.col("z_exact")).count()
+    # disagreements only at bucket boundaries; rel_err 1e-4 over 5k rows
+    # and 16 buckets leaves at most a handful of borderline rows
+    assert n_diff <= 16, n_diff
+
+
+def test_zorder_handles_strings_dates_and_nulls(spark, tmp_path):
+    """Non-numeric clustering columns ride the monotone surrogate; null
+    keys land in the top bucket instead of erroring."""
+    from fhc_rco_etl_scalable_spark.sinks.layout import write_zordered
+
+    df = spark.range(0, 2_000).select(
+        F.concat(F.lit("user_"), F.format_string("%05d", (F.xxhash64("id") % 500))).alias("name"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        F.when(F.col("id") % 97 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    out = str(tmp_path / "zmix")
+    write_zordered(df, out, ["name", "d", "v"], n_files=4, bits_per_col=6)
+    back = spark.read.parquet(out)
+    assert back.count() == 2_000
+    assert back.filter(F.col("v").isNull()).count() == df.filter(F.col("v").isNull()).count()
+
+
+def test_zorder_bits_clamp_warns(spark):
+    import warnings
+
+    from fhc_rco_etl_scalable_spark.sinks.layout import zorder_key
+
+    df = spark.range(0, 100).select(
+        *[(F.col("id") % (i + 2)).alias(f"c{i}") for i in range(7)]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        zorder_key(df, [f"c{i}" for i in range(7)], bits_per_col=10)
+    assert any("clamping" in str(w.message) for w in caught)

@@ -26,7 +26,12 @@ def canon_cell(v) -> str:
             return "\x00NULL"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # Full-precision repr: the driver's gate hashes floats finer than
+        # 6 significant digits, and the old f"{v:.6g}" here let two
+        # cent-level wrong answers ship as "green" in round 5
+        # (VERDICT.md round 5, "What's wrong" #1/#2).  The replica must
+        # be at least as strict as the real gate.
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     if hasattr(v, "isoformat"):
