@@ -70,9 +70,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "explain":
         df.explain("formatted")
     else:
-        rows = df.collect()  # one execution; catalog results are small
-        spark.createDataFrame(rows, df.schema).show(args.n, truncate=80)
-        print(f"[{len(rows)} rows]")
+        # Bounded driver memory: fetch only n+1 rows (enough to know
+        # whether output was truncated) — never collect() the full
+        # result, which for a large catalog query could exhaust the
+        # driver heap.
+        rows = df.limit(args.n + 1).collect()
+        truncated = len(rows) > args.n
+        spark.createDataFrame(rows[: args.n], df.schema).show(args.n, truncate=80)
+        print(f"[showing {min(len(rows), args.n)} rows"
+              + (", more exist — raise -n for more]" if truncated else "]"))
     return 0
 
 

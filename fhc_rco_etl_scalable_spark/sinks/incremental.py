@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from datetime import datetime, timedelta
 
@@ -67,6 +68,13 @@ from ..schemas import align_to_schema
 #: flip; two adds slack for slow readers. Hard links make the cost of
 #: a retained version O(touched partitions), not O(table).
 _KEEP_PREVIOUS_VERSIONS = 2
+
+#: A staged (".stage-*") or claimed-but-never-committed ("v{n}" above the
+#: pointer) directory younger than this is treated as a LIVE writer and
+#: left alone; older ones are crashed-writer leftovers and get GC'd.
+#: Generous on purpose: deleting an in-flight write to save a dot-dir a
+#: reader can't even see is a terrible trade.
+_STALE_GRACE_SECONDS = 24 * 3600.0
 
 
 def lookback_start(now: datetime, watermark: datetime | None) -> datetime:
@@ -192,13 +200,16 @@ class ParquetIncrementalSink:
         leftovers — its pointer flip never happened, so it was never
         visible).
 
-        Optimistic concurrency: the commit asserts the pointer still
-        reads ``n - 1``. Two writers racing the same table both stage
-        ``v{n}``; whoever commits second would otherwise silently
-        overwrite the winner's committed data with its own (written
-        into the SAME directory the loser staged). Raising instead
-        turns the lost-update into a visible conflict the caller
-        retries — the single-writer-per-table contract, enforced."""
+        Optimistic concurrency, second line of defense: the commit
+        asserts the pointer still reads ``n - 1``.  The FIRST line is
+        :meth:`_publish`'s atomic rename-claim of ``v{n}`` — two racing
+        writers stage in private ``.stage-*`` dirs and only one rename
+        to ``v{n}`` can succeed, so neither can clobber the other's
+        staged files (the pre-round-6 design had both writing the same
+        ``v{n}`` directory, which let a loser delete the winner's
+        staged data before either pointer flip).  Either failure mode
+        surfaces as a visible conflict the caller retries — the
+        single-writer-per-table contract."""
         cur = self._current_version(table)
         if cur is not None and cur != n - 1:
             raise RuntimeError(
@@ -212,22 +223,64 @@ class ParquetIncrementalSink:
             json.dump({**(meta or {}), "version": n}, f)
         os.replace(tmp, self._pointer_path(table))
         for e in os.listdir(p):
+            full = os.path.join(p, e)
             if e.startswith("v") and e[1:].isdigit():
                 m = int(e[1:])
-                if m < n - _KEEP_PREVIOUS_VERSIONS or m > n:
-                    shutil.rmtree(os.path.join(p, e), ignore_errors=True)
-            elif e.startswith(".stage-"):
-                shutil.rmtree(os.path.join(p, e), ignore_errors=True)
+                if m < n - _KEEP_PREVIOUS_VERSIONS:
+                    shutil.rmtree(full, ignore_errors=True)
+                elif m > n and self._is_stale(full):
+                    # claimed but never committed, and old enough that
+                    # no live writer can still own it
+                    shutil.rmtree(full, ignore_errors=True)
+            elif e.startswith(".stage-") and self._is_stale(full):
+                # a YOUNG .stage-* may be another writer mid-flight —
+                # deleting it here would be the lost-update bug again,
+                # one directory earlier
+                shutil.rmtree(full, ignore_errors=True)
 
-    def _next_version_dir(self, table: str) -> tuple[str, int]:
-        """Dir for the next snapshot (clearing any crashed leftover)."""
+    @staticmethod
+    def _is_stale(path: str) -> bool:
+        try:
+            return (time.time() - os.path.getmtime(path)) > _STALE_GRACE_SECONDS
+        except OSError:
+            return False
+
+    def _begin_write(self, table: str) -> tuple[str, int]:
+        """Start a snapshot write: a PRIVATE staging dir plus the target
+        version number (current + 1, fixed now so a racer committing in
+        between is detected at publish/commit instead of silently
+        rebased).  Writers produce the full snapshot in the stage dir,
+        then :meth:`_publish` claims ``v{n}`` atomically."""
         cur = self._migrate_legacy(table)
-        n = cur + 1
+        stage = os.path.join(self._path(table), ".stage-" + uuid.uuid4().hex[:8])
+        os.makedirs(stage, exist_ok=True)
+        return stage, cur + 1
+
+    def _publish(self, table: str, stage: str, n: int) -> None:
+        """Atomically claim ``v{n}`` by renaming the staged snapshot
+        onto it.  rename(2) fails if ``v{n}`` already exists non-empty,
+        so a racing writer's claimed-or-committed snapshot can never be
+        clobbered; only a STALE orphan (crashed writer: claimed v{n},
+        died before its pointer flip, so it was never visible) is
+        cleared and the claim retried once."""
         vd = self._version_dir(table, n)
-        if os.path.exists(vd):  # crashed writer's orphan — never visible
+        try:
+            os.rename(stage, vd)
+            return
+        except OSError:
+            pass
+        if os.path.exists(vd) and self._is_stale(vd):
             shutil.rmtree(vd, ignore_errors=True)
-        os.makedirs(os.path.dirname(vd), exist_ok=True)
-        return vd, n
+            try:
+                os.rename(stage, vd)
+                return
+            except OSError:
+                pass
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"{table}: concurrent writer detected (v{n} already claimed) "
+            f"— retry the load"
+        )
 
     # --- schema sidecar (hidden from parquet readers: leading "_") ----
 
@@ -303,10 +356,11 @@ class ParquetIncrementalSink:
     # --- snapshot writers -------------------------------------------------
 
     def _atomic_write(self, df: DataFrame, table: str, schema: T.StructType | None = None) -> None:
-        vd, n = self._next_version_dir(table)
-        df.write.mode("overwrite").parquet(vd)
+        stage, n = self._begin_write(table)
+        df.write.mode("overwrite").parquet(stage)
         if schema is not None:
             self._store_schema(table, schema)
+        self._publish(table, stage, n)
         self._commit_version(table, n, meta=self._carry_meta(table))
 
     def _atomic_write_partitioned(
@@ -316,9 +370,10 @@ class ParquetIncrementalSink:
         schema: T.StructType,
         partition_cols: tuple[str, ...],
     ) -> None:
-        vd, n = self._next_version_dir(table)
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(vd)
+        stage, n = self._begin_write(table)
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(stage)
         self._store_schema(table, schema)
+        self._publish(table, stage, n)
         self._commit_version(table, n, meta=self._carry_meta(table))
 
     @staticmethod
@@ -370,15 +425,15 @@ class ParquetIncrementalSink:
         reads."""
         aligned = align_to_schema(new_rows, schema)
         partitioned = self._is_partitioned(table)
-        cur = self._migrate_legacy(table)
-        vd, n = self._next_version_dir(table)
-        if cur:
-            _link_tree(self._version_dir(table, cur), vd)
+        stage, n = self._begin_write(table)
+        if n > 1:
+            _link_tree(self._version_dir(table, n - 1), stage)
         writer = aligned.write.mode("append")
         if partitioned:
             writer = writer.partitionBy(*self._layout_partition_cols(table))
-        writer.parquet(vd)
+        writer.parquet(stage)
         self._store_schema(table, schema)
+        self._publish(table, stage, n)
         self._commit_version(table, n, meta=self._carry_meta(table))
 
     def delete_overlap_append(
@@ -472,20 +527,21 @@ class ParquetIncrementalSink:
         survivors.unionByName(new_aligned).write.mode("overwrite").partitionBy(
             *partition_cols
         ).parquet(staging)
-        # Assemble the next snapshot: hard-link every untouched
-        # partition from the current one, move the freshly written
-        # touched partitions in, flip the pointer once.
-        cur = self._migrate_legacy(table)
-        vd, n = self._next_version_dir(table)
+        # Assemble the next snapshot IN A PRIVATE STAGE DIR: hard-link
+        # every untouched partition from the current one, move the
+        # freshly written touched partitions in, then claim v{n} with
+        # one atomic rename and flip the pointer once.
+        stage, n = self._begin_write(table)
         touched = set(self._leaf_partition_dirs(staging, len(partition_cols)))
-        _link_tree(self._version_dir(table, cur), vd, skip_rels=touched)
+        _link_tree(self._version_dir(table, n - 1), stage, skip_rels=touched)
         for rel in touched:
-            dst = os.path.join(vd, rel)
+            dst = os.path.join(stage, rel)
             if os.path.exists(dst):
                 shutil.rmtree(dst, ignore_errors=True)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(os.path.join(staging, rel), dst)
         shutil.rmtree(staging, ignore_errors=True)
+        self._publish(table, stage, n)
         self._commit_version(table, n, meta=self._carry_meta(table))
 
     def _delete_overlap_full(
@@ -582,7 +638,7 @@ class ParquetIncrementalSink:
         Returns the new version number. Concurrent readers keep their
         snapshot (old versions retained per the GC policy)."""
         # Migrate a legacy layout under the version pointer BEFORE the
-        # (lazy) read: _next_version_dir's migration renames the data
+        # (lazy) read: _begin_write's migration renames the data
         # files, which would invalidate a file index built over the
         # pre-migration paths (same ordering hazard delete_overlap_append
         # documents).
@@ -592,18 +648,19 @@ class ParquetIncrementalSink:
             raise ValueError(f"{table}: nothing to compact")
         schema = self._stored_schema(table)
         pcols = self._layout_partition_cols(table) if self._is_partitioned(table) else []
-        vd, n = self._next_version_dir(table)
+        stage, n = self._begin_write(table)
         if pcols:
             (
                 df.repartition(target_files, *[F.col(c) for c in pcols])
                 .write.mode("overwrite")
                 .partitionBy(*pcols)
-                .parquet(vd)
+                .parquet(stage)
             )
         else:
-            df.coalesce(target_files).write.mode("overwrite").parquet(vd)
+            df.coalesce(target_files).write.mode("overwrite").parquet(stage)
         if schema is not None:
             self._store_schema(table, schema)
+        self._publish(table, stage, n)
         self._commit_version(table, n, meta=self._carry_meta(table))
         return n
 
@@ -647,19 +704,19 @@ class ParquetIncrementalSink:
             if batch_id <= self.last_stream_batch(table, query_id):
                 return  # replay of a committed batch
             aligned = align_to_schema(batch_df, schema)
-            cur = self._migrate_legacy(table)
             partitioned = self._is_partitioned(table)
-            vd, n = self._next_version_dir(table)
-            if cur:
-                _link_tree(self._version_dir(table, cur), vd)
+            stage, n = self._begin_write(table)
+            if n > 1:
+                _link_tree(self._version_dir(table, n - 1), stage)
             if partitioned:
                 # follow the existing hive layout — a flat append would
                 # mix leaf depths and break partition discovery
                 pcols = self._layout_partition_cols(table)
-                aligned.write.mode("append").partitionBy(*pcols).parquet(vd)
+                aligned.write.mode("append").partitionBy(*pcols).parquet(stage)
             else:
-                aligned.write.mode("append").parquet(vd)
+                aligned.write.mode("append").parquet(stage)
             self._store_schema(table, schema)
+            self._publish(table, stage, n)
             meta = self._carry_meta(table)
             meta[f"stream_batch:{query_id}"] = batch_id
             self._commit_version(table, n, meta=meta)

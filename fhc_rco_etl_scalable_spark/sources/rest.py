@@ -39,9 +39,10 @@ def default_fetch(
 ) -> dict:
     """Production HTTP fetcher for ``rest_scan``: urllib GET with
     timeout and exponential-backoff retries on transient failures
-    (5xx, connection resets). 4xx raises immediately — retrying a bad
-    request only hides the bug. Injectable ``fetch`` callables remain
-    the test/fixture path; this is the live one."""
+    (5xx, 429 rate limiting — honoring ``Retry-After`` when the server
+    sends one — and connection resets). Other 4xx raise immediately:
+    retrying a bad request only hides the bug. Injectable ``fetch``
+    callables remain the test/fixture path; this is the live one."""
     import time as _time
     import urllib.error
     import urllib.request
@@ -50,18 +51,29 @@ def default_fetch(
         raise ValueError("retries must be >= 0")
     last: Exception | None = None
     for attempt in range(retries + 1):
+        retry_after: float | None = None
         try:
             req = urllib.request.Request(url, headers=headers or {})
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as exc:
-            if exc.code < 500:
+            # 429 is the MOST common transient failure for paginated
+            # ingest — treat it like 5xx, not like a client bug
+            if exc.code < 500 and exc.code != 429:
                 raise
+            if exc.code == 429:
+                ra = (exc.headers or {}).get("Retry-After")
+                try:
+                    retry_after = float(ra) if ra is not None else None
+                except ValueError:
+                    retry_after = None  # HTTP-date form: fall back to backoff
             last = exc
         except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
             last = exc
         if attempt < retries:
-            _time.sleep(backoff * (2 ** attempt))
+            _time.sleep(
+                retry_after if retry_after is not None else backoff * (2 ** attempt)
+            )
     raise last  # type: ignore[misc]
 
 

@@ -292,12 +292,16 @@ def test_crashed_writer_leftovers_are_invisible_and_gcd(spark, tmp_path):
     table_dir = os.path.join(root, "co")
 
     # simulate a crash mid-write: a partial next snapshot + stale staging
+    # (aged past the liveness grace window — fresh dirs are presumed to
+    # belong to a LIVE writer and are left alone, see _STALE_GRACE_SECONDS)
     cur = sink._current_version("co")
     orphan = os.path.join(table_dir, f"v{cur + 1:06d}")
     os.makedirs(os.path.join(orphan, "LINE=L1", "Server=S"))
     with open(os.path.join(orphan, "LINE=L1", "Server=S", "junk.parquet"), "wb") as f:
         f.write(b"not parquet")
     os.makedirs(os.path.join(table_dir, ".stage-crashed", "LINE=L1"))
+    os.utime(orphan, (1.0, 1.0))
+    os.utime(os.path.join(table_dir, ".stage-crashed"), (1.0, 1.0))
 
     # reads never see the orphan (pointer still at the committed version)
     assert _collect(sink, "co") == before
@@ -560,16 +564,82 @@ def test_foreach_batch_appender_partitioned_layout(spark, tmp_path):
 
 
 def test_concurrent_commit_raises_not_clobbers(spark, tmp_path):
-    # Two writers race: both stage v2; the second commit must surface a
+    # Two writers race: both target v2; the second must surface a
     # conflict instead of silently replacing the winner's data.
     sink = ParquetIncrementalSink(spark, str(tmp_path))
     sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
-    # writer A stages and commits v2
-    vd_a, n_a = sink._next_version_dir("cc")
-    _rows(spark, [("b", "L1", 5, 2.0, "S")]).write.mode("overwrite").parquet(vd_a)
+    # writer A stages, publishes, and commits v2
+    stage_a, n_a = sink._begin_write("cc")
+    _rows(spark, [("b", "L1", 5, 2.0, "S")]).write.mode("overwrite").parquet(stage_a)
+    sink._publish("cc", stage_a, n_a)
     sink._commit_version("cc", n_a)
     # writer B (raced: computed the same n before A committed)
     with pytest.raises(RuntimeError, match="concurrent commit"):
         sink._commit_version("cc", n_a)
     # A's committed state intact
     assert sink._current_version("cc") == n_a
+
+
+def test_racing_publish_cannot_clobber_claimed_snapshot(spark, tmp_path):
+    # The round-5 lost-update interleaving: A stages v2; B stages v2 and
+    # must NOT be able to delete/overwrite A's claimed files.  With the
+    # rename-claim protocol B's publish fails loudly, A's files survive
+    # byte-for-byte, and B's own staging is cleaned up.
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
+    stage_a, n_a = sink._begin_write("cc")
+    stage_b, n_b = sink._begin_write("cc")
+    assert n_a == n_b == 2  # both raced to the same target version
+    _rows(spark, [("b", "L1", 5, 2.0, "S")]).write.mode("overwrite").parquet(stage_a)
+    _rows(spark, [("c", "L9", 9, 9.0, "S")]).write.mode("overwrite").parquet(stage_b)
+    sink._publish("cc", stage_a, n_a)  # A claims v2
+    inodes_a = {
+        e: os.stat(os.path.join(sink._version_dir("cc", 2), e)).st_ino
+        for e in os.listdir(sink._version_dir("cc", 2))
+    }
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        sink._publish("cc", stage_b, n_b)
+    # A's claimed snapshot untouched (same inodes, not rewritten)
+    for e, ino in inodes_a.items():
+        assert os.stat(os.path.join(sink._version_dir("cc", 2), e)).st_ino == ino
+    assert not os.path.exists(stage_b)  # loser's staging cleaned up
+    sink._commit_version("cc", n_a)
+    # v2 is exactly what A staged (a full-overwrite snapshot of row b)
+    assert _collect(sink, "cc") == [("b", "L1", 2.0)]
+
+
+def test_commit_gc_spares_young_stage_dirs(spark, tmp_path):
+    # A fresh .stage-* belonging to an in-flight writer must survive an
+    # unrelated commit; only STALE leftovers (crashed writers) are GC'd.
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
+    live_stage, _ = sink._begin_write("cc")
+    crashed = os.path.join(sink._path("cc"), ".stage-deadbeef")
+    os.makedirs(crashed)
+    old = 1.0  # epoch: far beyond any grace window
+    os.utime(crashed, (old, old))
+    sink.append_aligned(_rows(spark, [("b", "L2", 5, 2.0, "S")]), "cc", CO_SCHEMA)
+    assert os.path.isdir(live_stage), "live writer's staging was GC'd"
+    assert not os.path.exists(crashed), "stale crashed staging not GC'd"
+
+
+def test_stale_orphan_version_dir_is_reclaimed(spark, tmp_path):
+    # A crashed writer claimed v2 (rename done, pointer flip never
+    # happened).  Once stale, the next writer must reclaim the slot
+    # rather than being blocked forever.
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
+    orphan = sink._version_dir("cc", 2)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("crashed")
+    os.utime(orphan, (1.0, 1.0))
+    sink.append_aligned(_rows(spark, [("b", "L2", 5, 2.0, "S")]), "cc", CO_SCHEMA)
+    assert sink._current_version("cc") == 2
+    assert _collect(sink, "cc") == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])
