@@ -29,6 +29,100 @@ from pyspark.sql import functions as F
 from fhc_rco_etl_scalable_spark.session import get_spark
 
 
+def _best_of(n: int, fn) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def layout_bench(spark, sf_dir: str, repeats: int) -> dict:
+    """Record the physical-layout payoff as numbers, not claims
+    (VERDICT r5 #6): the same fact-fact join over flat parquet vs
+    bucketed tables (shuffle paid per query vs paid once at write), and
+    the same selective date filter over an unsorted vs range-sorted
+    export (row-group stats pruning). One-time write costs are recorded
+    alongside so the amortization story is honest."""
+    import shutil
+    import tempfile
+
+    from fhc_rco_etl_scalable_spark.sinks.layout import (
+        write_bucketed,
+        write_range_sorted,
+    )
+
+    out: dict[str, float] = {}
+    # 8x-replicated fact sides: at sf0.1 the raw join is scan-dominated
+    # and the layout term invisible; at ~5M x 1.2M rows the orderkey
+    # exchange is the dominant cost — which is exactly the regime the
+    # bucketed layout exists for (and the regime 100 TB lives in).
+    rep = F.explode(F.sequence(F.lit(0), F.lit(7))).alias("rep")
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate", rep)
+        .withColumn("l_orderkey", F.col("l_orderkey") * 8 + F.col("rep"))
+        .drop("rep")
+    )
+    orders = (
+        spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", rep)
+        .withColumn("o_orderkey", F.col("o_orderkey") * 8 + F.col("rep"))
+        .drop("rep")
+    )
+
+    def join_agg(l, r):
+        # global aggregate after the join: no post-join shuffle, so the
+        # timing isolates the orderkey exchange the bucketing removes
+        return (
+            l.join(r, l["l_orderkey"] == r["o_orderkey"])
+            .agg(F.sum(F.col("l_extendedprice") * F.col("o_custkey")).alias("s"))
+            .collect()
+        )
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tmp = tempfile.mkdtemp(prefix="layout_bench_")
+    try:
+        # -- co-located join: flat (shuffles both sides every query)
+        out["join_flat_sec"] = _best_of(repeats, lambda: join_agg(li, orders))
+        # -- vs bucketed on the join key (shuffle paid once, at write)
+        t0 = time.time()
+        write_bucketed(li, "bench_li_b", ["l_orderkey"], n_buckets=32)
+        write_bucketed(orders, "bench_ord_b", ["o_orderkey"], n_buckets=32)
+        out["bucketed_write_once_sec"] = round(time.time() - t0, 3)
+        lb, ob = spark.table("bench_li_b"), spark.table("bench_ord_b")
+        out["join_bucketed_sec"] = _best_of(repeats, lambda: join_agg(lb, ob))
+
+        # -- pruned scan: selective one-week filter, unsorted vs sorted
+        week = (F.col("l_shipdate") >= "1997-06-01") & (
+            F.col("l_shipdate") < "1997-06-08"
+        )
+        flat_path = os.path.join(tmp, "flat")
+        # same file count as the sorted export so the comparison is
+        # pruning-only, not parallelism
+        li.repartition(32).write.parquet(flat_path)
+        sorted_path = os.path.join(tmp, "sorted")
+        t0 = time.time()
+        write_range_sorted(li, sorted_path, ["l_shipdate"], n_files=32)
+        out["range_sort_write_once_sec"] = round(time.time() - t0, 3)
+        flat_df = spark.read.parquet(flat_path)
+        sorted_df = spark.read.parquet(sorted_path)
+        out["scan_week_flat_sec"] = _best_of(
+            repeats, lambda: flat_df.filter(week).agg(F.sum("l_discount")).collect()
+        )
+        out["scan_week_sorted_sec"] = _best_of(
+            repeats, lambda: sorted_df.filter(week).agg(F.sum("l_discount")).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS bench_li_b")
+        spark.sql("DROP TABLE IF EXISTS bench_ord_b")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -85,6 +179,9 @@ def main() -> None:
     # BENCH_r04.json "parsed": null).  Full per-query detail goes to a sidecar
     # file + an earlier stdout line; the final line carries the totals plus
     # only the slowest queries.
+    layout = layout_bench(spark, sf_dir, repeats)
+    print(f"# layout payoff: {json.dumps(layout)}", file=sys.stderr)
+
     detail = {
         "metric": "harness_queries_total_wall",
         "value": round(total, 3),
@@ -92,6 +189,7 @@ def main() -> None:
         "queries": timings,
         "queries_cold": cold,
         "queries_spread": spread,
+        "layout": layout,
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
