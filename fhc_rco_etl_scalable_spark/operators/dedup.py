@@ -851,3 +851,50 @@ def pack_sequences(
     return df.withColumn(
         "bin", F.floor(running / F.lit(budget)).cast("long")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    ngram: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene pass that
+    drops corpus documents overlapping an evaluation set before
+    training (the published n-gram methodology of the GPT-3 appendix /
+    C4 audits): flag every corpus doc sharing at least ``min_overlap``
+    DISTINCT token ``ngram``-grams with any benchmark doc.
+
+    Returns one row per contaminated (corpus, benchmark) pair:
+    ``(id_col, bench_id, n_shared)``; consumers anti-join the ids away
+    or inspect per-pair evidence.
+
+    Scale shape: an eval set is small by definition, so its exploded
+    gram table is BROADCAST; the corpus side explodes its (distinct)
+    grams map-side, and the only shuffle carries the (doc, bench) rows
+    that actually matched — no all-pairs, no corpus-wide exchange.
+    Raise ``ngram`` to sharpen precision (8+ grams are near-verbatim
+    matches); ``min_overlap`` suppresses single-collocation noise.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(token_ngrams(F.col(text_col), ngram)).alias("__g"),
+    )
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"),
+        F.explode(token_ngrams(F.col(bench_text_col), ngram)).alias("__g"),
+    )
+    return (
+        c.join(F.broadcast(b), "__g")
+        # grams are distinct within each doc (token_ngrams dedups), so a
+        # plain count(*) per pair IS the distinct-shared-gram count
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )

@@ -2473,14 +2473,15 @@ def q_site_catalog_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _clamped_shuffle(spark: SparkSession, n: int = 8):
+def _clamped_shuffle(spark: SparkSession, n: int = 4):
     """Context manager: temporarily clamp shuffle partitions for a
     STREAMING harness query. A stateful streaming query instantiates
     one state store per shuffle partition per micro-batch — under the
     driver's vanilla session (200 partitions) that is pure fixed cost
     at harness scale. Batch entries don't need this (AQE coalesces);
     streaming state partitioning is fixed at query start and AQE does
-    not apply."""
+    not apply. 4 measured fastest at harness scale (8 pays extra
+    state-store setup, 2 starves batch parallelism)."""
     import contextlib
 
     @contextlib.contextmanager
@@ -2524,18 +2525,23 @@ def _staged_file_stream(df, n_batches: int, order_cols: list[str], prefix: str):
         src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
         stage = tempfile.mkdtemp(prefix=f"{prefix}-stage-")
         try:
+            # ONE write job for all slices: repartition on __k + hive
+            # partitionBy gives exactly one file per slice dir.  The
+            # previous per-slice filter+coalesce(1) loop re-executed the
+            # whole upstream pipeline n_batches times — pure harness
+            # fixed cost (the four streaming entries were ~22 s of the
+            # round-5 driver bench, VERDICT r5 #9).
+            (
+                sliced.repartition(n_batches, "__k")
+                .write.mode("overwrite")
+                .partitionBy("__k")
+                .parquet(stage)
+            )
             for k in range(1, n_batches + 1):
-                out_dir = os.path.join(stage, f"b{k}")
-                (
-                    sliced.filter(F.col("__k") == k)
-                    .drop("__k")
-                    .coalesce(1)
-                    .write.mode("overwrite")
-                    .parquet(out_dir)
-                )
-                part = glob.glob(os.path.join(out_dir, "part-*.parquet"))[0]
+                parts = glob.glob(os.path.join(stage, f"__k={k}", "part-*.parquet"))
+                assert len(parts) == 1, f"slice {k}: expected 1 file, got {parts}"
                 dst = os.path.join(src, f"batch-{k:03d}.parquet")
-                shutil.copy(part, dst)
+                shutil.copy(parts[0], dst)
                 os.utime(dst, (1_000_000_000 + k, 1_000_000_000 + k))
             yield src
         finally:
@@ -4441,4 +4447,182 @@ def q_tpch_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(cond).agg(
         _revenue().alias("revenue"),
         F.count("*").alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 additions: benchmark decontamination (the missing training-
+# pipeline hygiene op) and three more TPC-H subquery shapes (Q15 scalar-
+# max view, Q18 large-volume HAVING semi-join, Q22 scalar-avg + anti-
+# join) — all DECIMAL-exact money, all DataFrame-API formulations.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS grams
+  FROM tok
+),
+bench  AS (SELECT doc_id AS bench_id, grams FROM g WHERE doc_id % 7 = 0),
+corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 7 <> 0)
+SELECT c.doc_id, b.bench_id,
+       CAST(len(list_intersect(c.grams, b.grams)) AS BIGINT) AS n_shared
+FROM corpus c CROSS JOIN bench b
+WHERE len(list_intersect(c.grams, b.grams)) >= 2
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.decontaminate): the
+    documents table split into a pseudo-eval set (doc_id % 7 == 0) and
+    a training corpus; every corpus doc sharing >= 2 distinct token
+    3-grams with an eval doc is flagged with its evidence pair. The
+    broadcast-gram formulation never goes all-pairs — the oracle's
+    CROSS JOIN is the semantics, not the plan."""
+    from ..operators.dedup import decontaminate
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate(
+        corpus, bench, "doc_id", "text", ngram=3, min_overlap=2
+    ).select("doc_id", "bench_id", "n_shared")
+
+
+@query(
+    "tpch_top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, {_REV_SQL} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+""",
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-max subquery picking the
+    top supplier(s) of a quarter. The grouped revenue computes once;
+    the max is a 1-row broadcast crossJoin (no correlated re-execution,
+    no driver-side action during plan construction). DECIMAL-exact
+    revenue makes the equality comparison engine-stable."""
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    rev = li.groupBy("l_suppkey").agg(_revenue().alias("total_rev"))
+    top = rev.agg(F.max("total_rev").alias("__max_rev"))
+    return (
+        rev.join(broadcast(top), rev.total_rev == top.__max_rev)
+        .join(broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "tpch_large_volume_orders",
+    """
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+) big ON o_orderkey = big.l_orderkey
+""",
+)
+def q_tpch_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold (HAVING over a fact aggregate), enriched with the
+    customer. One lineitem shuffle on orderkey produces the qualifying
+    set — tiny after the HAVING — which then BROADCASTS into orders and
+    customer, so the big sides never exchange. Quantities are integer-
+    valued, so the double sums are exact on both engines."""
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_dormant_customers",
+    """
+SELECT c_nationkey, count(*) AS n_cust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_bal
+FROM customer
+WHERE c_acctbal > (
+    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+    FROM customer WHERE c_acctbal > 0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 400000
+  )
+GROUP BY c_nationkey
+""",
+)
+def q_tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted to the fixture's columns): above-
+    average-balance customers who never placed a large order, counted
+    per nation. The scalar average is an exact DECIMAL sum cast to
+    double over a 1-row broadcast crossJoin (engine-stable threshold);
+    the NOT EXISTS is a left-anti join against the filtered orders —
+    Catalyst's decorrelation done declaratively."""
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(_MONEY)).cast("double") / F.count("*")
+        ).alias("__avg_bal")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast(_MONEY)), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
     )

@@ -547,3 +547,42 @@ def test_scrub_pii():
         s = re.sub(pat, " ", s)
     assert "a@b.co" not in s and "https" not in s and "12345678" not in s
     assert "123" in s  # short digit runs survive
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A corpus doc that quotes >= min_overlap n-grams of an eval doc is
+    flagged with the right evidence count; clean docs are not."""
+    from fhc_rco_etl_scalable_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim 8-token quote -> six 3-grams shared
+            (1, "prefix words the quick brown fox jumps over the lazy end"),
+            # one shared 3-gram only -> below min_overlap
+            (2, "completely unrelated except the lazy dog"),
+            # nothing shared
+            (3, "entirely different text with zero overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(corpus, bench, "doc_id", "text", ngram=3, min_overlap=2)
+    rows = {(r.doc_id, r.bench_id): r.n_shared for r in out.collect()}
+    assert set(rows) == {(1, 100)}
+    assert rows[(1, 100)] == 6
+
+    # plan shape: benchmark side broadcast, no all-pairs cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_empty_benchmark(spark):
+    from fhc_rco_etl_scalable_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    bench = corpus.filter("doc_id < 0")
+    assert decontaminate(corpus, bench, "doc_id", "text").count() == 0
