@@ -210,3 +210,75 @@ def chunk_documents(
         return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, size)))
 
     return F.transform(F.array(tokens(text)), chunk)[0]
+
+
+def _ngrams_all(text: Column | str, n: int) -> Column:
+    """ALL token n-grams, duplicates kept (unlike dedup.token_ngrams,
+    which dedups — repetition signals need the multiplicities)."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def _run_fold(grams: Column) -> Column:
+    """Fold a SORTED gram array into (dup_chars, top_chars): total
+    characters inside grams occurring more than once (each occurrence
+    counted) and characters inside the single most frequent gram
+    (count x length).  Pure map-side — the per-doc repetition counters
+    never shuffle; an explode+groupBy formulation would key a shuffle
+    by (doc, gram) for a value each doc can compute locally."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+        F.lit(0).cast("long").alias("top"),
+    )
+
+    def flush(acc):
+        run_chars = acc.run * F.length(acc.prev)
+        return F.struct(
+            F.when(acc.run > 1, acc.dup + run_chars).otherwise(acc.dup).alias("dup"),
+            F.greatest(acc.top, run_chars).alias("top"),
+        )
+
+    def step(acc, g):
+        flushed = flush(acc)
+        return F.struct(
+            g.alias("prev"),
+            F.when(g == acc.prev, acc.run + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(g == acc.prev, acc.dup).otherwise(flushed.dup).alias("dup"),
+            F.when(g == acc.prev, acc.top).otherwise(flushed.top).alias("top"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step, flush)
+
+
+def repetition_signals(
+    text: Column | str, top_ngram: int = 2, dup_ngram: int = 5
+) -> Column:
+    """Gopher-style repetition quality counters (Rae et al. 2021,
+    Appendix A — public methodology) as one struct column:
+
+    - ``dup_word_frac``: fraction of tokens that repeat an earlier
+      token — (n_tokens - n_distinct_tokens) / n_tokens;
+    - ``top_ngram_char_frac``: count x length of the most frequent
+      ``top_ngram``-gram over the text length;
+    - ``dup_ngram_char_frac``: summed count x length of every
+      ``dup_ngram``-gram occurring more than once, over text length.
+
+    High values mark boilerplate / degenerate generations for the
+    pre-training filter. All-native (sorted-array folds), zero shuffle
+    — each doc's counters are local facts."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    top_fold = _run_fold(_ngrams_all(c, top_ngram))
+    dup_fold = _run_fold(_ngrams_all(c, dup_ngram))
+    return F.struct(
+        ((n_tok - F.size(F.array_distinct(toks))) / F.greatest(n_tok, F.lit(1)))
+        .alias("dup_word_frac"),
+        (top_fold.top / chars).alias("top_ngram_char_frac"),
+        (dup_fold.dup / chars).alias("dup_ngram_char_frac"),
+    )

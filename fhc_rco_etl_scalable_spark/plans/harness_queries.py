@@ -4626,3 +4626,110 @@ def q_tpch_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@query(
+    "repetition_signals",
+    """
+WITH tok AS (
+  SELECT doc_id, greatest(length(text), 1)::DOUBLE AS chars,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 1, 1) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+    FROM tok) GROUP BY 1, 2
+),
+g5 AS (
+  SELECT doc_id, g, count(*) AS c FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, greatest(len(toks) - 4, 1) + 1),
+      i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS g
+    FROM tok) GROUP BY 1, 2
+),
+top2 AS (SELECT doc_id, max(c * length(g)) AS top_chars FROM g2 GROUP BY 1),
+dup5 AS (SELECT doc_id,
+                sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup_chars
+         FROM g5 GROUP BY 1)
+SELECT t.doc_id,
+       (len(t.toks) - len(list_distinct(t.toks)))::DOUBLE
+         / greatest(len(t.toks), 1) AS dup_word_frac,
+       top2.top_chars / t.chars AS top_ngram_char_frac,
+       coalesce(dup5.dup_chars, 0) / t.chars AS dup_ngram_char_frac
+FROM tok t
+JOIN top2 USING (doc_id)
+LEFT JOIN dup5 USING (doc_id)
+""",
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition counters (functions/text.py::
+    repetition_signals) for every document: duplicate-word fraction,
+    most-frequent-2-gram character fraction, duplicated-5-gram
+    character fraction. Spark computes all three MAP-SIDE via
+    sorted-array folds (zero shuffle — plan-audited); the oracle's
+    unnest+groupBy states the same arithmetic relationally. Fractions
+    are exact-integer divisions, so they hash bit-identically without
+    any rounding."""
+    docs = load_table(spark, "documents", sf_dir)
+    sig = TX.repetition_signals("text")
+    return docs.select(
+        "doc_id",
+        sig["dup_word_frac"].alias("dup_word_frac"),
+        sig["top_ngram_char_frac"].alias("top_ngram_char_frac"),
+        sig["dup_ngram_char_frac"].alias("dup_ngram_char_frac"),
+    )
+
+
+_BM25_QUERY_TERMS = ("customer", "join", "order")
+
+
+@query(
+    "bm25_search",
+    f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         unnest(list_transform(toks, t -> lower(t))) AS t
+  FROM tok
+),
+hits AS (
+  SELECT doc_id, dl, t, count(*) AS tf FROM base
+  WHERE t IN {str(_BM25_QUERY_TERMS)}
+  GROUP BY 1, 2, 3
+),
+dfc AS (SELECT t, count(*) AS df FROM hits GROUP BY 1),
+corpus AS (
+  SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE / count(*) AS avgdl
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         round(sum(ln(1 + (n - df + 0.5) / (df + 0.5))
+                   * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+           AS score
+  FROM hits JOIN dfc USING (t) CROSS JOIN corpus
+  GROUP BY doc_id
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+FROM scored ORDER BY score DESC, doc_id LIMIT 10
+""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword top-10 (operators/retrieval.py::bm25_topk)
+    for the query "customer join order" — the lexical-retrieval
+    counterpart of the embedding ANN entries. Postings are filtered to
+    the query's terms map-side before any shuffle; df and corpus
+    scalars ride broadcast crossJoins; the top-k is an ordered limit
+    (TakeOrdered). Scores rounded to 6 decimals on both engines so libm
+    ulp differences cannot reorder ranks."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, "doc_id", "text", " ".join(_BM25_QUERY_TERMS), k=10)

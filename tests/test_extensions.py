@@ -586,3 +586,61 @@ def test_decontaminate_empty_benchmark(spark):
     corpus = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
     bench = corpus.filter("doc_id < 0")
     assert decontaminate(corpus, bench, "doc_id", "text").count() == 0
+
+
+def test_repetition_signals_values(spark):
+    from fhc_rco_etl_scalable_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # no repetition
+            (2, "x y x y x y x y"),          # total 2-gram repetition
+            (3, "one two three one two three seven eight"),  # partial
+        ],
+        "doc_id long, text string",
+    )
+    sig = repetition_signals("text")
+    rows = {r.doc_id: r.s for r in df.select("doc_id", sig.alias("s")).collect()}
+    assert rows[1].dup_word_frac == 0.0
+    assert rows[1].dup_ngram_char_frac == 0.0
+    # doc 2: 8 tokens, 2 distinct -> 6/8 repeats
+    assert abs(rows[2].dup_word_frac - 0.75) < 1e-12
+    # doc 2: "x y" occurs 4 times (len 3) -> 12 chars / 15 chars
+    assert abs(rows[2].top_ngram_char_frac - 12 / 15) < 1e-12
+    assert rows[3].dup_word_frac == 3 / 8
+
+    # zero-shuffle plan: the counters are per-row facts
+    plan = df.select(sig.alias("s"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bm25_ranks_exact_match_first(spark):
+    from fhc_rco_etl_scalable_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle partition exchange"),
+            (2, "quick brown fox"),
+            (3, "spark spark spark shuffle shuffle join scan"),
+            (4, "unrelated words entirely different"),
+            (5, "a very long document " + "padding " * 50 + "spark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "doc_id", "text", "spark shuffle", k=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # doc 3 has the highest tf for both terms; doc 5's single hit is
+    # length-penalized below doc 1's two short-doc hits
+    assert out[0].doc_id == 3
+    assert out[1].doc_id == 1
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest
+
+    from fhc_rco_etl_scalable_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_topk(df, "doc_id", "text", "   ")
