@@ -249,3 +249,93 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def _encode_netpbm(img) -> bytes:
+    """(H, W, C) uint8 ndarray -> binary netpbm payload (P5 gray /
+    P6 RGB) — the inverse of _decode_netpbm, used by the resize
+    transform so outputs remain decodable by the same family."""
+    h, w, c = img.shape
+    magic = b"P6" if c == 3 else b"P5"
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def resize_images(
+    media: DataFrame, out_w: int, out_h: int, batch_size_hint: int | None = None
+) -> DataFrame:
+    """Binary -> binary media TRANSFORM (not just feature extraction):
+    decode netpbm/BMP, nearest-neighbor resample to (out_w, out_h),
+    re-encode as netpbm. Returns the media frame with ``payload``
+    replaced, ``width``/``height`` updated, and ``resize_ok`` flagging
+    undecodable payloads (passed through untouched).
+
+    Same scale shape as extract_features: Arrow-batched mapInPandas,
+    payload column pruned away from metadata-only readers, task
+    granularity controlled by upstream repartition."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [*MEDIA_SCHEMA.fields, T.StructField("resize_ok", T.BooleanType())]
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths, heights, oks = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload or b"")
+                try:
+                    if raw[:2] in (b"P5", b"P6"):
+                        img = _decode_netpbm(raw)
+                    elif raw[:2] == b"BM":
+                        img = _decode_bmp(raw)
+                    else:
+                        raise ValueError("unsupported format")
+                    h, w, _ = img.shape
+                    ri = (np.arange(out_h) * h // out_h).astype(np.int64)
+                    ci = (np.arange(out_w) * w // out_w).astype(np.int64)
+                    resized = img[ri][:, ci]
+                    payloads.append(_encode_netpbm(np.ascontiguousarray(resized)))
+                    widths.append(out_w)
+                    heights.append(out_h)
+                    oks.append(True)
+                except Exception:
+                    payloads.append(raw)
+                    widths.append(None)
+                    heights.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pdf["duration_ms"],
+                    "resize_ok": oks,
+                }
+            )
+
+    return media.mapInPandas(op, schema=out_schema)
+
+
+def audio_spectrogram_decoder(
+    payload: bytes, mime: str, n_bands: int = 16, frame: int = 1024
+) -> list[float]:
+    """Spectral feature extractor for ``extract_features``: frame the
+    channel-mean PCM signal (hop = frame/2, rectangular window), rfft
+    each frame, average the power spectrum over frames, and emit
+    ``n_bands`` log10 band energies — the classic cheap audio
+    fingerprint surface (band-energy spectrogram), pure numpy."""
+    import numpy as np
+
+    samples, rate, _channels = _decode_wav(payload)
+    mono = samples.mean(axis=1)
+    if len(mono) < frame:
+        mono = np.pad(mono, (0, frame - len(mono)))
+    hop = frame // 2
+    n_frames = 1 + (len(mono) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    power = np.abs(np.fft.rfft(mono[idx], axis=1)) ** 2
+    mean_power = power.mean(axis=0)  # frame//2 + 1 bins
+    bins = np.array_split(mean_power[1:], n_bands)  # drop DC
+    return [float(np.log10(b.mean() + 1e-12)) for b in bins]

@@ -4749,3 +4749,18 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return bm25_topk(docs, "doc_id", "text", " ".join(_BM25_QUERY_TERMS), k=10)
+
+
+@query("embedding_topk_ivfpq", _TOPK_ORACLE)
+def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Probe-all + refine-all configuration: every candidate's exact
+    # re-rank makes the result deterministically equal to brute force,
+    # while the FULL IVF-PQ path (coarse quantizer, residual PQ encode,
+    # ADC candidate ranking, refine window) executes under the oracle.
+    # Approximate configs (n_probe < n_cells, small refine) are
+    # recall-bounded in tests/test_extensions.py.
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivfpq_topk(
+        emb, queries, k=5, n_cells=16, n_probe=16, refine=1_000_000
+    )

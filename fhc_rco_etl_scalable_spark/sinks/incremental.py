@@ -616,6 +616,59 @@ class ParquetIncrementalSink:
         keep = existing.join(new_aligned.select(*keys), list(keys), "left_anti")
         self._atomic_write(keep.unionByName(new_aligned), table, schema)
 
+    def maintain_rollup(
+        self,
+        source_table: str,
+        rollup_table: str,
+        batch_keys: DataFrame,
+        rollup_fn,
+        group_cols: tuple[str, ...],
+        rollup_schema: T.StructType | None = None,
+    ) -> None:
+        """Continuous-aggregate maintenance (the TimescaleDB/Materialize
+        idea expressed with snapshots): keep ``rollup_table`` equal to
+        ``rollup_fn(source)`` while recomputing ONLY the groups a new
+        batch touched.
+
+        Call AFTER loading the batch into ``source_table`` (via
+        ``delete_overlap_append``/``append_aligned``), passing the
+        batch itself as ``batch_keys``. The affected group set is
+        ``batch_keys`` projected to ``group_cols`` (distinct, tiny);
+        the source is re-scanned ONLY for those groups (broadcast
+        semi-join — partition-pruned when ``group_cols`` lead the
+        source's hive layout) and the recomputed groups replace their
+        predecessors in a new rollup snapshot.
+
+        Recompute-from-truth, not partial-merge, on purpose: merging
+        mergeable partials into the stored rollup double-counts on
+        replay, while recompute is idempotent under at-least-once batch
+        delivery and under delete-overlap re-extraction — the same
+        replay model as the rest of this sink. Write amplification is
+        O(affected groups); the untouched rollup rows carry over via
+        anti-join (a rollup is orders of magnitude smaller than its
+        source, so the snapshot rewrite is cheap next to one source
+        scan).
+
+        ``rollup_fn(source_rows) -> DataFrame`` must emit one row per
+        group including ``group_cols``.
+        """
+        source = self.read(source_table)
+        if source is None:
+            raise ValueError(f"{source_table}: no source to roll up")
+        cols = list(group_cols)
+        affected = batch_keys.select(*cols).distinct()
+        scoped = source.join(F.broadcast(affected), cols, "left_semi")
+        recomputed = rollup_fn(scoped)
+        existing = self.read(rollup_table, rollup_schema)
+        if existing is None:
+            merged = recomputed
+        else:
+            keep = existing.join(F.broadcast(affected), cols, "left_anti")
+            merged = keep.unionByName(recomputed)
+        if rollup_schema is not None:
+            merged = align_to_schema(merged, rollup_schema)
+        self._atomic_write(merged, rollup_table, rollup_schema)
+
     def watermark(self, table: str = "Script_Data") -> datetime | None:
         """A7: max(Data_Update_Time) from the state table
         (App/utils/time_utils.py:11-14)."""

@@ -644,3 +644,94 @@ def test_bm25_empty_query_raises(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bm25_topk(df, "doc_id", "text", "   ")
+
+
+def test_ivfpq_approximate_recall_bounded(spark):
+    """IVF-PQ with real pruning (n_probe < n_cells, small refine) must
+    keep high recall vs brute force on the fixture embeddings."""
+    import os
+
+    from fhc_rco_etl_scalable_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    queries = emb.filter("vec_id < 8")
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivfpq_topk(
+        emb, queries, k=5, n_cells=8, n_probe=4, m_subvectors=8, n_codes=16, refine=4
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # half the cells pruned + PQ ranking noise
+
+
+def test_ivfpq_probe_all_refine_all_is_exact(spark):
+    import os
+
+    from fhc_rco_etl_scalable_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    queries = emb.filter("vec_id < 5")
+    exact = sorted(map(tuple, brute_force_topk(emb, queries, k=5).collect()))
+    full = sorted(
+        map(tuple, ivfpq_topk(emb, queries, k=5, n_cells=8, n_probe=8, refine=10**6).collect())
+    )
+    assert exact == full
+
+
+def test_resize_images_roundtrip(spark):
+    """Binary->binary transform: resize a 4x2 PPM to 2x1, decode the
+    output payload, and check both dimensions and nearest-neighbor
+    pixel selection; undecodable payloads pass through flagged."""
+    from fhc_rco_etl_scalable_spark.operators.multimodal import (
+        _decode_netpbm,
+        resize_images,
+    )
+
+    # 4x2 image: top row red/red/green/green, bottom blue/blue/white/white
+    px = []
+    for row in ([(255, 0, 0)] * 2 + [(0, 255, 0)] * 2,
+                [(0, 0, 255)] * 2 + [(255, 255, 255)] * 2):
+        for r, g, b in row:
+            px += [r, g, b]
+    ppm = _ppm_bytes(4, 2, px)
+    media = spark.createDataFrame(
+        [(1, bytearray(ppm), "image/x-portable-pixmap", 4, 2, None),
+         (2, bytearray(b"garbage"), "application/octet-stream", None, None, None)],
+        "media_id long, payload binary, mime string, width int, height int, duration_ms long",
+    )
+    out = {r.media_id: r for r in resize_images(media, 2, 1).collect()}
+    assert out[1].resize_ok and (out[1].width, out[1].height) == (2, 1)
+    img = _decode_netpbm(bytes(out[1].payload))
+    assert img.shape == (1, 2, 3)
+    # nearest-neighbor picks columns 0 and 2 of the top row: red, green
+    assert list(img[0, 0]) == [255, 0, 0] and list(img[0, 1]) == [0, 255, 0]
+    assert not out[2].resize_ok and bytes(out[2].payload) == b"garbage"
+
+
+def test_audio_spectrogram_band_energy():
+    """A pure tone must concentrate energy in its own band: with
+    frame=1024 a 1 kHz sine at 8 kHz is rfft bin freq/rate*frame = 128;
+    bands split bins 1..512 into 16 groups of 32, so the tone's band is
+    (128-1)*16//512 = 3 — and it must dominate every other band."""
+    import math
+
+    from fhc_rco_etl_scalable_spark.operators.multimodal import (
+        audio_spectrogram_decoder,
+    )
+
+    rate, n = 8000, 4096
+    tone = [int(20000 * math.sin(2 * math.pi * 1000 * t / rate)) for t in range(n)]
+    bands = audio_spectrogram_decoder(_wav_bytes(rate, tone), "audio/wav", n_bands=16)
+    assert len(bands) == 16
+    tone_bin = 1000 * 1024 // rate
+    assert bands.index(max(bands)) == (tone_bin - 1) * 16 // 512
+    assert max(bands) > sorted(bands)[-2] + 1.0  # >=10x the runner-up

@@ -643,3 +643,87 @@ def test_stale_orphan_version_dir_is_reclaimed(spark, tmp_path):
     sink.append_aligned(_rows(spark, [("b", "L2", 5, 2.0, "S")]), "cc", CO_SCHEMA)
     assert sink._current_version("cc") == 2
     assert _collect(sink, "cc") == sorted([("a", "L1", 1.0), ("b", "L2", 2.0)])
+
+
+ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("LINE", T.StringType()),
+        T.StructField("Day", T.DateType()),
+        T.StructField("total_dt", T.DoubleType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _rollup_fn(df):
+    from pyspark.sql import functions as F
+
+    return df.groupBy("LINE", F.to_date("CO_StartTime").alias("Day")).agg(
+        F.round(F.sum("CO_DOWNTIME"), 2).alias("total_dt"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _rollup_rows(sink, table):
+    df = sink.read(table)
+    return sorted(
+        (r.LINE, str(r.Day), r.total_dt, r.n_events) for r in df.collect()
+    )
+
+
+def test_maintain_rollup_tracks_full_recompute(spark, tmp_path):
+    """After a sequence of overlapping out-of-order batches, the
+    incrementally-maintained rollup must equal rollup_fn(full source)."""
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    wm0 = T0 - timedelta(days=2)
+    batches = [
+        [("a", "L1", 0, 1.5, "S"), ("b", "L2", 30, 2.0, "S")],
+        [("c", "L1", 24 * 60, 3.0, "S")],               # next day
+        [("a2", "L1", 5, 0.5, "S"), ("d", "L2", 24 * 60 + 10, 4.0, "S")],
+    ]
+    for i, specs in enumerate(batches):
+        batch = _rows(spark, specs)
+        sink.delete_overlap_append(
+            batch, "src", CO_SCHEMA, "CO_StartTime",
+            watermark=wm0 + timedelta(minutes=i),
+        )
+        sink.maintain_rollup(
+            "src", "daily", batch, _rollup_fn, ("LINE",), ROLLUP_SCHEMA
+        )
+        full = _rollup_fn(sink.read("src", CO_SCHEMA))
+        expect = sorted(
+            (r.LINE, str(r.Day), r.total_dt, r.n_events) for r in full.collect()
+        )
+        assert _rollup_rows(sink, "daily") == expect, f"diverged after batch {i}"
+
+
+def test_maintain_rollup_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same batch (at-least-once delivery) must leave the
+    rollup unchanged — recompute-from-truth, not partial merge."""
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    wm = T0 - timedelta(days=1)
+    batch = _rows(spark, [("a", "L1", 0, 2.0, "S"), ("b", "L1", 60, 3.0, "S")])
+    for _ in range(2):  # load + maintain twice
+        sink.delete_overlap_append(batch, "src", CO_SCHEMA, "CO_StartTime", watermark=wm)
+        sink.maintain_rollup("src", "daily", batch, _rollup_fn, ("LINE",), ROLLUP_SCHEMA)
+    rows = _rollup_rows(sink, "daily")
+    assert rows == [("L1", "2024-01-10", 5.0, 2)]
+
+
+def test_maintain_rollup_untouched_groups_carry_over(spark, tmp_path):
+    """Groups absent from the batch must survive maintenance untouched
+    (anti-join carry-over, not a full recompute)."""
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    wm = T0 - timedelta(days=1)
+    seed = _rows(spark, [("a", "L1", 0, 1.0, "S"), ("b", "L2", 0, 2.0, "S")])
+    sink.delete_overlap_append(seed, "src", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    sink.maintain_rollup("src", "daily", seed, _rollup_fn, ("LINE",), ROLLUP_SCHEMA)
+    before_l2 = [r for r in _rollup_rows(sink, "daily") if r[0] == "L2"]
+    batch = _rows(spark, [("c", "L1", 120, 9.0, "S")])  # touches only L1
+    # watermark cutoff past row "a" so the source keeps it (this test
+    # is about rollup carry-over, not delete-overlap replacement)
+    sink.delete_overlap_append(batch, "src", CO_SCHEMA, "CO_StartTime", watermark=T0 + timedelta(minutes=90))
+    sink.maintain_rollup("src", "daily", batch, _rollup_fn, ("LINE",), ROLLUP_SCHEMA)
+    after = _rollup_rows(sink, "daily")
+    assert [r for r in after if r[0] == "L2"] == before_l2
+    assert ("L1", "2024-01-10", 10.0, 2) in after
