@@ -727,3 +727,59 @@ def test_maintain_rollup_untouched_groups_carry_over(spark, tmp_path):
     after = _rollup_rows(sink, "daily")
     assert [r for r in after if r[0] == "L2"] == before_l2
     assert ("L1", "2024-01-10", 10.0, 2) in after
+
+
+def test_merge_scd2_version_chains(spark, tmp_path):
+    """SCD2: change closes the current version at the new effective_ts,
+    unchanged replays are no-ops, unseen keys insert open versions."""
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [("A", "red", T0), ("B", "blue", T0)],
+        "sku string, color string, effective_ts timestamp",
+    )
+    sink.merge_scd2(b1, "dim", ("sku",), ("color",))
+    # replay: idempotent
+    sink.merge_scd2(b1, "dim", ("sku",), ("color",))
+    t1 = T0 + timedelta(days=1)
+    b2 = spark.createDataFrame(
+        [("A", "green", t1), ("C", "black", t1)],  # A changes, B absent, C new
+        "sku string, color string, effective_ts timestamp",
+    )
+    sink.merge_scd2(b2, "dim", ("sku",), ("color",))
+    rows = {
+        (r.sku, r.color): (r.valid_from, r.valid_to, r.is_current)
+        for r in sink.read("dim").collect()
+    }
+    assert rows[("A", "red")] == (T0, t1, False)      # closed at change time
+    assert rows[("A", "green")] == (t1, None, True)   # new open version
+    assert rows[("B", "blue")] == (T0, None, True)    # untouched carry-over
+    assert rows[("C", "black")] == (t1, None, True)   # fresh insert
+    assert len(rows) == 4
+
+
+def test_merge_scd2_latest_per_key_wins_within_batch(spark, tmp_path):
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    b = spark.createDataFrame(
+        [("A", "v1", T0), ("A", "v2", T0 + timedelta(hours=1))],
+        "sku string, color string, effective_ts timestamp",
+    )
+    sink.merge_scd2(b, "dim", ("sku",), ("color",))
+    rows = [(r.color, r.is_current) for r in sink.read("dim").collect()]
+    assert rows == [("v2", True)]  # intra-batch dedup keeps the latest
+
+
+def test_changes_between_snapshots(spark, tmp_path):
+    """CDF over the version pointer: insert/update/delete classified by
+    one full-outer join of two retained immutable snapshots."""
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    s = "k long, v string"
+    sink._atomic_write(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], s), "t")
+    v1 = sink._current_version("t")
+    sink._atomic_write(spark.createDataFrame([(2, "B"), (3, "c"), (4, "d")], s), "t")
+    v2 = sink._current_version("t")
+    ch = {r.k: (r.change_type, r.before, r.after)
+          for r in sink.changes_between("t", v1, v2, ("k",)).collect()}
+    assert ch[1][0] == "deleted" and ch[1][1].v == "a" and ch[1][2] is None
+    assert ch[2][0] == "updated" and ch[2][1].v == "b" and ch[2][2].v == "B"
+    assert ch[4][0] == "inserted" and ch[4][1] is None and ch[4][2].v == "d"
+    assert 3 not in ch  # unchanged rows are not part of the feed

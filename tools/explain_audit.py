@@ -198,6 +198,37 @@ def main() -> int:
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     check("single_shuffle(sliding_time_window)", n_ex == 1, detail=f"{n_ex} exchanges")
 
+    # 15. Round-6 operators. Decontamination: the benchmark gram table
+    #     must broadcast (eval sets are small by definition) and the
+    #     plan must never go cartesian.
+    p = plan_of(hq.q_decontaminate(spark, sf_dir))
+    check("broadcast(decontaminate bench grams)", "BroadcastHashJoin" in p)
+    check("no_cartesian(decontaminate)", "CartesianProduct" not in p)
+
+    # 16. BM25: top-k plans as an ordered limit (TakeOrdered), not a
+    #     global sort materialization; df/corpus scalars broadcast.
+    p = plan_of(hq.q_bm25_search(spark, sf_dir))
+    check("ordered_limit(bm25_search)", "TakeOrderedAndProject" in p)
+    check("broadcast(bm25 df/corpus)", "BroadcastExchange" in p)
+
+    # 17. Repetition signals: per-doc counters are local facts — the
+    #     whole plan must be exchange-free.
+    p = plan_of(hq.q_repetition_signals(spark, sf_dir))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    check("map_side(repetition_signals)", n_ex == 0, detail=f"{n_ex} exchanges")
+
+    # 18. Z-order default path: distributed bucketing, no Window / no
+    #     single-partition exchange (VERDICT r5 #4 closed).
+    from fhc_rco_etl_scalable_spark.sinks.layout import zorder_key
+
+    zdf = zorder_key(
+        load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity"),
+        ["l_orderkey", "l_quantity"],
+        bits_per_col=8,
+    )
+    p = plan_of(zdf)
+    check("no_global_sort(zorder_key)", "Window" not in p and "Exchange SinglePartition" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
