@@ -155,6 +155,19 @@ def main() -> None:
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
     total = 0.0
+
+    def release_checkpoints() -> None:
+        # Each pipeline build leaves its localCheckpoint RDDs in the
+        # persistent-RDD map until the async ContextCleaner happens to
+        # GC them; across 100+ queries x repeats that accumulation
+        # turns into driver heap churn that lands multi-second stalls
+        # on whichever query runs late (observed: a 0.4 s query
+        # spiking to 31 s cold). Queries are independent — release
+        # eagerly between them so timings measure the query, not the
+        # backlog.
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+
     for name, fn in queries.items():
         samples: list[float] = []
         n = -1
@@ -163,6 +176,7 @@ def main() -> None:
             df = fn(spark, sf_dir)
             n = df.count()
             samples.append(time.time() - t0)
+        release_checkpoints()
         best = min(samples)
         timings[name] = round(best, 3)
         cold[name] = round(samples[0], 3)
