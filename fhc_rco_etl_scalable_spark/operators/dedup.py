@@ -898,3 +898,124 @@ def decontaminate(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_overlap)
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 8,
+) -> DataFrame:
+    """Corpus-wide span-level exact dedup (C4-style: Raffel et al.
+    2020 removed any three-sentence span occurring more than once in
+    the corpus; the fixtures carry no sentence boundaries, so the unit
+    here is a non-overlapping ``span_words``-word chunk).
+
+    Every document is split into consecutive word chunks; a chunk that
+    appears anywhere earlier in the corpus — by (id, position) order —
+    is dropped, and each document is reassembled from its surviving
+    chunks in order. Output: (id, text_dedup, n_spans_kept), one row
+    per input document (fully-duplicated docs come back with '' and 0).
+
+    Scale: chunking is map-side (split/sequence/slice — no Python);
+    the global first-arrival is ONE shuffle partitioned by the span
+    string itself (row_number over span), then one id-shuffle to
+    reassemble. No all-pairs, no self-join; hot spans skew a partition
+    but each group only needs its minimal (id, pos) — Spark's
+    row_number spills, it never materializes the group.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * span_words + 1, span_words), " "
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    )
+    first = exploded.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("span").orderBy(id_col, "pos")
+        ),
+    ).filter(F.col("rn") == 1)
+    rebuilt = first.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+        F.count("span").alias("n_spans_kept"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_spans_kept", F.lit(0)).alias("n_spans_kept"),
+        )
+    )
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    total_budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Budget-constrained domain-mixture sampling: give every domain an
+    equal share of ``total_budget`` documents and take a deterministic
+    hash-sample at rate ``min(1, share / available)`` per domain — the
+    mixing step every multi-source training pipeline runs before
+    tokenization (upsampling is out of scope; rates cap at 1).
+
+    Determinism contract: the per-domain rate is floored to an integer
+    ppm and compared against the same md5 bucket used by
+    ``deterministic_sample``, so membership is reproducible across
+    engines and stable under re-partitioning.
+
+    Scale: one count aggregation over the domain column (tiny result),
+    the rate table broadcasts back onto the corpus, and selection is a
+    map-side filter — the full pass never shuffles the fact table.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("avail"))
+    n_domains = counts.select(
+        F.count(F.lit(1)).cast("double").alias("n_domains")
+    )
+    rates = counts.crossJoin(F.broadcast(n_domains)).select(
+        domain_col,
+        "avail",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(total_budget)) / F.col("n_domains"))
+                / F.col("avail").cast("double"),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("rate_ppm"))
+        .select(id_col, domain_col, "avail", "rate_ppm")
+    )

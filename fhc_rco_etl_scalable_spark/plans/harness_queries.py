@@ -4764,3 +4764,363 @@ def q_embedding_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivfpq_topk(
         emb, queries, k=5, n_cells=16, n_probe=16, refine=1_000_000
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): the remaining TPC-H join shapes expressible on the
+# fixtures' reduced schemas — Q7 (two-nation volume shipping), Q8
+# (market share ratio by year), Q12 (late-line counts; l_shipmode /
+# l_commitdate don't exist in the fixtures, so the bucket column is
+# l_linestatus and "late" is ship-lag vs order date — the aggregate
+# CASE-count shape is what's under test), Q21 (multi-EXISTS self-join;
+# same substitution: "kept waiting" = this supplier's line is strictly
+# the last to ship in a multi-supplier order).  All money goes through
+# the DECIMAL(18,4) accumulation contract (_revenue/_REV_SQL above).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_volume_shipping",
+    f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name IN ('NATION_0','NATION_5','NATION_10','NATION_15','NATION_20')
+        AND n2.n_name IN ('NATION_1','NATION_6','NATION_11','NATION_16','NATION_21'))
+    OR (n1.n_name IN ('NATION_1','NATION_6','NATION_11','NATION_16','NATION_21')
+        AND n2.n_name IN ('NATION_0','NATION_5','NATION_10','NATION_15','NATION_20')))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+""",
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two-nation trade volume by ship year. Scale
+    plan: the two one-row nation slices broadcast into supplier and
+    customer, the surviving supplier/customer key sets broadcast into
+    the fact chain, and the only big shuffle is lineitem->orders on
+    orderkey with the ship-date window pushed to the scan. The
+    disjunctive nation-group pair predicate is applied post-join
+    exactly as written — Catalyst still derives the per-side IN
+    filters from the union of the two groups."""
+    from pyspark.sql.functions import broadcast
+
+    ga = ["NATION_0", "NATION_5", "NATION_10", "NATION_15", "NATION_20"]
+    gb = ["NATION_1", "NATION_6", "NATION_11", "NATION_16", "NATION_21"]
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    pair = nat.filter(F.col("n_name").isin(ga + gb))
+    supp = load_table(spark, "supplier", sf_dir).join(
+        broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = load_table(spark, "customer", sf_dir).join(
+        broadcast(pair.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.col("supp_nation").isin(ga) & F.col("cust_nation").isin(gb))
+            | (F.col("supp_nation").isin(gb) & F.col("cust_nation").isin(ga))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(_revenue().alias("revenue"))
+    )
+
+
+@query(
+    "tpch_market_share",
+    """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4))
+           * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey  = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY o_year
+""",
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's volume in a
+    part segment, by order year. Both sums are exact DECIMAL on both
+    engines, so the DOUBLE division/round is a deterministic IEEE op on
+    identical inputs (same contract as tpch_promo_share). Scale plan:
+    every dimension (part slice, region->nation->customer chain,
+    supplier+nation) broadcasts; lineitem->orders is the one shuffle."""
+    from pyspark.sql.functions import broadcast
+
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            broadcast(nat.join(
+                broadcast(reg), nat.n_regionkey == reg.r_regionkey
+            ).select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .join(
+            broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = load_table(spark, "part", sf_dir).filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    vol = _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+    share = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+            F.lit(0).cast(_MONEY)
+        )
+    ).cast("double")
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(share / F.sum(vol).cast("double"), 6).alias("mkt_share"))
+    )
+
+
+@query(
+    "tpch_late_lines",
+    """
+SELECT l_linestatus AS line_status,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_tpch_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: priority CASE-counts of late-shipped lines per
+    bucket (fixtures lack l_shipmode/l_commitdate, so the bucket is
+    l_linestatus and lateness is ship-lag >= 60 days vs order date —
+    a cross-table inequality Catalyst evaluates post-join). Integer
+    counts: no float parity risk. One orderkey shuffle; both scans
+    keep their pushable date window."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_waiting_supplier",
+    """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name IN ('NATION_4', 'NATION_9', 'NATION_14', 'NATION_19', 'NATION_24')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def q_tpch_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose line was strictly the last to
+    ship in a multi-supplier finalized order (fixtures lack
+    l_receiptdate/l_commitdate, so "kept waiting" is defined on
+    l_shipdate — the EXISTS + NOT EXISTS correlated self-join pair is
+    the shape under test). DataFrame formulation: both correlated
+    subqueries reduce to ONE per-(order,supplier) aggregate + per-order
+    windows — a line qualifies iff its ship date >= the max ship date
+    of OTHER suppliers in the order (M_other, derived from order_max /
+    attainer-count / second max without any fact self-join) and the
+    order has >= 2 suppliers. Everything after the first orderkey
+    shuffle reuses that partitioning; supplier and nation broadcast.
+    Deterministic top-20 by (numwait DESC, s_name)."""
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin(
+            "NATION_4", "NATION_9", "NATION_14", "NATION_19", "NATION_24"
+        )
+    )
+    supp = load_table(spark, "supplier", sf_dir).join(
+        broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    at_max = (F.col("supp_max") == F.col("order_max")).cast("int")
+    stats = (
+        per_os.withColumn("order_max", F.max("supp_max").over(w))
+        .withColumn("n_supps", F.count(F.lit(1)).over(w))
+        .withColumn("n_at_max", F.sum(at_max).over(w))
+        .withColumn(
+            "max2",
+            F.max(
+                F.when(F.col("supp_max") < F.col("order_max"), F.col("supp_max"))
+            ).over(w),
+        )
+    )
+    # max of OTHER suppliers' latest ship dates: the order max unless
+    # this supplier is its sole attainer, in which case the second max.
+    m_other = F.when(
+        (F.col("supp_max") < F.col("order_max")) | (F.col("n_at_max") >= 2),
+        F.col("order_max"),
+    ).otherwise(F.col("max2"))
+    bounds = stats.filter(F.col("n_supps") >= 2).select(
+        "l_orderkey", "l_suppkey", m_other.alias("m_other")
+    )
+    qualifying = li.join(bounds, ["l_orderkey", "l_suppkey"]).filter(
+        F.col("l_shipdate") >= F.col("m_other")
+    )
+    waiting = qualifying.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey"), "leftsemi"
+    ).join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    return (
+        waiting.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 6 (cont.): corpus-wide span-level dedup (C4-style) and
+# budget-constrained domain-mixture sampling — the two training-data
+# hygiene ops still missing between doc-level dedup and tokenization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "span_dedup",
+    """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+spans AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+  FROM words, UNNEST(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+),
+keep AS (
+  SELECT doc_id, pos, span
+  FROM (SELECT doc_id, pos, span,
+               row_number() OVER (PARTITION BY span
+                                  ORDER BY doc_id, pos) AS rn
+        FROM spans)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       coalesce(string_agg(k.span, ' ' ORDER BY k.pos), '') AS text_dedup,
+       count(k.span) AS n_spans_kept
+FROM documents d LEFT JOIN keep k USING (doc_id)
+GROUP BY d.doc_id
+""",
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup (operators/dedup.py::span_dedup):
+    non-overlapping 8-word chunks, global first-arrival by (doc_id,
+    pos), documents reassembled from survivors. Two shuffles total
+    (span, then doc_id); chunking and reassembly are native
+    split/sequence/slice/array ops — zero Python in the path."""
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.span_dedup(docs, "doc_id", "text", span_words=8)
+
+
+@query(
+    "domain_mixture",
+    """
+WITH avail AS (
+  SELECT source, count(*) AS avail FROM documents GROUP BY source
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_domains FROM avail),
+rates AS (
+  SELECT source, avail,
+         CAST(floor(least(1.0, (200.0 / n_domains) / CAST(avail AS DOUBLE))
+                    * 1000000) AS BIGINT) AS rate_ppm
+  FROM avail CROSS JOIN nd
+)
+SELECT doc_id, source, avail, rate_ppm
+FROM documents JOIN rates USING (source)
+WHERE (('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % 1000000) < rate_ppm
+""",
+)
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained domain mixing (operators/dedup.py::
+    domain_mixture): equal per-source share of a 200-doc budget,
+    deterministic md5-ppm sampling at min(1, share/avail) per source.
+    The rate table (one row per source) broadcasts; selection is a
+    map-side filter — the documents scan never shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    return DD.domain_mixture(docs, "source", "doc_id", total_budget=200)

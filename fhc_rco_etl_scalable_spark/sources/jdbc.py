@@ -7,10 +7,11 @@ and window predicate — Catalyst pushes both to the database, and
 ``partitionColumn`` bounds give parallel range scans instead of the
 reference's single-cursor read.
 
-No database is reachable in this container, so the adapter exposes the
-reader *construction* (query text + options) separately from the
-connect step; tests cover the construction, deployments call
-``load()``.
+The adapter exposes the reader *construction* (query text + options)
+separately from the connect step so deployments against any warehouse
+reuse it; tests exercise BOTH the construction and a live end-to-end
+round-trip against embedded Derby (bundled with Spark), including the
+parallel range-partitioned read path (tests/test_sources.py).
 """
 
 from __future__ import annotations
@@ -34,11 +35,20 @@ class JdbcWindowScan:
     extra_predicates: list[str] = field(default_factory=list)
     num_partitions: int | None = None
     properties: dict[str, str] = field(default_factory=dict)
+    #: False for numeric window columns (epoch seconds / surrogate keys):
+    #: emits unquoted bounds so strict engines (Derby, Postgres) don't
+    #: reject a BIGINT-vs-CHAR comparison.
+    quote_bounds: bool = True
 
     def query(self) -> str:
+        lo, hi = (
+            (f"'{self.start}'", f"'{self.end}'")
+            if self.quote_bounds
+            else (str(self.start), str(self.end))
+        )
         preds = [
-            f"{self.ts_col} > '{self.start}'",
-            f"{self.ts_col} < '{self.end}'",
+            f"{self.ts_col} > {lo}",
+            f"{self.ts_col} < {hi}",
             *self.extra_predicates,
         ]
         cols = ", ".join(self.columns) if self.columns else "*"

@@ -735,3 +735,55 @@ def test_audio_spectrogram_band_energy():
     tone_bin = 1000 * 1024 // rate
     assert bands.index(max(bands)) == (tone_bin - 1) * 16 // 512
     assert max(bands) > sorted(bands)[-2] + 1.0  # >=10x the runner-up
+
+
+def test_span_dedup_removes_repeated_chunks(spark):
+    from fhc_rco_etl_scalable_spark.operators import dedup as DD
+
+    # doc 1 owns chunk A; doc 2 repeats A then contributes B; doc 3 is
+    # A twice (fully duplicated). 2-word spans for a tight truth table.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # spans: "a b", "c d"
+            (2, "a b x y"),          # "a b" dup of doc1 -> keep "x y"
+            (3, "a b a b"),          # both spans dup -> ''
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text_dedup, r.n_spans_kept)
+        for r in DD.span_dedup(docs, "doc_id", "text", span_words=2).collect()
+    }
+    assert out[1] == ("a b c d", 2)   # first arrival keeps everything
+    assert out[2] == ("x y", 1)       # repeated span dropped, rest kept
+    assert out[3] == ("", 0)          # fully-duplicated doc survives as row
+
+
+def test_span_dedup_first_arrival_is_positional(spark):
+    from fhc_rco_etl_scalable_spark.operators import dedup as DD
+
+    # Within one doc the FIRST occurrence survives, later ones drop.
+    docs = spark.createDataFrame(
+        [(7, "p q z z p q")], "doc_id long, text string"
+    )
+    row = DD.span_dedup(docs, "doc_id", "text", span_words=2).first()
+    assert row.text_dedup == "p q z z"
+    assert row.n_spans_kept == 2
+
+
+def test_domain_mixture_caps_and_balances(spark):
+    from fhc_rco_etl_scalable_spark.operators import dedup as DD
+
+    # Domain 'big' has 100 docs, 'small' has 4; budget 40 => share 20
+    # per domain: big rate=20%, small rate capped at 100%.
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = DD.domain_mixture(df, "source", "doc_id", total_budget=40)
+    by_src = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert by_src["small"] == 4                      # rate capped at 1
+    assert 10 <= by_src.get("big", 0) <= 30          # ~20 expected, hash noise
+    rates = {r.source: r.rate_ppm for r in out.select("source", "rate_ppm").distinct().collect()}
+    assert rates["small"] == 1_000_000 and rates["big"] == 200_000
+    # deterministic: same selection on re-run
+    again = {r.doc_id for r in DD.domain_mixture(df, "source", "doc_id", total_budget=40).collect()}
+    assert again == {r.doc_id for r in out.collect()}

@@ -81,6 +81,18 @@ def test_jdbc_query_construction():
     assert "IS_EXCLUDED = 0" in q
 
 
+def test_jdbc_numeric_window_unquoted():
+    # quote_bounds=False: numeric windows (epoch seconds, surrogate keys)
+    # must emit bare literals — strict engines reject BIGINT-vs-CHAR.
+    scan = JdbcWindowScan(
+        url="jdbc:derby:memory:x", table="t", columns=["A"],
+        ts_col="EPOCH_S", start="1700000000", end="1700086400",
+        quote_bounds=False,
+    )
+    q = scan.query()
+    assert "EPOCH_S > 1700000000" in q and "'" not in q
+
+
 def test_jdbc_reader_builds(spark):
     scan = JdbcWindowScan(
         url="jdbc:postgresql://nohost/db", table="t", columns=[],
