@@ -5124,3 +5124,25 @@ def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side filter — the documents scan never shuffles."""
     docs = load_table(spark, "documents", sf_dir)
     return DD.domain_mixture(docs, "source", "doc_id", total_budget=200)
+
+
+@query(
+    "fuzzy_match",
+    """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+""",
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance self-match over part names
+    (operators/fuzzy.py::fuzzy_self_match): length banding generates
+    candidates (|len diff| <= d is necessary for levenshtein <= d),
+    exact verify after. The DuckDB oracle brute-forces all pairs —
+    equality of the two proves the banding loses nothing."""
+    from ..operators.fuzzy import fuzzy_self_match
+
+    part = load_table(spark, "part", sf_dir)
+    return fuzzy_self_match(part, "p_name", max_dist=4)

@@ -787,3 +787,47 @@ def test_domain_mixture_caps_and_balances(spark):
     # deterministic: same selection on re-run
     again = {r.doc_id for r in DD.domain_mixture(df, "source", "doc_id", total_budget=40).collect()}
     assert again == {r.doc_id for r in out.collect()}
+
+
+def test_fuzzy_self_match_equals_brute_force(spark):
+    from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_self_match
+
+    names = ["kitten", "sitten", "sittin", "sitting", "cat", "hat", "hats"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_match(df, "name", max_dist=1).collect()
+    }
+
+    def lev(a, b):  # textbook DP oracle
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= 1
+    }
+    assert got == want  # length banding loses no true pair
+    assert ("kitten", "sitten", 1) in got and ("hat", "hats", 1) in got
+
+
+def test_fuzzy_join_attaches_matches(spark):
+    from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "BRND-A1"), (2, "XYZ")], "id long, code string"
+    )
+    right = spark.createDataFrame(
+        [("BRND-A1",), ("BRND-A2",), ("QQQQ",)], "canon string"
+    )
+    out = fuzzy_join(left, right, "code", "canon", max_dist=1)
+    got = {(r.id, r.matched, r.dist) for r in out.collect()}
+    assert got == {(1, "BRND-A1", 0), (1, "BRND-A2", 1)}

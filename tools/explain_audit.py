@@ -229,6 +229,34 @@ def main() -> int:
     p = plan_of(zdf)
     check("no_global_sort(zorder_key)", "Window" not in p and "Exchange SinglePartition" not in p)
 
+    # 19. TPC-H Q7/Q8: every dimension broadcasts; the only sort-merge
+    #     join allowed is the lineitem->orders fact join.
+    for qname in ("q_tpch_volume_shipping", "q_tpch_market_share"):
+        p = plan_of(getattr(hq, qname)(spark, sf_dir))
+        n_smj = len(re.findall(r"SortMergeJoin", p))
+        check(f"broadcast_dims({qname})", "BroadcastHashJoin" in p)
+        check(
+            f"one_fact_join({qname})",
+            n_smj <= 1,
+            detail=f"{n_smj} sort-merge joins",
+        )
+
+    # 20. TPC-H Q21: the EXISTS/NOT-EXISTS pair must not plan as a
+    #     cartesian or positional fact self-join — the per-order bound
+    #     derivation keeps everything on the orderkey partitioning.
+    p = plan_of(hq.q_tpch_waiting_supplier(spark, sf_dir))
+    check("no_cartesian(tpch_waiting_supplier)", "CartesianProduct" not in p)
+    check("broadcast(tpch_waiting_supplier supplier)", "BroadcastHashJoin" in p)
+    check(
+        "ordered_limit(tpch_waiting_supplier)", "TakeOrderedAndProject" in p
+    )
+
+    # 21. Domain mixture: the fact-side selection join must broadcast
+    #     (the rate table is one row per domain) — never sort-merge.
+    p = plan_of(hq.q_domain_mixture(spark, sf_dir))
+    check("broadcast(domain_mixture rates)", "BroadcastHashJoin" in p)
+    check("no_smj(domain_mixture)", "SortMergeJoin" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
