@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -153,10 +153,21 @@ def run_corpus_prep(spark, docs) -> dict[str, int]:
     return {"kept": out.count()}
 
 
+def run_span(spark, docs) -> dict[str, int]:
+    from fhc_rco_etl_scalable_spark.operators import dedup as DD
+
+    out = DD.span_dedup(docs, "doc_id", "text")
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_spans_kept").alias("spans")
+    ).first()
+    return {"docs": row["docs"], "spans": int(row["spans"])}
+
+
 RUNNERS = {
     "site": lambda spark, data: run_pipeline(spark, data),
     "minhash": run_minhash,
     "corpus": run_corpus_prep,
+    "span": run_span,
 }
 
 
@@ -195,6 +206,11 @@ def main() -> None:
             data = scaled_documents(spark, sf_dir, eff, mode="cipher")
         elif probe == "corpus":
             data = scaled_documents(spark, sf_dir, eff, mode="suffix")
+        elif probe == "span":
+            # cipher salting: spans become disjoint across replicas, so
+            # kept spans scale ~N (independent-shard growth), while
+            # within-replica duplicate structure is preserved exactly.
+            data = scaled_documents(spark, sf_dir, eff, mode="cipher")
         else:
             raise SystemExit(f"unknown probe {probe}")
         if materialize:
