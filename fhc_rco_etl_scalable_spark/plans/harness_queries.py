@@ -3517,6 +3517,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round identically for positive money.
 # ---------------------------------------------------------------------------
 
+# Audit note (round 6): the cast is needed exactly where the summed
+# terms carry MORE decimals than the final rounding — products like
+# price*(1-discount) are 4+-decimal, so their sums land near .005
+# boundaries of the 2nd decimal and a ~1e-10 partition-order drift
+# flips the cent.  The catalog's plain ``round(sum(value), 2)``-style
+# entries are safe WITHOUT the cast: ``events.value``/``DOWNTIME``
+# fixtures are exact 2-decimal values (verified: 0 rows where
+# value <> round(value, 2)), so every true sum is itself a multiple of
+# 0.01 — at least 0.005 from any rounding boundary, while float error
+# stays ~1e-6.  Ordered-window cumulative sums are additionally
+# order-pinned by unique sort keys on both engines.
 _MONEY = "decimal(18,4)"
 
 
@@ -5146,3 +5157,32 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, "part", sf_dir)
     return fuzzy_self_match(part, "p_name", max_dist=4)
+
+
+@query(
+    "grouping_sets_aggregate",
+    """
+SELECT event_type, user_id % 4 AS shard,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events
+GROUP BY GROUPING SETS ((event_type, (user_id % 4)), (event_type),
+                        ((user_id % 4)))
+""",
+)
+def q_grouping_sets_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the Spark 4 DataFrame API
+    (``DataFrame.groupingSets``) — the third multi-dimensional
+    aggregate surface beside ROLLUP/CUBE: an arbitrary subset lattice
+    {(type, shard), (type), (shard)} in ONE expand+aggregate pass
+    (Expand multiplies rows by the set count map-side; still a single
+    shuffle). NULL-marked levels share ANSI semantics with DuckDB;
+    2-decimal-exact value sums need no DECIMAL cast (see audit note
+    at _MONEY)."""
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    return ev.groupingSets(
+        [["event_type", "shard"], ["event_type"], ["shard"]],
+        "event_type",
+        "shard",
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))

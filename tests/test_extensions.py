@@ -831,3 +831,13 @@ def test_fuzzy_join_attaches_matches(spark):
     out = fuzzy_join(left, right, "code", "canon", max_dist=1)
     got = {(r.id, r.matched, r.dist) for r in out.collect()}
     assert got == {(1, "BRND-A1", 0), (1, "BRND-A2", 1)}
+
+
+def test_fuzzy_self_match_ignores_nulls(spark):
+    from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_self_match
+
+    df = spark.createDataFrame(
+        [("abc",), (None,), ("abd",)], "name string"
+    )
+    got = {(r.name_a, r.name_b) for r in fuzzy_self_match(df, "name", 1).collect()}
+    assert got == {("abc", "abd")}  # null rows drop, no null-pair rows
