@@ -1019,3 +1019,44 @@ def domain_mixture(
         .filter(bucket < F.col("rate_ppm"))
         .select(id_col, domain_col, "avail", "rate_ppm")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis A-ES, IPL 2006): each row gets key ``u^(1/w)`` with
+    ``u`` a hash-derived uniform in (0,1); the global top-k by key is
+    an exact weighted sample — rows surface with probability
+    proportional to weight, reproducibly (no RNG state, no partition-
+    order dependence).
+
+    Scale: the key is map-side arithmetic and the top-k plans as
+    TakeOrdered (per-partition heads merged on the driver) — no global
+    sort of the corpus. Cross-engine parity: the key is rounded to 12
+    decimals with an id tiebreak, so a libm ulp difference in ``pow``
+    can never reorder the sample between engines.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    u = (bucket + F.lit(0.5)) / F.lit(1_000_000.0)  # uniform, never 0 or 1
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    return (
+        df.withColumn("sample_key", key)
+        .orderBy(F.desc("sample_key"), id_col)
+        .limit(k)
+    )

@@ -5186,3 +5186,27 @@ def q_grouping_sets_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "shard",
     ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+
+
+@query(
+    "weighted_sample",
+    """
+SELECT doc_id, source, n_chars,
+       round(pow((('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 1000000 + 0.5) / 1000000.0,
+                 1.0 / CAST(n_chars AS DOUBLE)), 12) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling (operators/dedup.py::
+    weighted_sample): top-100 documents by u^(1/n_chars) — longer docs
+    proportionally likelier, selection deterministic. Plans as
+    TakeOrdered: per-partition heads, no global sort. The rounded key
+    + id tiebreak makes the order libm-ulp-proof on both engines."""
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    return DD.weighted_sample(docs, "doc_id", "n_chars", k=100)

@@ -841,3 +841,18 @@ def test_fuzzy_self_match_ignores_nulls(spark):
     )
     got = {(r.name_a, r.name_b) for r in fuzzy_self_match(df, "name", 1).collect()}
     assert got == {("abc", "abd")}  # null rows drop, no null-pair rows
+
+
+def test_weighted_sample_is_weighted_and_deterministic(spark):
+    # Two weight classes: heavy rows (w=1000) must dominate a k=50
+    # sample over light rows (w=1) despite equal population counts.
+    rows = [(i, 1000.0) for i in range(100)] + [(1000 + i, 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out1 = {r.doc_id for r in DD.weighted_sample(df, "doc_id", "w", k=50).collect()}
+    out2 = {r.doc_id for r in DD.weighted_sample(df, "doc_id", "w", k=50).collect()}
+    assert out1 == out2                       # deterministic
+    heavy = sum(1 for d in out1 if d < 1000)
+    assert heavy >= 45                        # weight actually biases
+    # plan shape: top-k must be TakeOrdered, not a global sort
+    plan = DD.weighted_sample(df, "doc_id", "w", k=50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
