@@ -30,6 +30,14 @@ def md5_int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def ppm_bucket(id_col: str, salt: str) -> Column:
+    """Deterministic parts-per-million bucket of a row id: the shared
+    primitive behind deterministic_sample / stratified_split /
+    domain_mixture / weighted_sample. One definition keeps every
+    sampling surface (and its DuckDB oracle twin) in lockstep."""
+    return md5_int(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % 1_000_000
+
+
 # MinHash permutation family: h_i(x) = (a_i*x + b_i) mod P over the
 # 32-bit base hash. One md5 per gram total; the 16 permutations are
 # integer arithmetic (portable to any SQL oracle, overflow-safe:
@@ -760,11 +768,7 @@ def deterministic_sample(
     sampled tables stay aligned. Pure map-side: no shuffle, prunes
     with the scan.
     """
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long") % 1_000_000
+    bucket = ppm_bucket(id_col, salt)
     return df.filter(bucket < int(fraction * 1_000_000))
 
 
@@ -790,11 +794,7 @@ def stratified_split(
         raise ValueError(
             f"stratified_split: weights sum to {sum(weights.values())} > 1"
         )
-    bucket = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long") % 1_000_000
+    bucket = ppm_bucket(id_col, salt)
     expr = None
     lo, cum = 0, 0.0
     for name, w in weights.items():
@@ -1004,16 +1004,7 @@ def domain_mixture(
         .cast("long")
         .alias("rate_ppm"),
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
+    bucket = ppm_bucket(id_col, salt)
     return (
         df.join(F.broadcast(rates), domain_col)
         .filter(bucket < F.col("rate_ppm"))
@@ -1041,16 +1032,7 @@ def weighted_sample(
     decimals with an id tiebreak, so a libm ulp difference in ``pow``
     can never reorder the sample between engines.
     """
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
+    bucket = ppm_bucket(id_col, salt)
     u = (bucket + F.lit(0.5)) / F.lit(1_000_000.0)  # uniform, never 0 or 1
     key = F.round(
         F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12

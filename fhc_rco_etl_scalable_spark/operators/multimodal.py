@@ -280,8 +280,10 @@ def resize_images(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, widths, heights, oks = [], [], [], []
-            for payload in pdf["payload"]:
+            payloads, widths, heights, mimes, oks = [], [], [], [], []
+            for payload, old_w, old_h, old_mime in zip(
+                pdf["payload"], pdf["width"], pdf["height"], pdf["mime"]
+            ):
                 raw = bytes(payload or b"")
                 try:
                     if raw[:2] in (b"P5", b"P6"):
@@ -297,17 +299,23 @@ def resize_images(
                     payloads.append(_encode_netpbm(np.ascontiguousarray(resized)))
                     widths.append(out_w)
                     heights.append(out_h)
+                    # the payload really IS netpbm now — a stale
+                    # source mime would misroute downstream decoders
+                    mimes.append("image/x-portable-pixmap")
                     oks.append(True)
                 except Exception:
+                    # untouched means untouched: keep the original
+                    # payload AND its metadata, don't null real dims
                     payloads.append(raw)
-                    widths.append(None)
-                    heights.append(None)
+                    widths.append(old_w)
+                    heights.append(old_h)
+                    mimes.append(old_mime)
                     oks.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": payloads,
-                    "mime": pdf["mime"],
+                    "mime": mimes,
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "duration_ms": pdf["duration_ms"],

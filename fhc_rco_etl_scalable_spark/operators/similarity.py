@@ -51,6 +51,26 @@ def _unit(c: Column) -> Column:
     return F.transform(d, lambda x: x / n)
 
 
+def _empty_topk_result(corpus: DataFrame, id_col: str) -> DataFrame:
+    """Empty (query_id, neighbor_id, cos_sim, rank) frame whose id
+    columns carry the CALLER's id dtype, so schema does not depend on
+    whether the corpus happened to be empty."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    id_type = corpus.schema[id_col].dataType
+    return corpus.sparkSession.createDataFrame(
+        [],
+        StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("neighbor_id", id_type),
+                StructField("cos_sim", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]
+        ),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -324,10 +344,8 @@ def ivf_topk(
         # empty corpus: return an empty, correctly-typed result instead
         # of crashing in the quantizer (np.linalg.norm axis error on a
         # 0-d sample) — matching brute_force_topk/lsh_topk's behavior.
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
-        )
+        # The id dtype mirrors the caller's column, not a hardcoded long.
+        return _empty_topk_result(corpus, id_col)
     sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
 
@@ -470,10 +488,10 @@ def ivfpq_topk(
         .collect()
     )
     if not sample_rows:
-        spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos_sim double, rank int"
-        )
+        # schema must match the non-empty path exactly, including the
+        # id dtype the caller actually uses — a hardcoded `long` here
+        # would make downstream unions type-flip on corpus emptiness
+        return _empty_topk_result(corpus, id_col)
     sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     dim = sample.shape[1]
     if dim % m_subvectors:

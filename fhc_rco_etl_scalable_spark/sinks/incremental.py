@@ -230,13 +230,71 @@ class ParquetIncrementalSink:
                     shutil.rmtree(full, ignore_errors=True)
                 elif m > n and self._is_stale(full):
                     # claimed but never committed, and old enough that
-                    # no live writer can still own it
-                    shutil.rmtree(full, ignore_errors=True)
+                    # no live writer can still own it — evict via the
+                    # same atomic rename discipline as _publish (a
+                    # direct rmtree could race a writer that just
+                    # evicted this orphan and claimed the path anew)
+                    self._evict_orphan(table, full)
             elif e.startswith(".stage-") and self._is_stale(full):
                 # a YOUNG .stage-* may be another writer mid-flight —
                 # deleting it here would be the lost-update bug again,
                 # one directory earlier
                 shutil.rmtree(full, ignore_errors=True)
+
+    def _evict_orphan(
+        self, table: str, path: str, min_age_seconds: float | None = None
+    ) -> bool:
+        """Atomically move an orphaned dir out of the way and delete
+        it. The rename is the claim: concurrent evictors/claimants of
+        the same path cannot interleave into deleting each other's
+        fresh snapshot. After winning the rename, staleness is
+        re-checked on the captured dir — if a live writer's brand-new
+        claim slipped in between our check and our rename, it is
+        restored instead of destroyed."""
+        age_limit = (
+            _STALE_GRACE_SECONDS if min_age_seconds is None else min_age_seconds
+        )
+        trash = os.path.join(self._path(table), f".trash-{uuid.uuid4().hex}")
+        try:
+            os.rename(path, trash)
+        except OSError:
+            return False  # someone else evicted or committed first
+        try:
+            age = time.time() - os.path.getmtime(trash)
+        except OSError:
+            age = float("inf")
+        if age <= age_limit and min_age_seconds is None:
+            # fresher than the grace window: not the orphan we checked —
+            # put it back (best-effort; if the path was re-claimed in
+            # the meantime the rename fails and the claimant wins)
+            try:
+                os.rename(trash, path)
+            except OSError:
+                shutil.rmtree(trash, ignore_errors=True)
+            return False
+        shutil.rmtree(trash, ignore_errors=True)
+        return True
+
+    def reclaim_orphans(self, table: str, min_age_seconds: float | None = None) -> int:
+        """Operator-driven recovery: evict claimed-but-uncommitted
+        ``v{n}`` orphans (a writer that crashed between its claim and
+        its pointer flip). By default only orphans older than the
+        stale-grace window go; pass ``min_age_seconds=0`` when the
+        claimant is KNOWN dead to unwedge the table immediately —
+        without this, writes raise 'concurrent writer detected' until
+        the grace window elapses. Returns the number evicted."""
+        p = self._path(table)
+        cur = self._current_version(table)
+        if cur is None or not os.path.isdir(p):
+            return 0
+        evicted = 0
+        for e in os.listdir(p):
+            if e.startswith("v") and e[1:].isdigit() and int(e[1:]) > cur:
+                if self._evict_orphan(
+                    table, os.path.join(p, e), min_age_seconds
+                ):
+                    evicted += 1
+        return evicted
 
     @staticmethod
     def _is_stale(path: str) -> bool:
@@ -262,7 +320,15 @@ class ParquetIncrementalSink:
         so a racing writer's claimed-or-committed snapshot can never be
         clobbered; only a STALE orphan (crashed writer: claimed v{n},
         died before its pointer flip, so it was never visible) is
-        cleared and the claim retried once."""
+        evicted and the claim retried once.
+
+        The eviction itself is ALSO an atomic rename (orphan ->
+        private ``.trash-`` dir), never an in-place rmtree: two writers
+        racing over the same stale orphan would otherwise interleave
+        rmtree/rename so that one deletes the other's freshly claimed
+        snapshot — exactly one eviction rename can succeed, and after
+        it exactly one stage->v{n} rename can succeed.
+        """
         vd = self._version_dir(table, n)
         try:
             os.rename(stage, vd)
@@ -270,7 +336,7 @@ class ParquetIncrementalSink:
         except OSError:
             pass
         if os.path.exists(vd) and self._is_stale(vd):
-            shutil.rmtree(vd, ignore_errors=True)
+            self._evict_orphan(table, vd)  # atomic rename-claim: one winner
             try:
                 os.rename(stage, vd)
                 return
@@ -279,7 +345,10 @@ class ParquetIncrementalSink:
         shutil.rmtree(stage, ignore_errors=True)
         raise RuntimeError(
             f"{table}: concurrent writer detected (v{n} already claimed) "
-            f"— retry the load"
+            f"— retry the load once the other writer commits; if it is "
+            f"known dead, reclaim_orphans({table!r}, min_age_seconds=0) "
+            f"clears its claim immediately instead of after the "
+            f"{int(_STALE_GRACE_SECONDS)}s grace window"
         )
 
     # --- schema sidecar (hidden from parquet readers: leading "_") ----
@@ -624,6 +693,8 @@ class ParquetIncrementalSink:
         rollup_fn,
         group_cols: tuple[str, ...],
         rollup_schema: T.StructType | None = None,
+        deleted_group_keys: DataFrame | None = None,
+        source_keys_fn=None,
     ) -> None:
         """Continuous-aggregate maintenance (the TimescaleDB/Materialize
         idea expressed with snapshots): keep ``rollup_table`` equal to
@@ -651,12 +722,38 @@ class ParquetIncrementalSink:
 
         ``rollup_fn(source_rows) -> DataFrame`` must emit one row per
         group including ``group_cols``.
+
+        **Deletion caveat**: the batch only names the groups it TOUCHES.
+        A ``delete_overlap_append`` whose overlap window dropped source
+        rows of groups the batch no longer contains leaves those groups'
+        rollup rows stale (they carry over via the anti-join). Pass
+        ``deleted_group_keys`` for such loads — the previous snapshot is
+        still readable (``read(table, version=cur-1)``), so the deleted
+        scope is one partition-pruned scan of the old version filtered
+        to the overlap window, projected to ``group_cols``. Recomputing
+        a group with zero surviving source rows correctly REMOVES its
+        rollup row (rollup_fn emits nothing for it). (Group sets no
+        finer than the sink's partition columns never need this:
+        delete_overlap_append only deletes inside partitions the batch
+        itself names, so every deletable group is already affected.)
+
+        ``source_keys_fn`` materializes DERIVED group columns on the
+        source before the scoping semi-join (e.g. ``Day`` from a
+        timestamp) — required when ``group_cols`` aren't physical
+        source columns; the scoped frame it returns is what
+        ``rollup_fn`` receives.
         """
         source = self.read(source_table)
         if source is None:
             raise ValueError(f"{source_table}: no source to roll up")
+        if source_keys_fn is not None:
+            source = source_keys_fn(source)
         cols = list(group_cols)
         affected = batch_keys.select(*cols).distinct()
+        if deleted_group_keys is not None:
+            affected = affected.unionByName(
+                deleted_group_keys.select(*cols)
+            ).distinct()
         scoped = source.join(F.broadcast(affected), cols, "left_semi")
         recomputed = rollup_fn(scoped)
         existing = self.read(rollup_table, rollup_schema)
@@ -716,9 +813,16 @@ class ParquetIncrementalSink:
             self._atomic_write(out, table)
             return
         history = existing.filter(~F.col("is_current"))
-        current = existing.filter(F.col("is_current"))
+        # presence markers, NOT key-null checks: the join is eqNullSafe,
+        # so NULL business keys are legal and match each other — testing
+        # keys[0].isNotNull() would silently drop a null-key chain from
+        # the new snapshot (and discard null-key batch rows)
+        current = existing.filter(F.col("is_current")).withColumn(
+            "__c_present", F.lit(True)
+        )
         b = batch.select(
-            *[F.col(c).alias(f"__b_{c}") for c in (*keys, ts_col, *attr_cols)]
+            *[F.col(c).alias(f"__b_{c}") for c in (*keys, ts_col, *attr_cols)],
+            F.lit(True).alias("__b_present"),
         )
         key_eq = [current[k].eqNullSafe(F.col(f"__b_{k}")) for k in keys]
         j = current.join(F.broadcast(b), key_eq, "full_outer")
@@ -726,8 +830,8 @@ class ParquetIncrementalSink:
         for c in change_cols:
             eq = current[c].eqNullSafe(F.col(f"__b_{c}"))
             same = eq if same is None else (same & eq)
-        in_batch = F.col(f"__b_{keys[0]}").isNotNull()
-        in_cur = current[keys[0]].isNotNull() if keys else F.lit(False)
+        in_batch = F.col("__b_present").isNotNull()
+        in_cur = current["__c_present"].isNotNull()
         cur_cols = [current[c] for c in existing.columns]
         # current rows: carried (no batch row, or unchanged) or closed
         carried = j.filter(in_cur & (~in_batch | same)).select(*cur_cols)

@@ -187,7 +187,10 @@ def zorder_key(
 
         zdf = df
         for c in cols:
-            r = F.percent_rank().over(Window.orderBy(F.col(c)))
+            # nulls last so the exactness oracle agrees with the
+            # default path, where Bucketizer's handleInvalid="keep"
+            # bucket clamps null/NaN rows into the TOP bucket
+            r = F.percent_rank().over(Window.orderBy(F.col(c).asc_nulls_last()))
             bucket = F.least((r * n_buckets).cast("long"), F.lit(n_buckets - 1))
             zdf = zdf.withColumn(f"__b_{c}", bucket)
     else:

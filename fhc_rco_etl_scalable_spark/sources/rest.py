@@ -67,6 +67,10 @@ def default_fetch(
                     retry_after = float(ra) if ra is not None else None
                 except ValueError:
                     retry_after = None  # HTTP-date form: fall back to backoff
+                if retry_after is not None:
+                    # clamp: a misbehaving server must not park the
+                    # driver for hours (or crash sleep with a negative)
+                    retry_after = min(max(retry_after, 0.0), 60.0)
             last = exc
         except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
             last = exc

@@ -705,16 +705,21 @@ def test_resize_images_roundtrip(spark):
     ppm = _ppm_bytes(4, 2, px)
     media = spark.createDataFrame(
         [(1, bytearray(ppm), "image/x-portable-pixmap", 4, 2, None),
-         (2, bytearray(b"garbage"), "application/octet-stream", None, None, None)],
+         (2, bytearray(b"garbage"), "application/octet-stream", 640, 480, None)],
         "media_id long, payload binary, mime string, width int, height int, duration_ms long",
     )
     out = {r.media_id: r for r in resize_images(media, 2, 1).collect()}
     assert out[1].resize_ok and (out[1].width, out[1].height) == (2, 1)
+    assert out[1].mime == "image/x-portable-pixmap"  # matches new payload
     img = _decode_netpbm(bytes(out[1].payload))
     assert img.shape == (1, 2, 3)
     # nearest-neighbor picks columns 0 and 2 of the top row: red, green
     assert list(img[0, 0]) == [255, 0, 0] and list(img[0, 1]) == [0, 255, 0]
+    # failed rows pass through UNTOUCHED: payload, mime, and the
+    # original metadata (no nulling of real dimensions)
     assert not out[2].resize_ok and bytes(out[2].payload) == b"garbage"
+    assert (out[2].width, out[2].height) == (640, 480)
+    assert out[2].mime == "application/octet-stream"
 
 
 def test_audio_spectrogram_band_energy():

@@ -729,6 +729,52 @@ def test_maintain_rollup_untouched_groups_carry_over(spark, tmp_path):
     assert ("L1", "2024-01-10", 10.0, 2) in after
 
 
+def test_maintain_rollup_deleted_groups_via_old_snapshot(spark, tmp_path):
+    """Overlap deletes can empty groups the batch no longer names; the
+    deleted scope comes from the RETAINED previous snapshot (time
+    travel) and rides in via deleted_group_keys — after which the
+    rollup again equals rollup_fn(source), including the REMOVAL of a
+    group with zero surviving rows."""
+    from pyspark.sql import functions as F
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    day = lambda df: df.withColumn("Day", F.to_date("CO_StartTime"))  # noqa: E731
+    gcols = ("LINE", "Day")
+    b1 = _rows(spark, [("a", "L1", 0, 1.5, "S"), ("b", "L1", 24 * 60, 2.0, "S")])
+    sink.delete_overlap_append(
+        b1, "src", CO_SCHEMA, "CO_StartTime", watermark=T0 - timedelta(days=2)
+    )
+    sink.maintain_rollup(
+        "src", "daily", day(b1), _rollup_fn, gcols, ROLLUP_SCHEMA,
+        source_keys_fn=day,
+    )
+    assert len(_rollup_rows(sink, "daily")) == 2  # day-1 and day-2 groups
+
+    # second load: watermark window covers BOTH days, batch only day-2 —
+    # day-1 rows are deleted from the source but the batch never names
+    # that group
+    v_before = sink._current_version("src")
+    wm = T0 - timedelta(minutes=5)
+    b2 = _rows(spark, [("c", "L1", 24 * 60 + 30, 3.0, "S")])
+    sink.delete_overlap_append(b2, "src", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    deleted = day(
+        sink.read("src", CO_SCHEMA, version=v_before).filter(
+            F.col("CO_StartTime") >= F.lit(wm - timedelta(seconds=10))
+        )
+    )
+    sink.maintain_rollup(
+        "src", "daily", day(b2), _rollup_fn, gcols, ROLLUP_SCHEMA,
+        deleted_group_keys=deleted, source_keys_fn=day,
+    )
+    full = _rollup_fn(sink.read("src", CO_SCHEMA))
+    expect = sorted(
+        (r.LINE, str(r.Day), r.total_dt, r.n_events) for r in full.collect()
+    )
+    got = _rollup_rows(sink, "daily")
+    assert got == expect          # no stale day-1 row survives
+    assert len(got) == 1          # the emptied group was REMOVED
+
+
 def test_merge_scd2_version_chains(spark, tmp_path):
     """SCD2: change closes the current version at the new effective_ts,
     unchanged replays are no-ops, unseen keys insert open versions."""
@@ -757,6 +803,39 @@ def test_merge_scd2_version_chains(spark, tmp_path):
     assert len(rows) == 4
 
 
+def test_merge_scd2_null_key_chain_survives(spark, tmp_path):
+    """NULL business keys are legal (the join is eqNullSafe): a
+    null-key chain must version like any other, not vanish from the
+    next snapshot (regression: presence was tested with isNotNull on
+    the key instead of a marker)."""
+    from datetime import timedelta
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    b1 = spark.createDataFrame(
+        [(None, "red", T0), ("B", "blue", T0)],
+        "sku string, color string, effective_ts timestamp",
+    )
+    sink.merge_scd2(b1, "dim", ("sku",), ("color",))
+    t1 = T0 + timedelta(days=1)
+    # batch without the null key: chain must carry over untouched
+    sink.merge_scd2(
+        spark.createDataFrame([("B", "navy", t1)],
+                              "sku string, color string, effective_ts timestamp"),
+        "dim", ("sku",), ("color",),
+    )
+    rows = {(r.sku, r.color): r.is_current for r in sink.read("dim").collect()}
+    assert rows[(None, "red")] is True          # carried, not dropped
+    # null-key change: closes and re-opens like any key
+    t2 = T0 + timedelta(days=2)
+    sink.merge_scd2(
+        spark.createDataFrame([(None, "gold", t2)],
+                              "sku string, color string, effective_ts timestamp"),
+        "dim", ("sku",), ("color",),
+    )
+    rows = {(r.sku, r.color): r.is_current for r in sink.read("dim").collect()}
+    assert rows[(None, "red")] is False and rows[(None, "gold")] is True
+
+
 def test_merge_scd2_latest_per_key_wins_within_batch(spark, tmp_path):
     sink = ParquetIncrementalSink(spark, str(tmp_path))
     b = spark.createDataFrame(
@@ -783,3 +862,33 @@ def test_changes_between_snapshots(spark, tmp_path):
     assert ch[2][0] == "updated" and ch[2][1].v == "b" and ch[2][2].v == "B"
     assert ch[4][0] == "inserted" and ch[4][1] is None and ch[4][2].v == "d"
     assert 3 not in ch  # unchanged rows are not part of the feed
+
+
+def test_reclaim_orphans_unwedges_fresh_claim(spark, tmp_path):
+    """A writer that dies between claim and pointer flip leaves a FRESH
+    (non-stale) v{n+1}; writes fail loudly until the grace window — or
+    immediately after reclaim_orphans(min_age_seconds=0) when the
+    claimant is known dead."""
+    import os
+
+    root = str(tmp_path / "t12")
+    sink = ParquetIncrementalSink(spark, root)
+    wm = T0 - timedelta(minutes=30)
+    seed = _rows(spark, [("a", "L1", -120, 1.0, "S")])
+    sink.delete_overlap_append(seed, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    cur = sink._current_version("co")
+    orphan = os.path.join(root, "co", f"v{cur + 1:06d}")
+    os.makedirs(os.path.join(orphan, "LINE=L1", "Server=S"))  # fresh mtime
+
+    b2 = _rows(spark, [("b", "L1", -60, 2.0, "S")])
+    with pytest.raises(RuntimeError, match="concurrent writer"):
+        sink.delete_overlap_append(b2, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    # default reclaim respects the grace window: fresh claim survives
+    assert sink.reclaim_orphans("co") == 0
+    assert os.path.isdir(orphan)
+    # operator knows the claimant is dead: immediate reclaim, then the
+    # retried load succeeds
+    assert sink.reclaim_orphans("co", min_age_seconds=0) == 1
+    sink.delete_overlap_append(b2, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
+    ids = {cid for cid, _, _ in _collect(sink, "co")}
+    assert "b" in ids

@@ -24,6 +24,10 @@ def canon_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "\x00NULL"
+        if math.isinf(v):
+            # int(v) would raise OverflowError and kill the whole gate
+            # run instead of flagging the one entry that emitted inf.
+            return repr(v)
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         # Full-precision repr: the driver's gate hashes floats finer than
