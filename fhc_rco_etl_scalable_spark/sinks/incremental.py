@@ -766,6 +766,24 @@ class ParquetIncrementalSink:
             merged = align_to_schema(merged, rollup_schema)
         self._atomic_write(merged, rollup_table, rollup_schema)
 
+    def read_dim_as_of(self, table: str, ts: datetime) -> DataFrame | None:
+        """Point-in-time read over an SCD2 dimension (``FOR SYSTEM_TIME
+        AS OF`` semantics on the VALIDITY axis, complementing
+        ``read(version=)`` on the snapshot axis): the version of each
+        business key that was in effect at ``ts`` — rows with
+        ``valid_from <= ts < valid_to`` (open versions: valid_to NULL).
+        A key first effective after ``ts`` yields no row. One
+        partition-pruned scan + filter; joins against facts at their
+        event time reconstruct history exactly."""
+        dim = self.read(table)
+        if dim is None:
+            return None
+        t = F.lit(ts)
+        return dim.filter(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        ).drop("is_current")
+
     def merge_scd2(
         self,
         new_dims: DataFrame,

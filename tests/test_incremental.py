@@ -892,3 +892,24 @@ def test_reclaim_orphans_unwedges_fresh_claim(spark, tmp_path):
     sink.delete_overlap_append(b2, "co", CO_SCHEMA, "CO_StartTime", watermark=wm)
     ids = {cid for cid, _, _ in _collect(sink, "co")}
     assert "b" in ids
+
+
+def test_read_dim_as_of_reconstructs_history(spark, tmp_path):
+    """SCD2 point-in-time read: each business key resolves to exactly
+    the version in effect at ts; keys not yet effective are absent."""
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    t1 = T0 + timedelta(days=1)
+    sink.merge_scd2(
+        spark.createDataFrame([("A", "red", T0), ("B", "blue", T0)],
+                              "sku string, color string, effective_ts timestamp"),
+        "dim", ("sku",), ("color",),
+    )
+    sink.merge_scd2(
+        spark.createDataFrame([("A", "green", t1), ("C", "black", t1)],
+                              "sku string, color string, effective_ts timestamp"),
+        "dim", ("sku",), ("color",),
+    )
+    at = lambda ts: {r.sku: r.color for r in sink.read_dim_as_of("dim", ts).collect()}  # noqa: E731
+    assert at(T0 + timedelta(hours=1)) == {"A": "red", "B": "blue"}   # before change
+    assert at(t1) == {"A": "green", "B": "blue", "C": "black"}        # boundary: new version effective AT t1
+    assert at(T0 - timedelta(hours=1)) == {}                          # nothing yet
