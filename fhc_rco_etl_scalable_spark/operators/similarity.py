@@ -573,3 +573,83 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def margin_pairs(
+    xs: DataFrame,
+    ys: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based pair mining (Artetxe & Schwenk, ACL 2019 — the
+    CCMatrix/LASER bitext criterion): score every cross-side candidate
+    by the RATIO margin
+
+        margin(x, y) = cos(x, y) / (0.5 * (avg_k(x) + avg_k(y)))
+
+    where ``avg_k(v)`` is the mean cosine of v's k nearest neighbors on
+    the OTHER side; keep pairs that are each other's best match
+    ("max" strategy) with margin >= threshold. The margin normalizes
+    away hubness — a vector that is close to everything scores high raw
+    cosine but low margin.
+
+    Determinism contract: cosines are scaled to integer micro-units
+    (round(cos * 1e6) as BIGINT) BEFORE any ranking or window sum, so
+    the k-NN average is exact integer arithmetic in any accumulation
+    order, and the final margin is one IEEE division of identical
+    integers on both engines. Ranks tie-break on the partner id.
+
+    Scale: this exactness-baseline form broadcasts the smaller side
+    into one cross score (like brute_force_topk); at corpus scale the
+    candidate generation swaps to the ANN family (lsh_topk / ivf_topk
+    feeding the same scorer) and the scoring windows shuffle once per
+    side (x_id, then y_id) — the margin algebra is unchanged.
+    """
+    from pyspark.sql import Window
+
+    x = xs.select(F.col(id_col).alias("x_id"), _unit(F.col(vec_col)).alias("__xv"))
+    y = ys.select(F.col(id_col).alias("y_id"), _unit(F.col(vec_col)).alias("__yv"))
+    pairs = x.join(F.broadcast(y)).select(
+        "x_id",
+        "y_id",
+        F.round(dot(F.col("__xv"), F.col("__yv")) * 1_000_000)
+        .cast("long")
+        .alias("__c6"),
+    )
+    wx = Window.partitionBy("x_id").orderBy(F.desc("__c6"), "y_id")
+    wy = Window.partitionBy("y_id").orderBy(F.desc("__c6"), "x_id")
+    ranked = pairs.withColumn("__rx", F.row_number().over(wx)).withColumn(
+        "__ry", F.row_number().over(wy)
+    )
+    sums = ranked.withColumn(
+        "__sx",
+        F.sum(F.when(F.col("__rx") <= k, F.col("__c6"))).over(
+            Window.partitionBy("x_id")
+        ),
+    ).withColumn(
+        "__sy",
+        F.sum(F.when(F.col("__ry") <= k, F.col("__c6"))).over(
+            Window.partitionBy("y_id")
+        ),
+    )
+    m = sums.select(
+        "x_id",
+        "y_id",
+        F.round(
+            F.lit(2.0 * k) * F.col("__c6") / (F.col("__sx") + F.col("__sy")), 6
+        ).alias("margin"),
+    )
+    wbx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
+    wby = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
+    return (
+        m.withColumn("__bx", F.row_number().over(wbx))
+        .withColumn("__by", F.row_number().over(wby))
+        .filter(
+            (F.col("__bx") == 1)
+            & (F.col("__by") == 1)
+            & (F.col("margin") >= margin_threshold)
+        )
+        .select("x_id", "y_id", "margin")
+    )

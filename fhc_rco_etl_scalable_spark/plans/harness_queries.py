@@ -5210,3 +5210,64 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     return DD.weighted_sample(docs, "doc_id", "n_chars", k=100)
+
+
+@query(
+    "margin_pairs",
+    """
+WITH xs AS (
+  SELECT vec_id AS x_id, embedding::DOUBLE[] AS xv
+  FROM embeddings WHERE label < 5
+),
+ys AS (
+  SELECT vec_id AS y_id, embedding::DOUBLE[] AS yv
+  FROM embeddings WHERE label >= 5
+),
+pairs AS (
+  SELECT x_id, y_id,
+         CAST(round(list_cosine_similarity(xv, yv) * 1000000) AS BIGINT) AS c6
+  FROM xs CROSS JOIN ys
+),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY x_id ORDER BY c6 DESC, y_id) AS rx,
+         row_number() OVER (PARTITION BY y_id ORDER BY c6 DESC, x_id) AS ry
+  FROM pairs
+),
+sums AS (
+  SELECT *,
+         sum(CASE WHEN rx <= 4 THEN c6 END) OVER (PARTITION BY x_id) AS sx,
+         sum(CASE WHEN ry <= 4 THEN c6 END) OVER (PARTITION BY y_id) AS sy
+  FROM rk
+),
+m AS (
+  SELECT x_id, y_id,
+         round(8.0 * c6 / (sx + sy), 6) AS margin
+  FROM sums
+),
+best AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY x_id ORDER BY margin DESC, y_id) AS bx,
+         row_number() OVER (PARTITION BY y_id ORDER BY margin DESC, x_id) AS by_
+  FROM m
+)
+SELECT x_id, y_id, margin
+FROM best WHERE bx = 1 AND by_ = 1 AND margin >= 1.0
+""",
+)
+def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCMatrix-style margin-based pair mining (operators/similarity.py
+    ::margin_pairs): the label<5 half of the embeddings table mined
+    against the label>=5 half — mutual best matches by ratio margin
+    cos/(0.5*(avg4(x)+avg4(y))), threshold 1.0. Cosines are scaled to
+    integer micro-units before ranking/summing so the k-NN averages are
+    exact in any accumulation order on both engines."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.margin_pairs(
+        emb.filter(F.col("label") < 5),
+        emb.filter(F.col("label") >= 5),
+        "vec_id",
+        "embedding",
+        k=4,
+        margin_threshold=1.0,
+    )

@@ -861,3 +861,29 @@ def test_weighted_sample_is_weighted_and_deterministic(spark):
     # plan shape: top-k must be TakeOrdered, not a global sort
     plan = DD.weighted_sample(df, "doc_id", "w", k=50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_margin_pairs_mines_planted_mutual_pairs(spark):
+    # X = 10 near-orthogonal bases; Y = jittered copies (the planted
+    # partner) plus one "hub" vector moderately close to everything.
+    # Margin scoring must recover every planted pair mutually and not
+    # pair anyone with the hub (high raw cosine to many, low margin).
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    basis = np.linalg.qr(rng.randn(32, 32))[0][:10]
+    xs, ys = [], []
+    for i, b in enumerate(basis):
+        xs.append((i, [float(v) for v in b]))
+        w = b + 0.03 * rng.randn(32)
+        ys.append((100 + i, [float(v) for v in (w / np.linalg.norm(w))]))
+    hub = basis[:8].sum(axis=0)
+    ys.append((999, [float(v) for v in (hub / np.linalg.norm(hub))]))
+    X = spark.createDataFrame(xs, "vec_id long, embedding array<double>")
+    Y = spark.createDataFrame(ys, "vec_id long, embedding array<double>")
+    got = {
+        (r.x_id, r.y_id): r.margin
+        for r in SIM.margin_pairs(X, Y, "vec_id", "embedding", k=3).collect()
+    }
+    assert set(got) == {(i, 100 + i) for i in range(10)}  # all planted, no hub
+    assert all(m > 1.0 for m in got.values())
