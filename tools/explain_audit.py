@@ -251,6 +251,13 @@ def main() -> int:
         "ordered_limit(tpch_waiting_supplier)", "TakeOrderedAndProject" in p
     )
 
+    # 20b. Margin pair mining: the exactness baseline must broadcast
+    #      one side (never shuffle-cross both), and the mutual-best
+    #      selection stays in windows (no extra self-join).
+    p = plan_of(hq.q_margin_pairs(spark, sf_dir))
+    check("broadcast(margin_pairs y-side)", "BroadcastExchange" in p)
+    check("no_smj(margin_pairs)", "SortMergeJoin" not in p)
+
     # 21. Domain mixture: the fact-side selection join must broadcast
     #     (the rate table is one row per domain) — never sort-merge.
     p = plan_of(hq.q_domain_mixture(spark, sf_dir))
