@@ -68,6 +68,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for the few pandas-UDF escape hatches.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (sources/rest_datasource.py
+        # prunes whole site partitions from pushed EqualTo/In filters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         # The harness events.parquet stores TIMESTAMP(NANOS); Spark has
         # no nanos type — read as long, loader converts to micros.

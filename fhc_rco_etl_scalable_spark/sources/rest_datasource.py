@@ -1,0 +1,130 @@
+"""A real Spark DataSource for the paginated REST protocol (S1).
+
+``sources/rest.py`` drives paging from the driver (pages fetched
+serially, then parallelized for parsing); this module promotes the
+same protocol to a first-class Spark 4 Python DataSource, so ingest
+reads like any other source:
+
+    spark.read.format("paged_rest")
+        .schema("id string, site string, machine string")
+        .option("base_url", "http://host/api")
+        .option("entity", "downtimes")
+        .option("sites", "S1,S2,S3")
+        .option("start_date", "2024-01-01")
+        .load()
+
+Engine properties the driver-side helper cannot offer:
+
+- **partition-parallel ingest**: one InputPartition per site — each
+  EXECUTOR walks its own site's page chain concurrently (the reference
+  orchestrators loop sites serially; RCO_Maple_orchestrator.R:96-140).
+- **pushdown**: ``pushFilters`` consumes EqualTo/In filters on the
+  partition column (``site_col``, default "site") and prunes whole
+  site partitions before any HTTP request; all other filters are
+  returned to Spark to evaluate post-scan.
+- **schema projection**: values are extracted per the user schema's
+  top-level field names (dotted names address nested dicts), so the
+  scan materializes only requested columns.
+
+The page-walk protocol (``items`` + ``_links.next``) and the retrying
+fetcher are shared with sources/rest.py — one protocol, two surfaces.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+
+class SitePartition(InputPartition):
+    def __init__(self, site: str):
+        self.site = site
+
+
+def _dig(obj, dotted: str):
+    """Resolve 'a.b.c' through nested dicts; None on any miss."""
+    cur = obj
+    for part in dotted.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+class PagedRestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.base_url = options.get("base_url")
+        if not self.base_url:
+            raise ValueError("paged_rest: base_url option is required")
+        self.entity = options.get("entity", "items")
+        self.site_col = options.get("site_col", "site")
+        self.start_date = options.get("start_date", "")
+        self.row_size = int(options.get("row_size", "500"))
+        sites = options.get("sites", "")
+        self.sites = [s for s in (x.strip() for x in sites.split(",")) if s]
+        if not self.sites:
+            raise ValueError("paged_rest: sites option is required (comma list)")
+
+    def pushFilters(self, filters):
+        """Prune site partitions from EqualTo/In on the site column —
+        the filter disappears from the plan AND from the network, one
+        page chain per surviving site. Everything else is unsupported
+        (yield it back; Spark evaluates it after the scan)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == (self.site_col,):
+                self.sites = [s for s in self.sites if s == f.value]
+            elif isinstance(f, In) and f.attribute == (self.site_col,):
+                wanted = set(f.value)
+                self.sites = [s for s in self.sites if s in wanted]
+            else:
+                yield f
+
+    def partitions(self):
+        return [SitePartition(s) for s in self.sites]
+
+    def read(self, partition: SitePartition) -> Iterator[tuple]:
+        # Executor-side: walk THIS site's page chain. Import here —
+        # the reader is pickled to executors.
+        from fhc_rco_etl_scalable_spark.sources.rest import (
+            default_fetch,
+            iter_pages,
+        )
+
+        url = (
+            f"{self.base_url}/{self.entity}?site={partition.site}"
+            f"&startDate={self.start_date}&rowSize={self.row_size}"
+        )
+        names = [f.name for f in self.schema.fields]
+        for page in iter_pages(default_fetch, url):
+            for item in page.get("items", []):
+                yield tuple(
+                    partition.site if n == self.site_col else _dig(item, n)
+                    for n in names
+                )
+
+
+class PagedRestDataSource(DataSource):
+    """spark.read.format("paged_rest") — register with
+    ``spark.dataSource.register(PagedRestDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "paged_rest"
+
+    def schema(self):
+        raise ValueError(
+            "paged_rest: an explicit .schema(...) is required (the JSON "
+            "payload is schemaless; name nested fields with dots)"
+        )
+
+    def reader(self, schema: StructType) -> PagedRestReader:
+        return PagedRestReader(schema, self.options)
