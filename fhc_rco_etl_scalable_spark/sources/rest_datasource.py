@@ -128,3 +128,80 @@ class PagedRestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> PagedRestReader:
         return PagedRestReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sibling: incremental cursor polling as a Spark Structured
+# Streaming source. Offsets are {"cursor": N} over a monotone sequence
+# field in the feed (the standard incremental-REST pattern); Spark's
+# checkpoint persists the cursor, so restarts resume exactly where the
+# last committed micro-batch ended — exactly-once delivery into any
+# checkpointed sink with no bookkeeping in user code.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class RestCursorStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema: StructType, options):
+        self.schema = schema
+        self.base_url = options.get("base_url")
+        if not self.base_url:
+            raise ValueError("rest_cursor_stream: base_url option is required")
+        self.entity = options.get("entity", "items")
+        self.site = options.get("site", "")
+        self.cursor_field = options.get("cursor_field", "seq")
+        self.cursor_param = options.get("cursor_param", "afterSeq")
+        self.end_param = options.get("end_param", "uptoSeq")
+        self.start_cursor = int(options.get("start_cursor", "0"))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start_cursor}
+
+    def _fetch(self, after: int, upto: int | None):
+        from fhc_rco_etl_scalable_spark.sources.rest import (
+            default_fetch,
+            iter_pages,
+        )
+
+        url = (
+            f"{self.base_url}/{self.entity}?site={self.site}"
+            f"&{self.cursor_param}={after}"
+        )
+        if upto is not None:
+            url += f"&{self.end_param}={upto}"
+        names = [f.name for f in self.schema.fields]
+        rows, hi = [], after
+        for page in iter_pages(default_fetch, url):
+            for item in page.get("items", []):
+                seq = item.get(self.cursor_field)
+                if seq is not None and seq > hi:
+                    hi = seq
+                rows.append(tuple(_dig(item, n) for n in names))
+        return rows, hi
+
+    def read(self, start: dict):
+        rows, hi = self._fetch(start["cursor"], None)
+        return iter(rows), {"cursor": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # deterministic replay of a committed range after restart
+        rows, _ = self._fetch(start["cursor"], end["cursor"])
+        return iter(rows)
+
+
+class RestCursorStreamDataSource(DataSource):
+    """spark.readStream.format("rest_cursor_stream") — incremental
+    cursor-paged REST polling with checkpointed exactly-once offsets."""
+
+    @classmethod
+    def name(cls):
+        return "rest_cursor_stream"
+
+    def schema(self):
+        raise ValueError(
+            "rest_cursor_stream: an explicit .schema(...) is required"
+        )
+
+    def simpleStreamReader(self, schema: StructType) -> RestCursorStreamReader:
+        return RestCursorStreamReader(schema, self.options)

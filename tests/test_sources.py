@@ -394,3 +394,77 @@ def test_paged_rest_datasource_live(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_rest_cursor_stream_resumes_from_checkpoint(spark, tmp_path):
+    """Streaming REST source (rest_cursor_stream): micro-batches pull
+    items after the committed cursor; the checkpoint persists the
+    offset, so a RESTART reads only what arrived since the last run —
+    exactly-once across restarts with zero user bookkeeping."""
+    import http.server
+    import json as _json
+    import threading
+
+    from fhc_rco_etl_scalable_spark.sources.rest_datasource import (
+        RestCursorStreamDataSource,
+    )
+
+    feed = [{"seq": 1, "line": "L1"}, {"seq": 2, "line": "L2"}]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            after = int(q.get("afterSeq", ["0"])[0])
+            upto = int(q["uptoSeq"][0]) if "uptoSeq" in q else None
+            items = [
+                it for it in feed
+                if it["seq"] > after and (upto is None or it["seq"] <= upto)
+            ]
+            payload = _json.dumps({"items": items, "_links": {}}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        spark.dataSource.register(RestCursorStreamDataSource)
+        stream = (
+            spark.readStream.format("rest_cursor_stream")
+            .schema("seq long, line string")
+            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+            .option("entity", "dt")
+            .option("site", "S1")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    try:
+        run_once()
+        first = sorted(r.seq for r in spark.read.parquet(out).collect())
+        assert first == [1, 2]
+        feed.append({"seq": 3, "line": "L1"})  # arrives between runs
+        run_once()
+        second = sorted(r.seq for r in spark.read.parquet(out).collect())
+        assert second == [1, 2, 3]  # only the new item was appended
+    finally:
+        srv.shutdown()
+        srv.server_close()
