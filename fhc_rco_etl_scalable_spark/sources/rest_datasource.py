@@ -205,3 +205,97 @@ class RestCursorStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> RestCursorStreamReader:
         return RestCursorStreamReader(schema, self.options)
+
+
+# ---------------------------------------------------------------------------
+# Writer: REST POST sink with the DataSource two-phase commit protocol.
+# The reference pushes run-log rows back over HTTP one request per row
+# from a single process; here every PARTITION posts its rows as one
+# staged batch (executor-parallel), and the driver finalizes all
+# staged batches in commit() — if any task fails, abort() voids the
+# staged batches instead of leaving a half-written log.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _StagedBatch(WriterCommitMessage):
+    def __init__(self, batch_id: str, n_rows: int):
+        self.batch_id = batch_id
+        self.n_rows = n_rows
+
+
+def _post_json(url: str, payload: dict, timeout: float = 30.0) -> dict:
+    import json as _json
+    import urllib.request
+
+    req = urllib.request.Request(
+        url,
+        data=_json.dumps(payload).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        body = resp.read().decode("utf-8")
+        return _json.loads(body) if body else {}
+
+
+class RestBatchWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options, overwrite: bool):
+        import uuid as _uuid
+
+        if overwrite:
+            raise ValueError("rest_batch sink is append-only")
+        self.base_url = options.get("base_url")
+        if not self.base_url:
+            raise ValueError("rest_batch: base_url option is required")
+        self.entity = options.get("entity", "items")
+        self.names = [f.name for f in schema.fields]
+        # Staging is JOB-scoped, not just batch-scoped: a cancelled
+        # job's still-running tasks may stage AFTER abort() fires, so
+        # abort must void the whole job's staging area by id — naming
+        # only the batches whose tasks reported back would leak the
+        # racers (observed in the two-phase-commit test under local
+        # job cancellation).
+        self.job_id = _uuid.uuid4().hex
+
+    def write(self, iterator) -> _StagedBatch:
+        # executor-side: stage THIS partition's rows as one batch
+        import uuid as _uuid
+
+        batch_id = _uuid.uuid4().hex
+        rows = [dict(zip(self.names, tuple(r))) for r in iterator]
+        _post_json(
+            f"{self.base_url}/{self.entity}/stage",
+            {"job_id": self.job_id, "batch_id": batch_id, "rows": rows},
+        )
+        return _StagedBatch(batch_id, len(rows))
+
+    def commit(self, messages) -> None:
+        # driver-side: one finalize call naming every staged batch —
+        # the server flips them visible atomically
+        _post_json(
+            f"{self.base_url}/{self.entity}/commit",
+            {
+                "job_id": self.job_id,
+                "batch_ids": [m.batch_id for m in messages if m is not None],
+            },
+        )
+
+    def abort(self, messages) -> None:
+        # void EVERYTHING this job staged or ever stages (see __init__)
+        _post_json(
+            f"{self.base_url}/{self.entity}/abort", {"job_id": self.job_id}
+        )
+
+
+class RestBatchSinkDataSource(DataSource):
+    """df.write.format("rest_batch") — staged-batch POST sink with
+    all-or-nothing visibility via the driver commit."""
+
+    @classmethod
+    def name(cls):
+        return "rest_batch"
+
+    def writer(self, schema: StructType, overwrite: bool) -> RestBatchWriter:
+        return RestBatchWriter(schema, self.options, overwrite)

@@ -468,3 +468,95 @@ def test_rest_cursor_stream_resumes_from_checkpoint(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_rest_batch_sink_two_phase_commit(spark):
+    """REST POST sink (rest_batch): every partition stages its rows as
+    one batch executor-side; the driver's commit() flips all staged
+    batches visible atomically — and a mid-write task failure leads to
+    abort(), leaving NOTHING visible (all-or-nothing run-log writes)."""
+    import http.server
+    import json as _json
+    import threading
+
+    import pytest
+
+    from fhc_rco_etl_scalable_spark.sources.rest_datasource import (
+        RestBatchSinkDataSource,
+    )
+
+    staged, visible, dead_jobs = {}, [], set()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+            )
+            if self.path.endswith("/stage"):
+                # a batch staged by an already-aborted job is dead on
+                # arrival (job-scoped staging, see RestBatchWriter)
+                if body["job_id"] not in dead_jobs:
+                    staged[body["batch_id"]] = (body["job_id"], body["rows"])
+            elif self.path.endswith("/commit"):
+                for bid in body["batch_ids"]:
+                    visible.extend(staged.pop(bid)[1])
+            elif self.path.endswith("/abort"):
+                dead_jobs.add(body["job_id"])
+                for bid in [b for b, (j, _) in staged.items() if j == body["job_id"]]:
+                    staged.pop(bid)
+            payload = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(RestBatchSinkDataSource)
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        df = spark.createDataFrame(
+            [("r1", "ok"), ("r2", "ok"), ("r3", "ok")], "run_id string, status string"
+        ).repartition(2)
+        (
+            df.write.format("rest_batch")
+            .option("base_url", base)
+            .option("entity", "runlog")
+            .mode("append")
+            .save()
+        )
+        assert sorted(r["run_id"] for r in visible) == ["r1", "r2", "r3"]
+        assert not staged  # every staged batch was finalized
+
+        # failing write: the poison row kills one task -> abort() voids
+        # the OTHER partition's staged batch too
+        visible.clear()
+        from pyspark.sql import functions as F
+
+        poison = spark.createDataFrame(
+            [(1, "fine"), (0, "boom")], "d int, status string"
+        ).repartition(2).select(
+            (F.lit(10) / F.col("d")).cast("string").alias("run_id"),
+            "status",
+        )
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            with pytest.raises(Exception):
+                (
+                    poison.write.format("rest_batch")
+                    .option("base_url", base)
+                    .option("entity", "runlog")
+                    .mode("append")
+                    .save()
+                )
+        finally:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        import time as _t
+        _t.sleep(1.0)  # let any cancelled-job racer finish staging
+        assert visible == [] and not staged  # nothing half-written
+    finally:
+        srv.shutdown()
+        srv.server_close()
