@@ -5271,3 +5271,72 @@ def q_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=4,
         margin_threshold=1.0,
     )
+
+
+@query(
+    "streaming_enrich_join",
+    """
+SELECT e.event_id, e.user_id, c.c_name AS customer_name,
+       n.n_name AS nation_name, e.value
+FROM events e
+JOIN customer c ON e.user_id % 150 = c.c_custkey % 1000000
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE e.event_type = 'error'
+""",
+)
+def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the fifth streaming concept in
+    the catalog beside sessionize/tumbling/dedup/stream-stream
+    interval: a micro-batched event stream joins two STATIC broadcast
+    dimensions per batch (no state store at all — static sides are
+    re-broadcast, the canonical pattern for slowly-refreshed dims).
+    Stateless, so streamed output == the batch join, hash-verified."""
+    import uuid
+
+    from pyspark.sql.functions import broadcast
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        (F.col("c_custkey") % 1_000_000).alias("cust_mod"),
+        "c_name",
+        "c_nationkey",
+    )
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    n_batches = 4
+    with _clamped_shuffle(spark), _staged_file_stream(
+        ev, n_batches, ["ts", "event_id"], "sg-enrich"
+    ) as src:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        enriched = (
+            stream.filter(F.col("event_type") == "error")
+            .join(broadcast(cust), F.col("user_id") % 150 == F.col("cust_mod"))
+            .join(broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+            .select(
+                "event_id",
+                "user_id",
+                F.col("c_name").alias("customer_name"),
+                F.col("n_name").alias("nation_name"),
+                "value",
+            )
+        )
+        name = f"enrich_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            enriched.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming enrich harness timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches, (
+            f"expected >= {n_batches} micro-batches, got {n_microbatches}"
+        )
+        return spark.table(name)
