@@ -601,38 +601,72 @@ def margin_pairs(
     order, and the final margin is one IEEE division of identical
     integers on both engines. Ranks tie-break on the partner id.
 
-    Scale: this exactness-baseline form broadcasts the smaller side
-    into one cross score (like brute_force_topk); at corpus scale the
-    candidate generation swaps to the ANN family (lsh_topk / ivf_topk
-    feeding the same scorer) and the scoring windows shuffle once per
-    side (x_id, then y_id) — the margin algebra is unchanged.
+    Scale: this exactness-baseline form ships the smaller side to every
+    task as a closure constant (collected once, broadcast-sized by
+    contract — the same boundedness brute_force_topk assumes of its
+    query set) and scores each Arrow batch of the big side with ONE
+    numpy matmul; at corpus scale the candidate generation swaps to the
+    ANN family (lsh_topk / ivf_topk feeding the same scorer) and the
+    scoring windows shuffle once per side — the margin algebra is
+    unchanged.
     """
     from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (arrow path)
 
-    x = xs.select(F.col(id_col).alias("x_id"), _unit(F.col(vec_col)).alias("__xv"))
-    y = ys.select(F.col(id_col).alias("y_id"), _unit(F.col(vec_col)).alias("__yv"))
-    pairs = x.join(F.broadcast(y)).select(
-        "x_id",
-        "y_id",
-        F.round(dot(F.col("__xv"), F.col("__yv")) * 1_000_000)
-        .cast("long")
-        .alias("__c6"),
+    # Pair scoring is ONE numpy matmul per Arrow batch of the x side
+    # against the (bounded, broadcast-sized) y matrix — the cross
+    # product with a zip_with/aggregate dot evaluates the higher-order
+    # lambda per element per pair (interpreted, ~6x slower at 1M
+    # pairs). Micro-unit rounding is away-from-zero to match
+    # round() on Spark AND DuckDB exactly.
+    id_type = xs.schema[id_col].dataType.simpleString()
+    yrows = ys.select(id_col, vec_col).collect()
+    y_ids = np.array([r[0] for r in yrows])
+    ymat = np.asarray([list(r[1]) for r in yrows], dtype=np.float64)
+    ymat /= np.linalg.norm(ymat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            xm = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            xm /= np.linalg.norm(xm, axis=1, keepdims=True)
+            v = (xm @ ymat.T) * 1_000_000.0
+            c6 = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int64
+            )
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "x_id": np.repeat(pdf[id_col].to_numpy(), len(y_ids)),
+                    "y_id": np.tile(y_ids, n),
+                    "__c6": c6.ravel(),
+                }
+            )
+
+    pairs = xs.select(id_col, vec_col).mapInPandas(
+        score, f"x_id {id_type}, y_id {id_type}, __c6 long"
     )
+    # window order matters: both x-partitioned windows run back-to-back
+    # (rank, then the rank-gated sum), THEN both y-partitioned ones —
+    # alternating sides would exchange the pair frame 6 times instead
+    # of 4 (Spark only reuses a hash partitioning between ADJACENT
+    # window groups).
     wx = Window.partitionBy("x_id").orderBy(F.desc("__c6"), "y_id")
     wy = Window.partitionBy("y_id").orderBy(F.desc("__c6"), "x_id")
-    ranked = pairs.withColumn("__rx", F.row_number().over(wx)).withColumn(
-        "__ry", F.row_number().over(wy)
-    )
-    sums = ranked.withColumn(
-        "__sx",
-        F.sum(F.when(F.col("__rx") <= k, F.col("__c6"))).over(
-            Window.partitionBy("x_id")
-        ),
-    ).withColumn(
-        "__sy",
-        F.sum(F.when(F.col("__ry") <= k, F.col("__c6"))).over(
-            Window.partitionBy("y_id")
-        ),
+    sums = (
+        pairs.withColumn("__rx", F.row_number().over(wx))
+        .withColumn(
+            "__sx",
+            F.sum(F.when(F.col("__rx") <= k, F.col("__c6"))).over(
+                Window.partitionBy("x_id")
+            ),
+        )
+        .withColumn("__ry", F.row_number().over(wy))
+        .withColumn(
+            "__sy",
+            F.sum(F.when(F.col("__ry") <= k, F.col("__c6"))).over(
+                Window.partitionBy("y_id")
+            ),
+        )
     )
     m = sums.select(
         "x_id",

@@ -251,12 +251,15 @@ def main() -> int:
         "ordered_limit(tpch_waiting_supplier)", "TakeOrderedAndProject" in p
     )
 
-    # 20b. Margin pair mining: the exactness baseline must broadcast
-    #      one side (never shuffle-cross both), and the mutual-best
-    #      selection stays in windows (no extra self-join).
+    # 20b. Margin pair mining: pair scoring is ONE Arrow-batched numpy
+    #      matmul (MapInPandas) — never a join of both sides — and the
+    #      windows alternate sides only once (4 pair-frame exchanges:
+    #      x-rank+sum, y-rank+sum, x-best, y-best).
     p = plan_of(hq.q_margin_pairs(spark, sf_dir))
-    check("broadcast(margin_pairs y-side)", "BroadcastExchange" in p)
-    check("no_smj(margin_pairs)", "SortMergeJoin" not in p)
+    check("arrow_matmul(margin_pairs)", "MapInPandas" in p)
+    check("no_join(margin_pairs)", "SortMergeJoin" not in p and "Cartesian" not in p)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check("window_exchanges(margin_pairs)", n_ex <= 4, detail=f"{n_ex} exchanges")
 
     # 21. Domain mixture: the fact-side selection join must broadcast
     #     (the rate table is one row per domain) — never sort-merge.
