@@ -145,3 +145,76 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(df, algorithm="star").collect()
     }
     assert star == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=12).map("".join),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_fuzzy_banding_never_loses_a_pair(spark, names, max_dist):
+    """Property: length banding is LOSSLESS — fuzzy_self_match equals
+    the brute-force levenshtein pair set for any corpus and any d."""
+    from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_self_match
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_match(df, "name", max_dist).collect()
+    }
+    want = {
+        (a, b, lev(a, b))
+        for a in names
+        for b in names
+        if a < b and lev(a, b) <= max_dist
+    }
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=9)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_span_dedup_matches_reference(spark, texts, k):
+    """Property: span_dedup equals a sequential reference — split each
+    doc into k-word chunks, keep only first-ever occurrences (by doc
+    order, then position), rebuild."""
+    from fhc_rco_etl_scalable_spark.operators.dedup import span_dedup
+
+    docs = list(enumerate(texts))
+    seen, want = set(), {}
+    for i, t in docs:
+        ws = t.split(" ")
+        kept = []
+        for p in range(0, len(ws), k):
+            span = " ".join(ws[p : p + k])
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        want[i] = (" ".join(kept), len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_spans_kept)
+        for r in span_dedup(df, "doc_id", "text", span_words=k).collect()
+    }
+    assert got == want
