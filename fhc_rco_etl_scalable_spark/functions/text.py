@@ -282,3 +282,18 @@ def repetition_signals(
         (top_fold.top / chars).alias("top_ngram_char_frac"),
         (dup_fold.dup / chars).alias("dup_ngram_char_frac"),
     )
+
+
+def encode_tokens(text: Column | str, vocab_map: Column) -> Column:
+    """Map each (lowercased) whitespace token to its vocabulary id via
+    a map-literal lookup, 0 for out-of-vocabulary — the encode step of
+    the tokenize -> vocab -> encode -> chunk -> pack chain.
+
+    ``vocab_map`` is a ``create_map`` literal built from the bounded
+    top-K vocabulary (K is a model constant, so the map ships as a
+    closure expression — pure map-side, no join, no shuffle on the
+    corpus)."""
+    return F.transform(
+        tokens(text),
+        lambda t: F.coalesce(vocab_map[F.lower(t)], F.lit(0)).cast("int"),
+    )

@@ -5340,3 +5340,62 @@ def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected >= {n_batches} micro-batches, got {n_microbatches}"
         )
         return spark.table(name)
+
+
+@query(
+    "encode_documents",
+    """
+WITH tok AS (
+  SELECT lower(u.t) AS token
+  FROM documents,
+       unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(t)
+),
+counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+top AS (
+  SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS token_id
+  FROM counts QUALIFY token_id <= 500
+),
+vm AS (SELECT map_from_entries(list({'k': token, 'v': token_id})) AS mm FROM top),
+enc AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+           t -> CAST(coalesce(mm[lower(t)][1], 0) AS INT)
+         ) AS token_ids
+  FROM documents CROSS JOIN vm
+)
+SELECT doc_id, token_ids,
+       CAST(len(token_ids) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(token_ids, i -> i = 0)) AS BIGINT) AS n_oov
+FROM enc
+""",
+)
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoding (functions/text.py::encode_tokens): every
+    document's tokens mapped to top-500 vocab ids (0 = OOV) — the
+    encode step completing tokenize -> build_vocab -> encode ->
+    chunk_documents -> pack_sequences. The vocabulary is bounded by
+    construction, so it ships as a create_map closure literal and the
+    whole encode pass is map-side: the documents scan never joins or
+    shuffles."""
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = q_build_vocab(spark, sf_dir)  # (token, n, token_id), 500 rows
+    entries = vocab.select("token", "token_id").collect()
+    vmap = F.create_map(
+        *[F.lit(x) for kv in entries for x in (kv.token, kv.token_id)]
+    )
+    # two stacked selects: the encode transform is referenced three
+    # times below, and CollapseProject does NOT inline a non-cheap
+    # (higher-order) expression with multiple references — so the
+    # 500-entry map lookup runs once per row, not three times
+    enc = docs.select(
+        "doc_id", TX.encode_tokens("text", vmap).alias("token_ids")
+    )
+    return enc.select(
+        "doc_id",
+        "token_ids",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("token_ids"), lambda i: i == 0))
+        .cast("long")
+        .alias("n_oov"),
+    )
