@@ -610,9 +610,6 @@ def margin_pairs(
     scoring windows shuffle once per side — the margin algebra is
     unchanged.
     """
-    from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf  # noqa: F401  (arrow path)
-
     # Pair scoring is ONE numpy matmul per Arrow batch of the x side
     # against the (bounded, broadcast-sized) y matrix — the cross
     # product with a zip_with/aggregate dot evaluates the higher-order
@@ -621,14 +618,37 @@ def margin_pairs(
     # round() on Spark AND DuckDB exactly.
     id_type = xs.schema[id_col].dataType.simpleString()
     yrows = ys.select(id_col, vec_col).collect()
+    if not yrows:
+        # empty y side: no pairs, correctly-typed empty result
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        it = xs.schema[id_col].dataType
+        return xs.sparkSession.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("x_id", it),
+                    StructField("y_id", it),
+                    StructField("margin", DoubleType()),
+                ]
+            ),
+        )
+
+    def _unit_rows(mat: np.ndarray) -> np.ndarray:
+        # zero-norm vectors have no direction: map them to the zero
+        # vector (cos 0 against everything) instead of letting 0/0
+        # NaNs reach astype(int64), which would silently turn into
+        # INT64_MIN and poison every window sum they touch
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0.0] = np.inf
+        return mat / n
+
     y_ids = np.array([r[0] for r in yrows])
-    ymat = np.asarray([list(r[1]) for r in yrows], dtype=np.float64)
-    ymat /= np.linalg.norm(ymat, axis=1, keepdims=True)
+    ymat = _unit_rows(np.asarray([list(r[1]) for r in yrows], dtype=np.float64))
 
     def score(batches):
         for pdf in batches:
-            xm = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            xm /= np.linalg.norm(xm, axis=1, keepdims=True)
+            xm = _unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
             v = (xm @ ymat.T) * 1_000_000.0
             c6 = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
                 np.int64
@@ -668,11 +688,16 @@ def margin_pairs(
             ),
         )
     )
+    denom = F.col("__sx") + F.col("__sy")
     m = sums.select(
         "x_id",
         "y_id",
-        F.round(
-            F.lit(2.0 * k) * F.col("__c6") / (F.col("__sx") + F.col("__sy")), 6
+        # zero denominator = no similarity signal on either side (both
+        # k-NN sums zero, e.g. zero-norm vectors): margin undefined ->
+        # NULL -> dropped by the threshold filter, never a div-by-zero
+        F.when(
+            denom != 0,
+            F.round(F.lit(2.0 * k) * F.col("__c6") / denom, 6),
         ).alias("margin"),
     )
     wbx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")

@@ -89,11 +89,19 @@ class PagedRestReader(DataSourceReader):
                 yield f
 
     def partitions(self):
+        # Never return an empty list: when pushed filters prune every
+        # site, PySpark substitutes [None] for an empty partitions()
+        # result and read(None) would crash — emit one empty-marker
+        # partition instead so the query returns zero rows.
+        if not self.sites:
+            return [SitePartition(None)]
         return [SitePartition(s) for s in self.sites]
 
     def read(self, partition: SitePartition) -> Iterator[tuple]:
         # Executor-side: walk THIS site's page chain. Import here —
         # the reader is pickled to executors.
+        if partition is None or partition.site is None:
+            return  # all partitions pruned by pushdown: zero rows
         from fhc_rco_etl_scalable_spark.sources.rest import (
             default_fetch,
             iter_pages,
@@ -225,19 +233,45 @@ class _StagedBatch(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-def _post_json(url: str, payload: dict, timeout: float = 30.0) -> dict:
+def _post_json(
+    url: str,
+    payload: dict,
+    timeout: float = 30.0,
+    retries: int = 4,
+    backoff: float = 0.5,
+) -> dict:
+    """POST with the same transient-failure policy as the read path's
+    ``default_fetch`` (5xx/429/connection errors retried with
+    exponential backoff, other 4xx raise immediately) — a momentary
+    throttle on one partition's stage call must not fail the job.
+    Safe to retry: stage is idempotent per batch_id, and commit/abort
+    are idempotent per job_id."""
     import json as _json
+    import time as _time
+    import urllib.error
     import urllib.request
 
-    req = urllib.request.Request(
-        url,
-        data=_json.dumps(payload).encode("utf-8"),
-        headers={"Content-Type": "application/json"},
-        method="POST",
-    )
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        body = resp.read().decode("utf-8")
-        return _json.loads(body) if body else {}
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        req = urllib.request.Request(
+            url,
+            data=_json.dumps(payload).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read().decode("utf-8")
+                return _json.loads(body) if body else {}
+        except urllib.error.HTTPError as exc:
+            if exc.code < 500 and exc.code != 429:
+                raise
+            last = exc
+        except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
+            last = exc
+        if attempt < retries:
+            _time.sleep(backoff * (2**attempt))
+    raise last  # type: ignore[misc]
 
 
 class RestBatchWriter(DataSourceWriter):
@@ -272,8 +306,12 @@ class RestBatchWriter(DataSourceWriter):
         return _StagedBatch(batch_id, len(rows))
 
     def commit(self, messages) -> None:
-        # driver-side: one finalize call naming every staged batch —
-        # the server flips them visible atomically
+        # driver-side: one finalize call naming every WINNING batch —
+        # the server flips exactly those visible and VOIDS any other
+        # batch staged under this job_id (a task retry or speculative
+        # attempt that staged before dying never reports its message,
+        # and abort() does not run for a successful job — commit is
+        # the only place those orphans can be reclaimed).
         _post_json(
             f"{self.base_url}/{self.entity}/commit",
             {

@@ -887,3 +887,23 @@ def test_margin_pairs_mines_planted_mutual_pairs(spark):
     }
     assert set(got) == {(i, 100 + i) for i in range(10)}  # all planted, no hub
     assert all(m > 1.0 for m in got.values())
+
+
+def test_margin_pairs_empty_and_zero_norm_edges(spark):
+    # empty y side: typed empty result, no crash at plan construction
+    X = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    Y0 = X.filter("vec_id < 0")
+    out = SIM.margin_pairs(X, Y0, "vec_id", "embedding", k=2)
+    assert out.columns == ["x_id", "y_id", "margin"] and out.count() == 0
+    # zero-norm vector: cos 0 against everything (never INT64_MIN), so
+    # the planted parallel pair still wins cleanly
+    X2 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    Y2 = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = SIM.margin_pairs(X2, Y2, "vec_id", "embedding", k=2).collect()
+    got = {(r.x_id, r.y_id) for r in rows}
+    assert (1, 10) in got                      # the parallel pair survives
+    assert all(abs(r.margin) < 1e6 for r in rows)  # no overflow garbage

@@ -485,7 +485,7 @@ def test_rest_batch_sink_two_phase_commit(spark):
         RestBatchSinkDataSource,
     )
 
-    staged, visible, dead_jobs = {}, [], set()
+    staged, visible, dead_jobs, orphan = {}, [], set(), []
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_POST(self):
@@ -497,9 +497,23 @@ def test_rest_batch_sink_two_phase_commit(spark):
                 # arrival (job-scoped staging, see RestBatchWriter)
                 if body["job_id"] not in dead_jobs:
                     staged[body["batch_id"]] = (body["job_id"], body["rows"])
+                    # simulate a dead first ATTEMPT: the first stage
+                    # call plants an unreported orphan under the same
+                    # job — commit must void it, not publish it
+                    if not orphan and body["rows"]:
+                        orphan.append("orphan-" + body["job_id"])
+                        staged[orphan[0]] = (
+                            body["job_id"],
+                            [{"run_id": "ghost", "status": "dead-attempt"}],
+                        )
             elif self.path.endswith("/commit"):
                 for bid in body["batch_ids"]:
                     visible.extend(staged.pop(bid)[1])
+                # commit closes the job's staging area: void retry
+                # orphans that never reported a commit message
+                for bid in [b for b, (j, _) in list(staged.items())
+                            if j == body["job_id"]]:
+                    staged.pop(bid)
             elif self.path.endswith("/abort"):
                 dead_jobs.add(body["job_id"])
                 for bid in [b for b, (j, _) in staged.items() if j == body["job_id"]]:
@@ -529,7 +543,8 @@ def test_rest_batch_sink_two_phase_commit(spark):
             .save()
         )
         assert sorted(r["run_id"] for r in visible) == ["r1", "r2", "r3"]
-        assert not staged  # every staged batch was finalized
+        assert not staged  # finalized AND the retry orphan was voided
+        assert orphan and not any(r["run_id"] == "ghost" for r in visible)
 
         # failing write: the poison row kills one task -> abort() voids
         # the OTHER partition's staged batch too
@@ -560,3 +575,27 @@ def test_rest_batch_sink_two_phase_commit(spark):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_paged_rest_all_partitions_pruned_returns_zero_rows(spark):
+    """A pushed site filter that prunes EVERY configured site must
+    yield an empty result, not crash (PySpark substitutes [None] for an
+    empty partitions() list)."""
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.sources.rest_datasource import (
+        PagedRestDataSource,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(PagedRestDataSource)
+    df = (
+        spark.read.format("paged_rest")
+        .schema("id string, site string")
+        .option("base_url", "http://127.0.0.1:1")  # never contacted
+        .option("entity", "dt")
+        .option("sites", "S1,S2")
+        .load()
+        .filter(F.col("site") == "S3")
+    )
+    assert df.count() == 0
