@@ -5399,3 +5399,36 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_oov"),
     )
+
+
+_Q7_SQL_TEXT = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       {_REV_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name IN ('NATION_0','NATION_5','NATION_10','NATION_15','NATION_20')
+        AND n2.n_name IN ('NATION_1','NATION_6','NATION_11','NATION_16','NATION_21'))
+    OR (n1.n_name IN ('NATION_1','NATION_6','NATION_11','NATION_16','NATION_21')
+        AND n2.n_name IN ('NATION_0','NATION_5','NATION_10','NATION_15','NATION_20')))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@query("sql_api_volume_shipping", _Q7_SQL_TEXT)
+def q_sql_api_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect-parity stress for the SQL surface: the EXACT oracle text
+    — multi-alias self-join of nation, disjunctive IN-group pair
+    predicate, EXTRACT, DECIMAL money casts, positional GROUP BY —
+    runs verbatim through spark.sql against the same parquet views
+    DuckDB reads. One string, two engines, one hash."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q7_SQL_TEXT)
