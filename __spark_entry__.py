@@ -38,19 +38,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of the JSON history + _RECERTIFY, so it never drifts from what
 # the driver actually recorded.
 _RECERTIFY = [
-    # round 6: DECIMAL(18,4) money accumulation replaced double sums in the
-    # TPC-H revenue family (VERDICT r5 #1/#2); dq_profile's hashed surface
-    # is now explicitly DOUBLE-typed on both engines (VERDICT r5 #3/#4).
-    "tpch_shipping_priority",
-    "tpch_returned_items",
-    "tpch_revenue_forecast",
-    "tpch_promo_share",
-    "tpch_disjunctive_filter",
-    "tpch_local_supplier_volume",
-    "salted_replicate_join",
-    "sql_api_pricing_summary",
-    "sql_api_correlated_scalar",
+    # round 7: the three round-6 driver-canon reds (VERDICT r6 #1-#3) —
+    # integer oracle sums now CAST AS BIGINT (DuckDB HUGEINT renders
+    # float64 under the driver's pandas canon), and encode_documents
+    # serializes token_ids via array_join/array_to_string (a raw LIST
+    # column crashes the driver's sort_values).
     "dq_profile",
+    "tpch_late_lines",
+    "encode_documents",
 ]
 
 

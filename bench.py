@@ -149,7 +149,42 @@ def main() -> None:
 
     spark.range(10_000).repartition(64).select(_warm(F.col("id"))).count()
 
+    # ... and the Structured Streaming machinery (state-store provider
+    # class loading, streaming codegen, checkpoint dir plumbing): a
+    # micro availableNow run so the first measured streaming entry pays
+    # only ITS micro-batches, not the one-time infra cost.
+    import shutil
+    import tempfile
+
+    ck = tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        (
+            spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+            .groupBy("value").count()
+            .writeStream.format("memory").queryName("bench_stream_warm")
+            .outputMode("complete").trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+            .awaitTermination(30)
+        )
+    except Exception:
+        pass
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # Iteration-heavy queries (dozens of stages per run: connected
+    # components, k-means ANN training) under-warm at best-of-3 — round
+    # 6 recorded dedup_clusters at 8.63 s against a measured 1.55 s
+    # steady-state floor (VERDICT r6, bench protocol).  Give them one
+    # UNTIMED warm-up execution so the recorded min reflects the
+    # steady state, not first-run plan/JIT compilation of ~30 stages.
+    warmup_first = {
+        "dedup_clusters",
+        "dedup_clusters_star",
+        "embedding_topk_ivf",
+        "embedding_topk_ivfpq",
+    }
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
@@ -171,6 +206,9 @@ def main() -> None:
     for name, fn in queries.items():
         samples: list[float] = []
         n = -1
+        if name in warmup_first:
+            fn(spark, sf_dir).count()
+            release_checkpoints()
         for _ in range(repeats):
             t0 = time.time()
             df = fn(spark, sf_dir)

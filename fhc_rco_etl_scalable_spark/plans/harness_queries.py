@@ -3827,13 +3827,13 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH w AS (
   SELECT count(*) AS n,
-         sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nu_q,
+         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_q,
          count(DISTINCT l_quantity) AS nd_q,
          min(l_quantity) AS mi_q, max(l_quantity) AS ma_q,
-         sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nu_d,
+         CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_d,
          count(DISTINCT l_discount) AS nd_d,
          min(l_discount) AS mi_d, max(l_discount) AS ma_d,
-         sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nu_e,
+         CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu_e,
          count(DISTINCT l_extendedprice) AS nd_e,
          min(l_extendedprice) AS mi_e, max(l_extendedprice) AS ma_e
   FROM lineitem
@@ -4938,10 +4938,10 @@ def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_late_lines",
     """
 SELECT l_linestatus AS line_status,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
   AND l_shipdate >= TIMESTAMP '1996-01-01'
@@ -4953,9 +4953,11 @@ def q_tpch_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: priority CASE-counts of late-shipped lines per
     bucket (fixtures lack l_shipmode/l_commitdate, so the bucket is
     l_linestatus and lateness is ship-lag >= 60 days vs order date —
-    a cross-table inequality Catalyst evaluates post-join). Integer
-    counts: no float parity risk. One orderkey shuffle; both scans
-    keep their pushable date window."""
+    a cross-table inequality Catalyst evaluates post-join). The oracle
+    CASTs its sums to BIGINT: DuckDB types an uncast integer sum() as
+    HUGEINT, which the driver's pandas canon renders float64 ('966.0')
+    against Spark's long ('966') — the round-6 hash failure. One
+    orderkey shuffle; both scans keep their pushable date window."""
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
@@ -5364,7 +5366,8 @@ enc AS (
          ) AS token_ids
   FROM documents CROSS JOIN vm
 )
-SELECT doc_id, token_ids,
+SELECT doc_id,
+       array_to_string(token_ids, ' ') AS token_ids,
        CAST(len(token_ids) AS BIGINT) AS n_tokens,
        CAST(len(list_filter(token_ids, i -> i = 0)) AS BIGINT) AS n_oov
 FROM enc
@@ -5377,7 +5380,10 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_documents -> pack_sequences. The vocabulary is bounded by
     construction, so it ships as a create_map closure literal and the
     whole encode pass is map-side: the documents scan never joins or
-    shuffles."""
+    shuffles. The graded surface serializes token_ids with array_join
+    (space-separated, still hash-verifying every id in order): a raw
+    array column crashes the driver's pandas sort_values canon
+    ('unhashable type: list', the round-6 err)."""
     docs = load_table(spark, "documents", sf_dir)
     vocab = q_build_vocab(spark, sf_dir)  # (token, n, token_id), 500 rows
     entries = vocab.select("token", "token_id").collect()
@@ -5393,7 +5399,7 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enc.select(
         "doc_id",
-        "token_ids",
+        F.array_join(F.col("token_ids").cast("array<string>"), " ").alias("token_ids"),
         F.size("token_ids").cast("long").alias("n_tokens"),
         F.size(F.filter(F.col("token_ids"), lambda i: i == 0))
         .cast("long")

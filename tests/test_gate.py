@@ -2,18 +2,27 @@
 
 Round 5 shipped two cent-level wrong answers while the local gate said
 "100/100 green" because tools/check_oracle.py canonicalized floats at 6
-significant digits — looser than the driver's hash.  These tests pin
-the gate at full precision (it must distinguish the exact values the
-round-5 bug produced) and pin the mechanically-derived rotation that
-decides which 50 catalog entries the driver grades each round.
+significant digits.  Round 6 shipped three MORE greens-that-were-red
+because the replica compared duckdb ``fetchall()`` tuples and collapsed
+integral floats to ints, while the driver canonicalizes through pandas
+(``.df()`` / ``.toPandas()`` + ``sort_values``): DuckDB HUGEINT sums
+render float64 ('966.0') vs Spark's long ('966'), and a LIST output
+column crashes ``sort_values`` outright.
+
+These tests pin the rebuilt gate to the driver's pipeline: each of the
+three round-6 red formulations is reproduced here in miniature and must
+stay flagged — they are the gate's own regression fixtures.
 """
 
 import sys
 
+import pandas as pd
+import pytest
+
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
-from check_oracle import canon_cell, canon_rows  # noqa: E402
+from check_oracle import canon_cell, canon_pandas, lint_oracle_types  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
@@ -33,18 +42,113 @@ class TestGateFloatPrecision:
         # amplified into visible cents.
         assert canon_cell(0.1 + 0.2) != canon_cell(0.3)
 
-    def test_integer_valued_floats_still_align_across_engines(self):
-        # A DOUBLE 3.0 from Spark and a BIGINT 3 from DuckDB remain the
-        # same cell (cross-engine count/sum-of-int alignment).
-        assert canon_cell(3.0) == canon_cell(3) == "3"
-
     def test_nan_and_null_are_one_sentinel(self):
         assert canon_cell(None) == canon_cell(float("nan"))
 
-    def test_row_hash_is_column_order_insensitive(self):
-        a = canon_rows(["x", "y"], [(1, 2.5), (3, 4.5)])
-        b = canon_rows(["y", "x"], [(2.5, 1), (4.5, 3)])
-        assert a == b
+
+class TestGateIsDriverFaithful:
+    """Reproductions of the three round-6 official reds.  Each must be
+    caught by the rebuilt canon/linter; the old replica passed all
+    three as green (VERDICT r6, 'What's wrong' #1-#4)."""
+
+    def test_integral_float_does_not_collapse_to_int(self):
+        # dq_profile / tpch_late_lines class: pandas float64 966.0 (the
+        # driver's rendering of DuckDB HUGEINT) must NOT hash equal to
+        # Spark's int64 966.  The round-6 replica collapsed both to
+        # "966" and was structurally blind to the divergence.
+        assert canon_cell(966.0) != canon_cell(966)
+        assert canon_cell(float(3)) != canon_cell(3)
+
+    def test_hugeint_sum_divergence_is_caught_end_to_end(self):
+        # Exactly the driver's two sides for an uncast oracle sum():
+        # DuckDB .df() -> float64, Spark .toPandas() -> int64.
+        duckdb = pytest.importorskip("duckdb")
+        d = duckdb.sql(
+            "SELECT k, sum(v) AS s FROM (VALUES ('F', 480), ('F', 486),"
+            " ('O', 943)) t(k, v) GROUP BY k"
+        ).df()
+        assert str(d["s"].dtype) == "float64"  # HUGEINT -> pandas float64
+        s = pd.DataFrame({"k": ["F", "O"], "s": pd.array([966, 943], dtype="int64")})
+        assert canon_pandas(d) != canon_pandas(s)
+        # ...and a BIGINT-cast oracle aligns:
+        d2 = duckdb.sql(
+            "SELECT k, CAST(sum(v) AS BIGINT) AS s FROM (VALUES ('F', 480),"
+            " ('F', 486), ('O', 943)) t(k, v) GROUP BY k"
+        ).df()
+        assert canon_pandas(d2) == canon_pandas(s)
+
+    def test_list_column_crashes_canon_like_the_driver(self):
+        # encode_documents class: a raw array output column makes the
+        # driver's sort_values raise 'unhashable type' — the gate must
+        # surface that as a failure, not sidestep it.
+        df = pd.DataFrame({"doc_id": [1, 2], "token_ids": [[1, 2], [3]]})
+        with pytest.raises(TypeError):
+            canon_pandas(df)
+
+    def test_matching_frames_hash_equal_across_row_and_column_order(self):
+        a = pd.DataFrame({"x": [1, 3], "y": [2.5, 4.5]})
+        b = pd.DataFrame({"y": [4.5, 2.5], "x": [3, 1]})
+        assert canon_pandas(a) == canon_pandas(b)
+
+    def test_date_and_midnight_timestamp_align(self):
+        # Spark dates arrive as datetime.date objects, DuckDB dates as
+        # datetime64 at midnight; both canonicalize to 'YYYY-MM-DD'.
+        import datetime
+
+        a = pd.DataFrame({"d": [datetime.date(1996, 1, 1)]})
+        b = pd.DataFrame({"d": pd.to_datetime(["1996-01-01"])})
+        assert canon_pandas(a) == canon_pandas(b)
+
+
+class TestOracleTypeLinter:
+    """The static output-type linter: HUGEINT / DECIMAL / LIST / STRUCT
+    / MAP oracle output columns are exactly the classes whose pandas
+    materialization diverges from Spark's — banned at the source."""
+
+    @pytest.fixture(scope="class")
+    def con(self):
+        duckdb = pytest.importorskip("duckdb")
+        return duckdb.connect()
+
+    def test_uncast_integer_sum_is_flagged(self, con):
+        errs = lint_oracle_types(
+            con, "t", "SELECT sum(x) AS s FROM (VALUES (1), (2)) t(x)"
+        )
+        assert errs and "HUGEINT" in errs[0]
+
+    def test_list_output_is_flagged(self, con):
+        errs = lint_oracle_types(con, "t", "SELECT [1, 2, 3] AS a")
+        assert errs and "[]" in errs[0]
+
+    def test_decimal_output_is_flagged(self, con):
+        errs = lint_oracle_types(
+            con, "t", "SELECT CAST(1.5 AS DECIMAL(18, 4)) AS m"
+        )
+        assert errs and "DECIMAL" in errs[0]
+
+    def test_bigint_cast_and_serialized_list_pass(self, con):
+        assert not lint_oracle_types(
+            con, "t",
+            "SELECT CAST(sum(x) AS BIGINT) AS s,"
+            " array_to_string([1, 2], ' ') AS a FROM (VALUES (1), (2)) t(x)",
+        )
+
+    def test_every_catalog_oracle_is_lint_clean(self, con):
+        # The whole shipped catalog must satisfy the linter against the
+        # real table schemas (sf0.001 keeps typing fast).
+        for t in ("region nation customer supplier part orders lineitem"
+                  " events documents embeddings").split():
+            con.execute(
+                f"CREATE VIEW IF NOT EXISTS {t} AS SELECT *"
+                f" FROM '/root/testdata/sf0.001/{t}.parquet'"
+            )
+        bad = []
+        for name, sql in entry_mod.oracle_sql().items():
+            try:
+                bad += lint_oracle_types(con, name, sql)
+            except Exception as e:  # a syntactically-unlintable oracle is a bug too
+                bad.append(f"{name}: linter error: {e}")
+        assert not bad, "\n".join(bad)
 
 
 class TestCertificationRotation:

@@ -157,8 +157,9 @@ def test_connected_components_matches_union_find(spark, edges):
     ),
     st.integers(min_value=1, max_value=3),
 )
-def test_fuzzy_banding_never_loses_a_pair(spark, names, max_dist):
-    """Property: length banding is LOSSLESS — fuzzy_self_match equals
+def test_fuzzy_blocking_never_loses_a_pair(spark, names, max_dist):
+    """Property: BOTH blocking schemes are LOSSLESS — fuzzy_self_match
+    under segment pigeonhole (default) and length banding each equal
     the brute-force levenshtein pair set for any corpus and any d."""
     from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_self_match
 
@@ -171,17 +172,18 @@ def test_fuzzy_banding_never_loses_a_pair(spark, names, max_dist):
         return dp[len(b)]
 
     df = spark.createDataFrame([(n,) for n in names], "name string")
-    got = {
-        (r.name_a, r.name_b, r.dist)
-        for r in fuzzy_self_match(df, "name", max_dist).collect()
-    }
     want = {
         (a, b, lev(a, b))
         for a in names
         for b in names
         if a < b and lev(a, b) <= max_dist
     }
-    assert got == want
+    for blocking in ("segment", "length"):
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in fuzzy_self_match(df, "name", max_dist, blocking).collect()
+        }
+        assert got == want, f"blocking={blocking}"
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))

@@ -2,56 +2,126 @@
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet tables, then
-compares row count, column names, and an order-insensitive value hash
-(values canonicalized: floats rounded, timestamps to ISO strings,
-nulls to a sentinel). Usage:
+compares row count, column names, and an order-insensitive value hash.
+
+Canonicalization is deliberately built on the SAME pipeline the driver
+uses (established from the round-6 driver traceback and divergences):
+
+* DuckDB results come through ``con.execute(sql).df()`` (pandas), NOT
+  ``fetchall()`` — DuckDB types an uncast integer ``sum()`` as HUGEINT
+  which pandas renders as float64 (``966.0``), while ``fetchall()``
+  yields Python ints (``966``).  Two round-6 entries shipped locally
+  green and officially red through exactly that gap.
+* Spark results come through ``df.toPandas()``.
+* Rows are ordered with ``DataFrame.sort_values`` over all columns
+  (sorted by name) — which raises ``TypeError: unhashable type`` on a
+  list-typed column, exactly as the driver's ``_canon`` did on
+  ``encode_documents`` in round 6.  That crash is a FAILURE here.
+* Cell stringification is dtype-sensitive: a float64 column formats as
+  ``repr(float)`` even when every value is integral (NO integral-float
+  to int collapse — the round-6 replica's blind spot), and floats keep
+  full precision (a 6-sig-digit canon shipped two cent-level wrong
+  answers as green in round 5).
+
+The gate also lints every oracle's DuckDB OUTPUT types: HUGEINT,
+DECIMAL, LIST, STRUCT and MAP columns are rejected outright, because
+each of those classes canonicalizes differently (or crashes) under the
+driver's pandas path vs Spark's.  A sweep of the 120-entry round-6
+catalog with this linter flagged exactly the three officially-red
+entries and nothing else.
+
+Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+# DuckDB logical types whose pandas materialization diverges from (or
+# crashes against) Spark's toPandas under the driver's canon.
+_BANNED_TYPE_TOKENS = ("HUGEINT", "DECIMAL", "[]", "STRUCT", "MAP", "UNION")
+
+
+def lint_oracle_types(con, name: str, sql: str) -> list[str]:
+    """Return lint errors for banned DuckDB output column types."""
+    rel = con.sql(sql)
+    errs = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        if any(tok in t for tok in _BANNED_TYPE_TOKENS):
+            errs.append(f"{name}: oracle output column {col!r} has banned type {t}"
+                        " (pandas-canon-unsafe; CAST it / serialize it)")
+    return errs
+
 
 def canon_cell(v) -> str:
-    if v is None:
+    """Dtype-sensitive canonical string for one pandas cell.
+
+    Mirrors the driver: float stays float-formatted (``966.0``), int
+    stays int (``966``), no cross-dtype collapse.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "\x00NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "\x00NULL"
-        if math.isinf(v):
-            # int(v) would raise OverflowError and kill the whole gate
-            # run instead of flagging the one entry that emitted inf.
-            return repr(v)
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        # Full-precision repr: the driver's gate hashes floats finer than
-        # 6 significant digits, and the old f"{v:.6g}" here let two
-        # cent-level wrong answers ship as "green" in round 5
-        # (VERDICT.md round 5, "What's wrong" #1/#2).  The replica must
-        # be at least as strict as the real gate.
-        return repr(v)
-    if isinstance(v, bool):
+        if math.isinf(f):
+            return repr(f)
+        # NO integral collapse: float64(966.0) canonicalizes as '966.0',
+        # which is precisely how it diverges from Spark's int64 '966'.
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
         return str(int(v))
-    if hasattr(v, "isoformat"):
-        try:
-            s = v.isoformat(sep=" ")
-        except TypeError:  # datetime.date
-            s = v.isoformat()
-        return s[:-7] if s.endswith(".000000") else s
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, pd.Timestamp):
+        s = v.isoformat(sep=" ")
+        if s.endswith(".000000"):
+            s = s[:-7]
+        if s.endswith(" 00:00:00"):
+            s = s[:-9]
+        return s
+    if isinstance(v, datetime.datetime):
+        s = v.isoformat(sep=" ")
+        if s.endswith(".000000"):
+            s = s[:-7]
+        if s.endswith(" 00:00:00"):
+            s = s[:-9]
+        return s
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # Unreachable when sort_values ran first (it raises on lists,
+        # like the driver); kept for direct canon_cell unit tests.
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     return str(v)
 
 
-def canon_rows(cols, rows) -> list[str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = ["\x01".join(canon_cell(r[i]) for i in order) for r in rows]
+def canon_pandas(df) -> list[str]:
+    """The driver's `_canon`: column-name sort, sort_values over all
+    columns (raises TypeError on unhashable/list cells — callers treat
+    that as a gate failure), then dtype-sensitive stringification.
+    Returns a sorted list of row strings (order-insensitive compare).
+    """
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    out = ["\x01".join(canon_cell(v) for v in row)
+           for row in df.itertuples(index=False, name=None)]
     out.sort()
     return out
 
@@ -79,38 +149,55 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        sql = oracles.get(name)
+        linted = False
+        if sql is not None:
+            try:
+                lint = lint_oracle_types(con, name, sql)
+            except Exception as e:
+                lint = [f"{name}: linter could not type the oracle: {e}"]
+            if lint:
+                linted = True
+                for e in lint:
+                    print(f"LINT {e}")
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
-        sql = oracles.get(name)
         if sql is None:
-            print(f"ok?  {name}: rows={len(s_rows)} (no oracle, rows-only check)"
+            print(f"ok?  {name}: rows={len(s_pdf)} (no oracle, rows-only check)"
                   f" [{time.time()-t0:.1f}s]")
-            if len(s_rows) == 0:
+            if len(s_pdf) == 0:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(sql)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pdf = con.execute(sql).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         ok = True
-        if sorted(s_cols) != sorted(d_cols):
+        if sorted(s_cols) != sorted(d_pdf.columns):
             ok = False
-            print(f"FAIL {name}: columns spark={sorted(s_cols)} duck={sorted(d_cols)}")
-        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: columns spark={sorted(s_cols)}"
+                  f" duck={sorted(d_pdf.columns)}")
+        elif len(s_pdf) != len(d_pdf):
             ok = False
-            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            print(f"FAIL {name}: rowcount spark={len(s_pdf)} duck={len(d_pdf)}")
         else:
-            cs, cd = canon_rows(s_cols, s_rows), canon_rows(d_cols, d_rows)
+            try:
+                cs = canon_pandas(s_pdf)
+                cd = canon_pandas(d_pdf)
+            except TypeError as e:
+                # The driver's _canon crashes here too (err row, not a
+                # hash mismatch) — e.g. an array-typed output column.
+                failures.append(name)
+                print(f"FAIL {name}: canon crash (driver would err): {e}")
+                continue
             if cs != cd:
                 ok = False
                 diff = [(a, b) for a, b in zip(cs, cd) if a != b][:3]
@@ -118,9 +205,11 @@ def main() -> int:
                 for a, b in diff:
                     print(f"  spark: {a[:250]}")
                     print(f"  duck : {b[:250]}")
+        if linted:
+            ok = False
         if ok:
-            print(f"OK   {name}: rows={len(s_rows)} [{time.time()-t0:.1f}s]")
-        else:
+            print(f"OK   {name}: rows={len(s_pdf)} [{time.time()-t0:.1f}s]")
+        elif name not in failures:
             failures.append(name)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
