@@ -5438,3 +5438,320 @@ def q_sql_api_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q7_SQL_TEXT)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H subquery/decorrelation family (round 7): Q2 correlated scalar,
+# Q9 expression-heavy multi-join agg, Q11 global-scalar HAVING, Q16
+# NOT IN + count-distinct, Q20 nested IN chain with correlated agg.
+# The fixtures carry no partsupp table, so each shape is re-anchored on
+# lineitem as the part-supplier "offer" fact (min price per part-supp
+# pair plays ps_supplycost); the subquery SHAPE — what the oracle
+# exercises and Catalyst must decorrelate — is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_min_cost_supplier",
+    """
+WITH offers AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         min(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+eu AS (
+  SELECT o.partkey, o.suppkey, o.cost, s_name, s_acctbal, n_name
+  FROM offers o
+  JOIN supplier ON o.suppkey  = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_type, e.cost
+FROM part p JOIN eu e ON p.p_partkey = e.partkey
+WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+  AND e.cost = (SELECT min(e2.cost) FROM eu e2 WHERE e2.partkey = p.p_partkey)
+""",
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part — a correlated scalar
+    subquery (per-part MIN over a dim-join chain) gating the outer row.
+    lineitem stands in for partsupp (min l_extendedprice per
+    (partkey, suppkey) = the offer cost).
+
+    Spark-first decorrelation, two steps:
+    (1) the part filter pushes THROUGH the correlated subquery — the
+        per-part MIN only ever compares offers of the same part, so
+        offers are first left-semi joined against the broadcast
+        filtered part keys, shrinking the aggregate's input ~30x
+        before any shuffle;
+    (2) the correlated `= (SELECT min ...)` becomes a window MIN over
+        partkey on the surviving offers + an equality filter — one
+        hashpartitioning(partkey) exchange instead of the naive
+        aggregate-then-self-join's two.
+    supplier/nation/region ride broadcast joins; `cost` reaches the
+    hashed surface straight from data (min of raw 2-decimal doubles —
+    no arithmetic, no float parity risk)."""
+    from pyspark.sql.functions import broadcast
+
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    li = load_table(spark, "lineitem", sf_dir).join(
+        broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "leftsemi",
+    )
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+    eu = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.min("l_extendedprice").alias("cost"))
+        .join(broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("partkey")
+    best = eu.withColumn("__min_cost", F.min("cost").over(w)).filter(
+        F.col("cost") == F.col("__min_cost")
+    )
+    return best.join(
+        broadcast(part), F.col("partkey") == F.col("p_partkey")
+    ).select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "cost")
+
+
+@query(
+    "tpch_product_profit",
+    """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                      - CAST(p_retailprice * l_quantity AS DECIMAL(18,4))
+                        * CAST(0.1 AS DECIMAL(4,2))), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part     ON l_partkey  = p_partkey
+JOIN supplier ON l_suppkey  = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+""",
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-type profit — an expression-heavy
+    5-way join aggregated by (nation, order year), with a substring
+    LIKE filter on p_name. Cost basis is p_retailprice * l_quantity *
+    0.1 (no partsupp fixture).
+
+    Money rules from day one (the round-5 lesson): revenue term
+    accumulates as DECIMAL(18,4) products; the cost term multiplies
+    retail*qty in DOUBLE first (2-decimal price x integral quantity —
+    the true value has <= 2 decimals and double error ~1e-10, so the
+    DECIMAL(18,4) cast recovers it exactly on both engines), then
+    scales by a DECIMAL 0.1 — keeping every decimal product two-factor
+    and inside both engines' 38-digit width. part/supplier/nation are
+    broadcast; the only exchanges are the orderkey fact-fact join and
+    the final group-by."""
+    from pyspark.sql.functions import broadcast
+
+    part = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%gear%"))
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate")
+    amount = _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount")) - (
+        F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(_MONEY) * F.lit(0.1).cast("decimal(4,2)")
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch_important_stock",
+    """
+WITH v AS (
+  SELECT l_partkey AS partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))
+             * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+  GROUP BY 1
+)
+SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS value
+FROM v
+WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) / count(*) * 2.0 FROM v)
+""",
+)
+def q_tpch_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — a group aggregate HAVING'd
+    against a GLOBAL scalar aggregate of the same relation (value >
+    twice the average per-part share — scale-free, where TPC-H's fixed
+    0.0001/SF fraction would go empty as part count grows). lineitem
+    value of three nations' suppliers plays partsupp stock value.
+
+    The uncorrelated scalar subquery decorrelates to a single-row
+    aggregate broadcast into the filter (BroadcastNestedLoopJoin over
+    one row — no shuffle added). The grouped relation feeds BOTH
+    branches, and Spark's ReuseExchange does NOT deduplicate them
+    (verified: 2x lineitem scans at runtime), so v materializes behind
+    a localCheckpoint barrier — one scan + one shuffle total, and the
+    checkpointed per-part aggregate is bounded by part count, not fact
+    size. Boundary parity: both sums accumulate in DECIMAL (exact,
+    order-independent), and the threshold compare runs on their DOUBLE
+    casts — bit-identical inputs on both engines, so the comparison
+    can never flip."""
+    from pyspark.sql.functions import broadcast
+
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    v = (
+        li.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast(_MONEY) - _dec("l_discount"))
+            ).alias("val")
+        )
+    ).localCheckpoint()
+    thresh = v.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1)) * F.lit(2.0)).alias(
+            "__thresh"
+        )
+    )
+    return (
+        v.join(broadcast(thresh))
+        .filter(F.col("val").cast("double") > F.col("__thresh"))
+        .select("partkey", F.round("val", 2).cast("double").alias("value"))
+    )
+
+
+@query(
+    "tpch_supplier_relation",
+    """
+SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+)
+def q_tpch_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: parts-supplier relationship count — distinct
+    suppliers per (brand, size) bucket, excluding "complaint" suppliers
+    via NOT IN (negative account balance plays the complaint filter).
+
+    s_suppkey is non-null by construction, so the null-aware NOT IN
+    degenerates to a plain LEFT ANTI join — broadcast (the excluded
+    set is a handful of rows), applied to lineitem BEFORE the part join
+    so excluded lines never shuffle. part is broadcast; the one
+    exchange is the (brand, size) distinct-aggregate, which Spark runs
+    as partial-distinct map-side first."""
+    from pyspark.sql.functions import broadcast
+
+    part = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, "lineitem", sf_dir).join(
+        broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_excess_suppliers",
+    """
+WITH ship AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_5', 'NATION_8')
+  AND s_suppkey IN (
+    SELECT s1.suppkey FROM ship s1
+    WHERE s1.qty > 0.5 * (SELECT sum(s2.qty) FROM ship s2
+                          WHERE s2.partkey = s1.partkey)
+  )
+""",
+)
+def q_tpch_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: excess/dominant suppliers — a nested IN chain
+    (supplier IN (... part IN (...))) whose inner predicate compares a
+    per-(part, supplier) aggregate against a CORRELATED aggregate over
+    the same CTE (half the part's total shipped quantity in the year).
+
+    Decorrelation, inside-out: the innermost `part IN` is a broadcast
+    left-semi of the red-part keys against the date-pruned lineitem
+    scan (filter + semi BEFORE the aggregate); the correlated
+    `(SELECT sum ... WHERE partkey = outer.partkey)` becomes a window
+    SUM over partkey on the grouped ship relation (one exchange, no
+    self-join); the outer `supplier IN` is a left-semi against the
+    dominant supplier keys. Quantities are integral doubles, so sums,
+    the 0.5 scaling, and the strict > are all exact on both engines."""
+    from pyspark.sql.functions import broadcast
+
+    red = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    ship = (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "leftsemi")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+        )
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    w = Window.partitionBy("partkey")
+    dominant = ship.withColumn("__total", F.sum("qty").over(w)).filter(
+        F.col("qty") > F.lit(0.5) * F.col("__total")
+    )
+    nat = load_table(spark, "nation", sf_dir).filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_5", "NATION_8")
+    )
+    return (
+        load_table(spark, "supplier", sf_dir)
+        .join(broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            dominant.select("suppkey"),
+            F.col("s_suppkey") == F.col("suppkey"),
+            "leftsemi",
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )

@@ -267,6 +267,39 @@ def main() -> int:
     check("broadcast(domain_mixture rates)", "BroadcastHashJoin" in p)
     check("no_smj(domain_mixture)", "SortMergeJoin" not in p)
 
+    # 22. Round-7 TPC-H subquery family: every decorrelation must keep
+    #     dims broadcast and avoid self-joins/cartesians. Q2: the
+    #     correlated scalar MIN is a window over partkey (no offer
+    #     self-join, zero SMJ — every join side is dim-sized or
+    #     semi-pruned). Q9: at most the orderkey fact join shuffles.
+    #     Q11: the global scalar broadcasts (BNLJ over one row) and the
+    #     grouped relation computes once behind its barrier (no parquet
+    #     scan dupes). Q16: the NOT IN is a broadcast LeftAnti. Q20:
+    #     the correlated agg is a window (no ship self-join).
+    p = plan_of(hq.q_tpch_min_cost_supplier(spark, sf_dir))
+    check("no_self_join(tpch_q2)", "SortMergeJoin" not in p and "Cartesian" not in p)
+    check("broadcast_dims(tpch_q2)", len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) >= 4)
+    p = plan_of(hq.q_tpch_product_profit(spark, sf_dir))
+    check(
+        "one_fact_join(tpch_q9)",
+        len(re.findall(r"SortMergeJoin", p)) <= 1 and "Cartesian" not in p,
+    )
+    check("broadcast_dims(tpch_q9)", len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) >= 3)
+    p = plan_of(hq.q_tpch_important_stock(spark, sf_dir))
+    check("scalar_broadcast(tpch_q11)", "BroadcastNestedLoopJoin" in p)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", p, re.M))
+    check(
+        "single_pass(tpch_q11)",
+        n_scans == 0,
+        detail=f"{n_scans} parquet scans (v behind barrier)",
+    )
+    p = plan_of(hq.q_tpch_supplier_relation(spark, sf_dir))
+    check("broadcast_anti(tpch_q16)", "LeftAnti" in p and "BroadcastHashJoin" in p)
+    check("no_smj(tpch_q16)", "SortMergeJoin" not in p)
+    p = plan_of(hq.q_tpch_excess_suppliers(spark, sf_dir))
+    check("no_self_join(tpch_q20)", len(re.findall(r"SortMergeJoin", p)) <= 1 and "Cartesian" not in p)
+    check("semi_chain(tpch_q20)", "LeftSemi" in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
