@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -163,11 +163,119 @@ def run_span(spark, docs) -> dict[str, int]:
     return {"docs": row["docs"], "spans": int(row["spans"])}
 
 
+def scaled_embeddings_x(spark, sf_dir: str, n: int):
+    """N-fold replicated x-side vectors (label < 5) with disjoint ids
+    and per-replica ROTATED embeddings (cyclic shift of the 64 dims:
+    norm-preserving, deterministic, and neighbor structure diversifies
+    across replicas so top-k work scales honestly)."""
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table
+
+    base = load_table(spark, "embeddings", sf_dir).filter(F.col("label") < 5)
+    parts = []
+    for k in range(n):
+        s = k % 64
+        emb = (
+            F.col("embedding")
+            if s == 0
+            else F.concat(
+                F.slice("embedding", s + 1, 64 - s), F.slice("embedding", 1, s)
+            )
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000_000)).alias("vec_id"),
+                emb.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+def run_margin(spark, xs, sf_dir: str) -> dict[str, int]:
+    """margin_pairs with the x side scaled and the y side CONSTANT —
+    the claim under test: the y matrix is a closure constant shipped
+    once, and x-side Arrow batches scale linearly."""
+    from fhc_rco_etl_scalable_spark.operators import similarity as SIM
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table
+
+    ys = load_table(spark, "embeddings", sf_dir).filter(F.col("label") >= 5)
+    out = SIM.margin_pairs(xs, ys, "vec_id", "embedding", k=4, margin_threshold=1.0)
+    return {"pairs": out.count()}
+
+
+def skewed_names(spark, n: int, base: int = 2000):
+    """Deterministic corpus with a SKEWED length distribution (half the
+    strings land on lengths 5-6) and diverse content (md5-hex): the
+    regime where length banding concentrates the candidate join on a
+    couple of reducers and segment blocking does not."""
+    lengths = [6, 6, 6, 6, 5, 5, 5, 7, 7, 7, 6, 5, 4, 8, 9, 12]
+    lut = F.array(*[F.lit(x) for x in lengths])
+    return spark.range(n * base).select(
+        F.concat(
+            F.lit("w"),
+            F.substring(
+                F.md5(F.col("id").cast("string")),
+                1,
+                F.element_at(lut, (F.col("id") % 16 + 1).cast("int")),
+            ),
+        ).alias("name")
+    )
+
+
+def run_fuzzy(spark, names, sf_dir: str) -> dict:
+    """Both blockings on the same corpus: wall, verified matches,
+    PRE-verify candidate count, and the max join-key share (the
+    fraction of all candidate pairs landing on the hottest key — the
+    reducer-concentration number that kills length banding at scale)."""
+    from fhc_rco_etl_scalable_spark.operators import fuzzy as FZ
+
+    d = 1
+    vals = names.select(F.col("name").alias("name_a")).distinct()
+    vals_b = vals.select(F.col("name_a").alias("name_b"))
+    out: dict = {}
+    for blocking in ("segment", "length"):
+        t0 = time.time()
+        n_matches = FZ.fuzzy_self_match(names, "name", d, blocking).count()
+        wall = time.time() - t0
+        cands = FZ._candidate_pairs(vals, vals_b, d, blocking).count()
+        if blocking == "length":
+            a = vals.select(F.length("name_a").alias("key"))
+            b = vals_b.select(
+                F.explode(
+                    F.sequence(F.length("name_b") - d, F.length("name_b") + d)
+                ).alias("key")
+            )
+        else:
+            a = vals.select(
+                F.explode(FZ._probe_signatures(F.col("name_a"), d)).alias("key")
+            )
+            b = vals_b.select(
+                F.explode(FZ._index_signatures(F.col("name_b"), d)).alias("key")
+            )
+        dist = (
+            a.groupBy("key").count().withColumnRenamed("count", "cnt_a")
+            .join(b.groupBy("key").count(), "key")
+            .select((F.col("cnt_a") * F.col("count")).alias("prod"))
+            .agg(F.sum("prod").alias("tot"), F.max("prod").alias("mx"))
+            .first()
+        )
+        out[f"{blocking}_wall_sec"] = round(wall, 2)
+        out[f"{blocking}_matches"] = n_matches
+        out[f"{blocking}_candidates"] = cands
+        out[f"{blocking}_max_key_share"] = round(dist["mx"] / dist["tot"], 4)
+    return out
+
+
 RUNNERS = {
-    "site": lambda spark, data: run_pipeline(spark, data),
-    "minhash": run_minhash,
-    "corpus": run_corpus_prep,
-    "span": run_span,
+    "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
+    "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
+    "corpus": lambda spark, data, sf_dir: run_corpus_prep(spark, data),
+    "span": lambda spark, data, sf_dir: run_span(spark, data),
+    "margin": run_margin,
+    "fuzzy": run_fuzzy,
 }
 
 
@@ -211,6 +319,10 @@ def main() -> None:
             # kept spans scale ~N (independent-shard growth), while
             # within-replica duplicate structure is preserved exactly.
             data = scaled_documents(spark, sf_dir, eff, mode="cipher")
+        elif probe == "margin":
+            data = scaled_embeddings_x(spark, sf_dir, eff)
+        elif probe == "fuzzy":
+            data = skewed_names(spark, eff)
         else:
             raise SystemExit(f"unknown probe {probe}")
         if materialize:
@@ -228,13 +340,13 @@ def main() -> None:
                 data.write.mode("overwrite").parquet(path)
                 data = spark.read.parquet(path)
                 t0 = time.time()
-                counts = RUNNERS[probe](spark, data)
+                counts = RUNNERS[probe](spark, data, sf_dir)
                 dt = time.time() - t0
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         else:
             t0 = time.time()
-            counts = RUNNERS[probe](spark, data)
+            counts = RUNNERS[probe](spark, data, sf_dir)
             dt = time.time() - t0
         results.append({"n": n, "replicas": eff, "wall_sec": round(dt, 2), "rows": counts})
         print(
