@@ -2496,8 +2496,16 @@ def _clamped_shuffle(spark: SparkSession, n: int = 4):
     driver's vanilla session (200 partitions) that is pure fixed cost
     at harness scale. Batch entries don't need this (AQE coalesces);
     streaming state partitioning is fixed at query start and AQE does
-    not apply. 4 measured fastest at harness scale (8 pays extra
-    state-store setup, 2 starves batch parallelism)."""
+    not apply.
+
+    The optimum is OPERATOR-dependent (round-7 grid at sf0.1,
+    best-of-2 wall): JVM-stateful operators — stream-stream join
+    (4 state stores per partition), dedup, windowed agg — are
+    store-count-bound and fastest at 4 (interval join 4.6/5.4/8.6 s at
+    4/8/16); the applyInPandasWithState sessionize is per-GROUP python
+    state-protocol-bound, which PARALLELIZES across partitions, and is
+    fastest at 16 (addBatch 6.2/1.8/1.1 s per batch at 1/4/16, worse
+    again at 32). Default 4; the python-state entry passes 16."""
     import contextlib
 
     @contextlib.contextmanager
@@ -2601,7 +2609,10 @@ def q_streaming_sessionize_harness(spark: SparkSession, sf_dir: str) -> DataFram
         "CAUSE_LEVELS_3_NAME",
     )
     n_batches = 4
-    with _clamped_shuffle(spark), _staged_file_stream(
+    # 16, not the JVM-stateful default 4: applyInPandasWithState cost
+    # is per-group python state protocol, which parallelizes (see
+    # _clamped_shuffle docstring grid).
+    with _clamped_shuffle(spark, 16), _staged_file_stream(
         co, n_batches, ["START_TIME", "downtime_id"], "sg-sess"
     ) as src:
         events = (

@@ -240,6 +240,14 @@ class ParquetIncrementalSink:
                 # deleting it here would be the lost-update bug again,
                 # one directory earlier
                 shutil.rmtree(full, ignore_errors=True)
+            elif e.startswith(".trash-") and self._is_stale(full):
+                # a crash between _evict_orphan's rename and its rmtree
+                # leaves the claimed dir parked under .trash-<uuid>;
+                # no path re-creates it, so without this sweep orphaned
+                # trash accumulates unboundedly. Stale-only: a YOUNG
+                # .trash- belongs to an evictor mid-flight (it may still
+                # restore the dir on its freshness re-check).
+                shutil.rmtree(full, ignore_errors=True)
 
     def _evict_orphan(
         self, table: str, path: str, min_age_seconds: float | None = None
@@ -254,6 +262,15 @@ class ParquetIncrementalSink:
         age_limit = (
             _STALE_GRACE_SECONDS if min_age_seconds is None else min_age_seconds
         )
+        if min_age_seconds is None and not self._is_stale(path):
+            # Default grace path: a FRESH dir is (or may be) a live
+            # writer's claim — renaming it away even briefly opens a
+            # window where a concurrent pointer flip targets a missing
+            # dir. Decline without touching it; the post-rename
+            # re-check below remains as the second line for the race
+            # where the dir turns fresh between this check and the
+            # rename.
+            return False
         trash = os.path.join(self._path(table), f".trash-{uuid.uuid4().hex}")
         try:
             os.rename(path, trash)

@@ -894,6 +894,48 @@ def test_reclaim_orphans_unwedges_fresh_claim(spark, tmp_path):
     assert "b" in ids
 
 
+def test_stale_trash_dirs_are_swept_young_ones_survive(spark, tmp_path):
+    """A crash between _evict_orphan's rename and its rmtree parks the
+    dir under .trash-<uuid> forever; the next commit's GC loop must
+    sweep STALE trash (nothing else ever recreates it) while leaving
+    YOUNG trash alone (an evictor mid-flight may still restore it)."""
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
+    stale = os.path.join(sink._path("cc"), ".trash-deadbeef")
+    os.makedirs(stale)
+    os.utime(stale, (1.0, 1.0))
+    young = os.path.join(sink._path("cc"), ".trash-cafebabe")
+    os.makedirs(young)  # fresh mtime
+    sink.append_aligned(_rows(spark, [("b", "L2", 5, 2.0, "S")]), "cc", CO_SCHEMA)
+    assert not os.path.exists(stale), "stale .trash- dir not GC'd"
+    assert os.path.isdir(young), "mid-flight evictor's young .trash- was GC'd"
+
+
+def test_default_evict_never_renames_a_fresh_claim(spark, tmp_path, monkeypatch):
+    """The default-grace evict path must decline a FRESH dir WITHOUT
+    the transient rename (the old restore-after-rename dance left a
+    window where a concurrent pointer flip targeted a missing dir)."""
+    import os
+
+    sink = ParquetIncrementalSink(spark, str(tmp_path))
+    sink.append_aligned(_rows(spark, [("a", "L1", 0, 1.0, "S")]), "cc", CO_SCHEMA)
+    fresh = sink._version_dir("cc", 5)
+    os.makedirs(fresh)  # fresh mtime: a live writer's claim
+    renames = []
+    real_rename = os.rename
+    monkeypatch.setattr(
+        os, "rename", lambda a, b: (renames.append(a), real_rename(a, b))
+    )
+    assert sink._evict_orphan("cc", fresh) is False
+    assert renames == [], "fresh claim was renamed away, even transiently"
+    assert os.path.isdir(fresh)
+    # explicit operator override still evicts immediately
+    assert sink._evict_orphan("cc", fresh, min_age_seconds=0) is True
+    assert not os.path.exists(fresh)
+
+
 def test_read_dim_as_of_reconstructs_history(spark, tmp_path):
     """SCD2 point-in-time read: each business key resolves to exactly
     the version in effect at ts; keys not yet effective are absent."""
