@@ -5766,3 +5766,110 @@ def q_tpch_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 API-surface entries: unpivot/melt, LATERAL correlated
+# subquery, and the Spark 4 VARIANT path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unpivot_measures",
+    """
+SELECT l_returnflag, measure, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+      FROM lineitem)
+     UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice,
+                                    l_discount, l_tax))
+GROUP BY 1, 2
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of q_pivot_event_counts): four wide
+    measure columns become (measure, value) long form in ONE Expand
+    pass (map-side row multiplication — the same physical shape CUBE
+    uses), then a per-(flag, measure) aggregate. ``DataFrame.unpivot``
+    is the Spark 4 surface; DuckDB's UNPIVOT is the oracle twin.
+    DECIMAL accumulation on both engines; one shuffle total."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return (
+        li.unpivot(
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            "measure",
+            "value",
+        )
+        .groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+_LATERAL_SQL_TEXT = """
+SELECT c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
+@query("sql_api_lateral_topk", _LATERAL_SQL_TEXT)
+def q_sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    SQL:2016 top-N-per-key idiom): one string, two engines, one hash —
+    the same text runs verbatim through spark.sql and the DuckDB
+    oracle. Determinism: the inner ordering is total (o_totalprice
+    DESC, then o_orderkey), so the 2-row cut is identical on both
+    engines. Catalyst decorrelates the lateral into a join + per-key
+    ranking; at scale the explicit window formulation (q_top1_latest)
+    remains the preferred form — this entry certifies the SQL surface
+    agrees with it."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL_TEXT)
+
+
+@query(
+    "variant_extract",
+    """
+SELECT event_type, count(*) AS n, CAST(round(sum(value), 2) AS DOUBLE) AS total
+FROM events GROUP BY 1
+""",
+)
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT round-trip certified against ground truth: each
+    event row serializes (event_type, value) to JSON text, parses to a
+    VariantType cell (`parse_json`), and re-extracts TYPED fields with
+    `variant_get` path expressions; the aggregate of the extracted
+    values must hash-equal the oracle computed straight from the source
+    columns — any loss in the JSON/variant round-trip (double
+    formatting, string escaping) flips the hash. Doubles survive
+    exactly because to_json emits shortest-repr and parse returns the
+    identical IEEE value. Map-side until the single aggregate
+    shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    ext = ev.select(
+        F.expr(
+            "variant_get(parse_json(to_json(struct(event_type, value))),"
+            " '$.event_type', 'string')"
+        ).alias("event_type"),
+        F.expr(
+            "variant_get(parse_json(to_json(struct(event_type, value))),"
+            " '$.value', 'double')"
+        ).alias("value"),
+    )
+    return ext.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).cast("double").alias("total"),
+    )

@@ -300,6 +300,26 @@ def main() -> int:
     check("no_self_join(tpch_q20)", len(re.findall(r"SortMergeJoin", p)) <= 1 and "Cartesian" not in p)
     check("semi_chain(tpch_q20)", "LeftSemi" in p)
 
+    # 23. API-surface entries. Unpivot must be ONE Expand pass (no
+    #     Generate/union-of-scans) + the aggregate exchange; the
+    #     LATERAL top-N decorrelates to WindowGroupLimit (rank
+    #     pushdown) + broadcast, never a cartesian/nested-loop per
+    #     outer row; the variant round-trip stays map-side until its
+    #     single aggregate exchange.
+    p = plan_of(hq.q_unpivot_measures(spark, sf_dir))
+    check("expand(unpivot_measures)", "Expand" in p and "Generate" not in p)
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    check("single_shuffle(unpivot_measures)", n_ex <= 1, detail=f"{n_ex} exchanges")
+    p = plan_of(hq.q_sql_api_lateral_topk(spark, sf_dir))
+    check("rank_pushdown(sql_api_lateral_topk)", "WindowGroupLimit" in p)
+    check(
+        "no_cartesian(sql_api_lateral_topk)",
+        "Cartesian" not in p and "BroadcastNestedLoop" not in p,
+    )
+    p = plan_of(hq.q_variant_extract(spark, sf_dir))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    check("map_side(variant_extract)", n_ex <= 1, detail=f"{n_ex} exchanges")
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
