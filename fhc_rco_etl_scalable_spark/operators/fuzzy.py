@@ -84,29 +84,37 @@ def _probe_signatures(name: Column, d: int) -> Column:
     la = F.length(name).cast("int")
 
     def sigs_for(lb: Column) -> Column:
-        out = []
+        # Shift windows are DATA-DRIVEN sequences, not Python-unrolled
+        # literals: unrolling (2d+1) shifts x (d+1) segments built a
+        # ~(2d+1)(d+1)-branch expression tree whose codegen compile
+        # time dominated small inputs (3.3 s for a 64-name dim at d=4).
+        # With |la - lb| <= d, lo <= 0 <= hi always, so the sequence
+        # never descends.
+        def at_shift(start: Column, seg_len: Column, i: int):
+            def probe(s: Column) -> Column:
+                return F.when(
+                    (start + s >= 0) & (start + s + seg_len <= la),
+                    F.struct(
+                        lb.cast("int").alias("lb"),
+                        F.lit(i).alias("seg"),
+                        F.substring(name, start + s + 1, seg_len).alias("sig"),
+                    ),
+                )
+
+            return probe
+
+        per_seg = []
         for i in range(k):
             start, seg_len = _seg_bounds(lb, i, k)
-            shifts = [0] if i == 0 else range(-d, d + 1)
-            for s in shifts:
-                pos = start + s
-                valid = (
-                    (pos >= 0)
-                    & (pos + seg_len <= la)
-                    & (F.lit(s) >= la - lb - d)
-                    & (F.lit(s) <= la - lb + d)
-                )
-                out.append(
-                    F.when(
-                        valid,
-                        F.struct(
-                            lb.cast("int").alias("lb"),
-                            F.lit(i).alias("seg"),
-                            F.substring(name, pos + 1, seg_len).alias("sig"),
-                        ),
-                    )
-                )
-        return F.array(*out)
+            if i == 0:
+                lo, hi = F.lit(0), F.lit(0)
+            else:
+                lo = F.greatest(F.lit(-d), la - lb - d)
+                hi = F.least(F.lit(d), la - lb + d)
+            per_seg.append(
+                F.transform(F.sequence(lo, hi), at_shift(start, seg_len, i))
+            )
+        return F.flatten(F.array(*per_seg))
 
     lbs = F.sequence(F.greatest(la - d, F.lit(0)), la + d)
     sigs = F.flatten(F.transform(lbs, sigs_for))
