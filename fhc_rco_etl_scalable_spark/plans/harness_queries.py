@@ -5873,3 +5873,39 @@ def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).cast("double").alias("total"),
     )
+
+
+@query("udtf_chunk_documents")
+def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: the SAME context-window chunking as
+    q_chunk_documents (size=20, overlap=5), but expressed as a
+    registered table function invoked through LATERAL — certifying the
+    Spark 4 UDTF path (arrow-optimized I/O) against the identical
+    DuckDB oracle the native entry uses. The NATIVE higher-order-
+    function form remains the 100 TB hot path (JVM-side, zero python);
+    this entry pins that a user choosing the UDTF API gets
+    hash-identical results, and exercises LATERAL table-function
+    resolution + Arrow UDTF serialization end-to-end."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from ..sources.parquet import register_views
+
+    @udtf(returnType="chunk_id int, chunk string, n_tokens int", useArrow=True)
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = [t for t in _re.split(r"\s+", text or "") if t]
+            for cid, s in enumerate(range(0, max(len(toks) - 5, 1), 15)):
+                chunk = toks[s : s + 20]
+                yield cid, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_tokens_udtf", ChunkTokens)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT doc_id, s.* FROM documents, LATERAL chunk_tokens_udtf(text) s"
+    )
+
+
+# Same oracle as the native form — one truth, two API surfaces.
+ORACLES["udtf_chunk_documents"] = ORACLES["chunk_documents"]

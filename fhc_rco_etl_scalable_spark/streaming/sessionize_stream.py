@@ -63,6 +63,61 @@ def _continues(
     )
 
 
+def _sessionize_rows(
+    line: str,
+    pdfs: Iterator[pd.DataFrame],
+    prior: tuple | None,
+    p_minutes: float,
+) -> tuple[list[tuple], tuple]:
+    """Pure fold of event rows through the 4-clause rule: returns
+    (output rows, new state tuple). Shared by the v1
+    applyInPandasWithState function below AND the v2
+    transformWithStateInPandas processor (sessionize_tws.py) — the
+    streaming runtimes only move bytes around this function, so the
+    two APIs cannot drift semantically."""
+    if prior is not None:
+        last_end, last_trig, last_brand, sess_id = prior
+    else:
+        last_end, last_trig, last_brand, sess_id = (None, None, None, None)
+    out_rows: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["START_TIME", "downtime_id"])
+        for row in pdf.itertuples(index=False):
+            start_ts = row.START_TIME.timestamp()
+            trig_col = " - ".join(
+                "" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
+                for v in (
+                    row.CAUSE_LEVELS_1_NAME,
+                    row.CAUSE_LEVELS_2_NAME,
+                    row.CAUSE_LEVELS_3_NAME,
+                )
+            )
+            brand = None if pd.isna(row.BRANDCODE) else row.BRANDCODE
+            new_session = True
+            if last_end is not None:
+                gap_min = (start_ts - last_end) / 60.0
+                # null-safe brand equality (None == None is 'same'),
+                # matching the batch trigger's eqNullSafe semantics
+                new_session = not _continues(
+                    gap_min,
+                    trig_col == last_trig,
+                    brand == last_brand,
+                    p_minutes,
+                )
+            if new_session:
+                sess_id = (
+                    f"{line} - {row.START_TIME.date().isoformat()}"
+                    f" - {row.downtime_id}"
+                )
+            out_rows.append((line, row.downtime_id, row.START_TIME, sess_id))
+            last_end, last_trig, last_brand = (
+                row.END_TIME.timestamp(),
+                trig_col,
+                brand,
+            )
+    return out_rows, (last_end, last_trig, last_brand, sess_id)
+
+
 def make_session_fn(p_minutes: float):
     """Build the applyInPandasWithState function for a given trigger
     parameter P."""
@@ -73,46 +128,9 @@ def make_session_fn(p_minutes: float):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (line,) = key
-        if state.exists:
-            last_end, last_trig, last_brand, sess_id = state.get
-        else:
-            last_end, last_trig, last_brand, sess_id = (None, None, None, None)
-
-        out_rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["START_TIME", "downtime_id"])
-            for row in pdf.itertuples(index=False):
-                start_ts = row.START_TIME.timestamp()
-                trig_col = " - ".join(
-                    "" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v)
-                    for v in (
-                        row.CAUSE_LEVELS_1_NAME,
-                        row.CAUSE_LEVELS_2_NAME,
-                        row.CAUSE_LEVELS_3_NAME,
-                    )
-                )
-                brand = None if pd.isna(row.BRANDCODE) else row.BRANDCODE
-                new_session = True
-                if last_end is not None:
-                    gap_min = (start_ts - last_end) / 60.0
-                    # null-safe brand equality (None == None is 'same'),
-                    # matching the batch trigger's eqNullSafe semantics
-                    new_session = not _continues(
-                        gap_min,
-                        trig_col == last_trig,
-                        brand == last_brand,
-                        p_minutes,
-                    )
-                if new_session:
-                    sess_id = (
-                        f"{line} - {row.START_TIME.date().isoformat()}"
-                        f" - {row.downtime_id}"
-                    )
-                end_ts = row.END_TIME.timestamp()
-                out_rows.append((line, row.downtime_id, row.START_TIME, sess_id))
-                last_end, last_trig, last_brand = end_ts, trig_col, brand
-
-        state.update((last_end, last_trig, last_brand, sess_id))
+        prior = state.get if state.exists else None
+        out_rows, new_state = _sessionize_rows(line, pdfs, prior, p_minutes)
+        state.update(new_state)
         if out_rows:
             yield pd.DataFrame(
                 out_rows, columns=["LINE", "downtime_id", "START_TIME", "CO_Identifier"]
