@@ -225,3 +225,65 @@ def test_tws_streaming_end_to_end(spark, tmp_path_factory):
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+# ---------------------------------------------------------------------------
+# State Data Source inspection (streaming/state_inspect.py): read the
+# sessionizer's open-session state straight from the checkpoint.
+# ---------------------------------------------------------------------------
+
+
+def test_state_inspect_open_sessions(spark, tmp_path_factory):
+    from fhc_rco_etl_scalable_spark.streaming.state_inspect import (
+        open_sessions,
+        read_state,
+        state_operators,
+    )
+
+    src = str(tmp_path_factory.mktemp("si_src"))
+    chk = str(tmp_path_factory.mktemp("si_chk"))
+    out = str(tmp_path_factory.mktemp("si_out"))
+    os.makedirs(src, exist_ok=True)
+    events = spark.readStream.schema(SCHEMA).parquet(src)
+    sessions = streaming_sessionize(events, p_minutes=30.0)
+
+    def run_once():
+        # file sink: supports checkpoint recovery (memory sink doesn't)
+        q = (
+            sessions.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: d1 opens a session on L1, e1 on L2
+    spark.createDataFrame([ROWS[0], ROWS[3]], SCHEMA).coalesce(1)\
+        .write.mode("append").parquet(src)
+    run_once()
+
+    meta = {r.operatorName for r in state_operators(spark, chk).collect()}
+    assert "applyInPandasWithState" in meta
+
+    got = {r.LINE: r for r in open_sessions(spark, chk).collect()}
+    assert got["L1"].session_id == "L1 - 2024-01-01 - d1"
+    assert got["L2"].session_id == "L2 - 2024-01-01 - e1"
+    assert got["L1"].last_brand == "A"
+    # last_end_time is d1's END_TIME (START + 10 min), decoded to a ts
+    assert got["L1"].last_end_time == T0 + timedelta(minutes=10)
+
+    # batch 1: d3 is beyond every gap clause -> L1's open session flips
+    spark.createDataFrame([ROWS[2]], SCHEMA).coalesce(1)\
+        .write.mode("append").parquet(src)
+    run_once()
+    got = {r.LINE: r.session_id for r in open_sessions(spark, chk).collect()}
+    assert got["L1"] == "L1 - 2024-01-01 - d3"
+    assert got["L2"] == "L2 - 2024-01-01 - e1"  # untouched key carried
+
+    # time travel: batch 0's snapshot still shows the d1 session
+    hist = {r.LINE: r.session_id
+            for r in open_sessions(spark, chk, batch_id=0).collect()}
+    assert hist["L1"] == "L1 - 2024-01-01 - d1"
+
+    # raw reader exposes the typed store
+    raw = read_state(spark, chk)
+    assert {f.name for f in raw.schema} == {"key", "value", "partition_id"}
