@@ -5909,3 +5909,87 @@ def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Same oracle as the native form — one truth, two API surfaces.
 ORACLES["udtf_chunk_documents"] = ORACLES["chunk_documents"]
+
+
+_STATE_INSPECT_ORACLE = _CO_AGG_HARNESS_ORACLE.split(",\nagg AS (")[0] + """
+SELECT LINE, co_id AS session_id,
+       CAST(epoch_us(END_TIME) AS BIGINT) AS last_end_us,
+       concat_ws(' - ', coalesce(C1, ''), coalesce(C2, ''), '') AS last_trigger_col,
+       BRANDCODE AS last_brand
+FROM sid
+QUALIFY row_number() OVER (PARTITION BY LINE
+                           ORDER BY START_TIME DESC, downtime_id DESC) = 1
+"""
+
+
+@query("streaming_state_inspect", _STATE_INSPECT_ORACLE)
+def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Data Source certification (streaming/state_inspect.py):
+    run the stateful sessionizer over the harness CO feed with an
+    explicit checkpoint, then read the OPEN session per line straight
+    from the state store files — and hash it against the batch
+    oracle's prediction of that state (the last event's session id /
+    end time / trigger string / brand per line). This certifies the
+    whole loop: python state serialization -> store files -> typed
+    statestore read-back.
+
+    Epoch math follows the integer-microsecond convention: the state
+    carries END_TIME as double seconds, which at this magnitude has
+    ~0.24 us resolution, so round(ts * 1e6) AS BIGINT recovers the
+    exact microsecond on both engines. The final collect is bounded by
+    LINE cardinality (state rows, not events) and only re-wraps the
+    result so the returned frame outlives the checkpoint tempdir."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming.sessionize_stream import streaming_sessionize
+    from ..streaming.state_inspect import read_state
+
+    v, _, _ = _harness_inputs(spark, sf_dir)
+    co = v["line_dt"].filter(
+        F.col("CAUSE_LEVELS_2_NAME").like("%Changeover%")
+    ).select(
+        "downtime_id", "LINE", "START_TIME", "END_TIME", "DOWNTIME", "UPTIME",
+        "BRANDCODE", "CAUSE_LEVELS_1_NAME", "CAUSE_LEVELS_2_NAME",
+        "CAUSE_LEVELS_3_NAME",
+    )
+    n_batches = 4
+    chk = tempfile.mkdtemp(prefix="sg-stinsp-chk-")
+    try:
+        with _clamped_shuffle(spark, 16), _staged_file_stream(
+            co, n_batches, ["START_TIME", "downtime_id"], "sg-stinsp"
+        ) as src:
+            events = (
+                spark.readStream.schema(co.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            name = f"stinsp_{uuid.uuid4().hex[:8]}"
+            q = (
+                streaming_sessionize(events, p_minutes=30.0)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300), "state-inspect stream timed out"
+            q.stop()
+        g = F.col("value.groupState")
+        state = read_state(spark, chk).select(
+            F.col("key.LINE").alias("LINE"),
+            g["session_id"].alias("session_id"),
+            F.round(g["last_end_ts"] * 1e6).cast("long").alias("last_end_us"),
+            g["last_trigger_col"].alias("last_trigger_col"),
+            g["last_brand"].alias("last_brand"),
+        )
+        rows = state.collect()  # bounded: one row per LINE
+        return spark.createDataFrame(
+            rows,
+            "LINE string, session_id string, last_end_us long,"
+            " last_trigger_col string, last_brand string",
+        )
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
