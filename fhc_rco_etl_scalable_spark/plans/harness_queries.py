@@ -5993,3 +5993,36 @@ def q_streaming_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+@query(
+    "xml_extract",
+    """
+SELECT event_type, count(*) AS n, CAST(round(sum(value), 2) AS DOUBLE) AS total
+FROM events GROUP BY 1
+""",
+)
+def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 native XML round-trip certified against ground truth
+    (the variant_extract pattern, third serialization surface beside
+    JSON/VARIANT): each event renders to an XML fragment, parses back
+    with `from_xml`, and the aggregate of the re-extracted typed
+    fields must hash-equal the oracle computed straight from the
+    source columns. Doubles survive because CAST(double AS STRING)
+    emits shortest-repr and the XML parser returns the identical IEEE
+    value; the fixture's event_type vocabulary carries no
+    XML-escapable characters (asserted implicitly by the hash).
+    Map-side until the single aggregate shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    xml = F.concat(
+        F.lit("<e><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.col("value").cast("string"),
+        F.lit("</v></e>"),
+    )
+    parsed = ev.select(F.from_xml(xml, "t STRING, v DOUBLE").alias("p"))
+    return parsed.groupBy(F.col("p.t").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p.v"), 2).cast("double").alias("total"),
+    )

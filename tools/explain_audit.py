@@ -319,6 +319,9 @@ def main() -> int:
     p = plan_of(hq.q_variant_extract(spark, sf_dir))
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     check("map_side(variant_extract)", n_ex <= 1, detail=f"{n_ex} exchanges")
+    p = plan_of(hq.q_xml_extract(spark, sf_dir))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    check("map_side(xml_extract)", n_ex <= 1, detail=f"{n_ex} exchanges")
 
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
