@@ -35,6 +35,19 @@ def main(argv: list[str] | None = None) -> int:
     p_site = sub.add_parser("site", help="full 8-output site pipeline")
     p_site.add_argument("--sf", default="/root/testdata/sf0.01")
 
+    p_state = sub.add_parser(
+        "state",
+        help="inspect a streaming checkpoint's state stores "
+        "(operators inventory, or one store's rows)",
+    )
+    p_state.add_argument("checkpoint", help="checkpoint directory")
+    p_state.add_argument("--operator", type=int, default=None,
+                         help="operatorId: dump that store's rows "
+                         "(default: list operator metadata)")
+    p_state.add_argument("--batch", type=int, default=None,
+                         help="historical batchId snapshot (time travel)")
+    p_state.add_argument("-n", type=int, default=20, help="rows to show")
+
     args = ap.parse_args(argv)
 
     from .plans import harness_queries as hq
@@ -54,6 +67,18 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "state":
+        from .streaming.state_inspect import read_state, state_operators
+
+        if args.operator is None:
+            state_operators(spark, args.checkpoint).show(truncate=False)
+        else:
+            read_state(
+                spark, args.checkpoint, operator_id=args.operator,
+                batch_id=args.batch,
+            ).show(args.n, truncate=80)
+        return 0
 
     if args.cmd == "site":
         from .plans.harness_queries import harness_downtime_log
