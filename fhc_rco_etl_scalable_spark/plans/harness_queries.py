@@ -6026,3 +6026,149 @@ def q_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("p.v"), 2).cast("double").alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-analytics family (round 7): ordered funnel + cohort retention
+# — the two sequence-analytics shapes every event-log engine is asked
+# for, both pure window/aggregate plans over one user partitioning.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.view_ts
+    AND e.ts <= t1.view_ts + INTERVAL 1 DAY
+  GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS buy_ts
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.click_ts
+    AND e.ts <= t2.click_ts + INTERVAL 1 DAY
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_view,
+       CAST(count(t2.user_id) AS BIGINT) AS n_view_click,
+       CAST(count(t3.user_id) AS BIGINT) AS n_view_click_buy
+FROM t1
+LEFT JOIN t2 ON t1.user_id = t2.user_id
+LEFT JOIN t3 ON t2.user_id = t3.user_id
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): how many users
+    complete each prefix IN ORDER AND WITHIN THE WINDOW — the first
+    click must follow the user's first view by at most a day, the
+    first purchase that click likewise (a later-stage event occurring
+    before the earlier stage, or outside the window, does not count:
+    that conversion semantics is what separates a funnel from three
+    COUNT DISTINCTs — 150 -> 60 -> 25 users on the sf0.01 fixture).
+
+    Spark formulation: the earliest-qualifying timestamp of each stage
+    is a conditional-window MIN chain over ONE hashpartitioning(
+    user_id) exchange — stage k's window min only admits rows later
+    than stage k-1's carried timestamp, so no self-joins at all (the
+    oracle spells the same logic as three joined CTEs). The final
+    global funnel counts are one tiny aggregate."""
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.filter(F.col("t1").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_view_click"),
+        F.count("t3").cast("long").alias("n_view_click_buy"),
+    )
+
+
+@query(
+    "cohort_retention",
+    """
+WITH cohort AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS c0
+  FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.c0,
+         CAST(floor(date_diff('day', c.c0, CAST(e.ts AS DATE)) / 7) AS INT) AS wk
+  FROM events e JOIN cohort c ON e.user_id = c.user_id
+)
+SELECT strftime(date_trunc('week', c0), '%Y-%m-%d') AS cohort_week, wk,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM activity
+WHERE wk <= 8
+GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted as retained in each subsequent week-offset they were
+    active (distinct user-week pairs; weeks anchored per-user at their
+    own cohort day, the product-analytics convention).
+
+    The cohort date is a window MIN over user_id — the activity scan
+    then derives (cohort_week, offset) map-side on the SAME
+    hashpartitioning(user_id) exchange, and the distinct + final
+    rollup are the only further shuffles. Monday-anchored
+    date_trunc('week') matches between Spark and DuckDB; the offset
+    divides per-user day gaps, so it needs no alignment convention."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    w = Window.partitionBy("user_id")
+    act = (
+        ev.withColumn("c0", F.min("d").over(w))
+        .select(
+            "user_id",
+            "c0",
+            F.floor(F.datediff("d", "c0") / 7).cast("int").alias("wk"),
+        )
+        .filter(F.col("wk") <= 8)
+        .distinct()
+    )
+    return (
+        act.groupBy(
+            F.date_format(F.date_trunc("week", "c0"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            "wk",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

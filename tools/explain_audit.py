@@ -323,6 +323,21 @@ def main() -> int:
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     check("map_side(xml_extract)", n_ex <= 1, detail=f"{n_ex} exchanges")
 
+    # 24. Product analytics: the funnel's three conditional stage-mins
+    #     share ONE user_id window partitioning (no stage self-joins);
+    #     cohort retention likewise derives (cohort, offset) on the
+    #     user exchange and pays only distinct + rollup on top.
+    p = plan_of(hq.q_funnel_conversion(spark, sf_dir))
+    check("no_join(funnel_conversion)", "Join" not in p)
+    n_ex = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
+    check(
+        "one_user_shuffle(funnel_conversion)",
+        n_ex <= 1,
+        detail=f"{n_ex} user_id exchanges",
+    )
+    p = plan_of(hq.q_cohort_retention(spark, sf_dir))
+    check("no_join(cohort_retention)", "Join" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
