@@ -220,3 +220,82 @@ def test_span_dedup_matches_reference(spark, texts, k):
         for r in span_dedup(df, "doc_id", "text", span_words=k).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # partkey
+            st.integers(min_value=0, max_value=4),    # suppkey
+            st.integers(min_value=1, max_value=9),    # cost (small ints: ties likely)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_q2_window_decorrelation_equals_join_form(spark, offers):
+    """Property: the Q2 correlated-scalar decorrelation (window MIN
+    over partkey + equality filter) returns EXACTLY the rows of the
+    textbook aggregate-then-join form, including all tied minima."""
+    df = spark.createDataFrame(
+        offers, "partkey int, suppkey int, cost int"
+    ).groupBy("partkey", "suppkey").agg(F.min("cost").alias("cost"))
+
+    w = Window.partitionBy("partkey")
+    via_window = {
+        tuple(r)
+        for r in df.withColumn("m", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("m"))
+        .select("partkey", "suppkey", "cost")
+        .collect()
+    }
+    mins = df.groupBy("partkey").agg(F.min("cost").alias("m"))
+    via_join = {
+        tuple(r)
+        for r in df.join(mins, "partkey")
+        .filter(F.col("cost") == F.col("m"))
+        .select("partkey", "suppkey", "cost")
+        .collect()
+    }
+    assert via_window == via_join
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # partkey
+            st.integers(min_value=0, max_value=3),    # suppkey
+            st.integers(min_value=1, max_value=20),   # qty
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_q20_window_total_equals_correlated_total(spark, ship_rows):
+    """Property: the Q20 correlated-aggregate decorrelation (window SUM
+    over partkey) marks exactly the (part, supplier) pairs whose
+    quantity strictly exceeds half the part total — against a plain
+    python reference, boundary (qty == total/2) excluded."""
+    from collections import defaultdict
+
+    agg = defaultdict(int)
+    for p, s, q in ship_rows:
+        agg[(p, s)] += q
+    totals = defaultdict(int)
+    for (p, s), q in agg.items():
+        totals[p] += q
+    want = {(p, s) for (p, s), q in agg.items() if q > 0.5 * totals[p]}
+
+    df = spark.createDataFrame(
+        ship_rows, "partkey int, suppkey int, qty int"
+    ).groupBy("partkey", "suppkey").agg(F.sum("qty").alias("qty"))
+    w = Window.partitionBy("partkey")
+    got = {
+        (r.partkey, r.suppkey)
+        for r in df.withColumn("t", F.sum("qty").over(w))
+        .filter(F.col("qty") > F.lit(0.5) * F.col("t"))
+        .collect()
+    }
+    assert got == want
