@@ -338,6 +338,16 @@ def main() -> int:
     p = plan_of(hq.q_cohort_retention(spark, sf_dir))
     check("no_join(cohort_retention)", "Join" not in p)
 
+    # 25. Recursive CTE: the spine must execute as the native UnionLoop
+    #     operator (true recursion), and its join to the weekly
+    #     aggregate must broadcast the 53-row spine side.
+    p = plan_of(hq.q_sql_api_recursive_spine(spark, sf_dir))
+    check("union_loop(sql_api_recursive_spine)", "UnionLoop" in p)
+    check(
+        "no_smj(sql_api_recursive_spine)",
+        "SortMergeJoin" not in p and "Cartesian" not in p,
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
