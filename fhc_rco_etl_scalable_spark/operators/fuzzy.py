@@ -199,19 +199,35 @@ def fuzzy_join(
     strings are within ``max_dist`` edits. All left columns plus the
     matched right key (``matched``) and the distance survive.
 
+    ``matched`` and ``dist`` are RESERVED output column names — a left
+    frame already carrying either is rejected up front (silently
+    clobbering or duplicating a caller's column is worse than failing).
+    Internals join through a collision-proof ``__fz_key`` column, so
+    any left column name (including ``name_a``) is safe.
+
     The candidate/verify phase runs over the DISTINCT key sets only;
     fact rows then attach by an exact equi-join on their own key — so
     the signature explosion never touches the fact table, and the
     final attach shuffles on the full key string (high cardinality),
     not on a band."""
+    for reserved in ("matched", "dist", "__fz_key"):
+        if reserved in left.columns:
+            raise ValueError(
+                f"fuzzy_join: left frame already has a {reserved!r} column — "
+                f"'matched'/'dist' are reserved output names (rename it first)"
+            )
     keys = left.select(F.col(left_col).alias("name_a")).distinct()
     rkeys = right.select(F.col(right_col).alias("name_b")).distinct()
     matches = (
         _candidate_pairs(keys, rkeys, max_dist, blocking)
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
-        .withColumnRenamed("name_b", "matched")
+        .select(
+            F.col("name_a").alias("__fz_key"),
+            F.col("name_b").alias("matched"),
+            "dist",
+        )
     )
     return left.join(
-        matches, F.col(left_col) == F.col("name_a")
-    ).drop("name_a")
+        matches, F.col(left_col) == F.col("__fz_key")
+    ).drop("__fz_key")

@@ -5792,6 +5792,10 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (map-side row multiplication — the same physical shape CUBE
     uses), then a per-(flag, measure) aggregate. ``DataFrame.unpivot``
     is the Spark 4 surface; DuckDB's UNPIVOT is the oracle twin.
+    NULL semantics pinned (ADVICE r7): Spark's unpivot KEEPS null
+    measure cells while DuckDB's UNPIVOT excludes them by default, so
+    the long form filters nulls explicitly — the fixtures' measures
+    happen to be null-free, but the semantics must not depend on that.
     DECIMAL accumulation on both engines; one shuffle total."""
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
@@ -5803,6 +5807,7 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure",
             "value",
         )
+        .filter(F.col("value").isNotNull())
         .groupBy("l_returnflag", "measure")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -6190,7 +6195,7 @@ weekly AS (
     AND o_orderdate <  TIMESTAMP '1996-12-31'
   GROUP BY 1
 )
-SELECT CAST(spine.w AS DATE) AS week_start,
+SELECT CAST(CAST(spine.w AS DATE) AS STRING) AS week_start,
        coalesce(weekly.n_orders, CAST(0 AS BIGINT)) AS n_orders,
        coalesce(weekly.rev, CAST(0 AS DOUBLE)) AS revenue
 FROM spine LEFT JOIN weekly ON spine.w = CAST(weekly.w AS DATE)
@@ -6208,7 +6213,12 @@ def q_sql_api_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash: the SAME text runs verbatim through spark.sql and the DuckDB
     oracle, certifying the recursion dialect (anchor/recursive member,
     DATE + INTERVAL arithmetic, termination predicate) and the
-    Monday date_trunc('week') anchor agree end-to-end. Each recursion
+    Monday date_trunc('week') anchor agree end-to-end. week_start
+    ships as STRING ('1996-01-01' — DATE->STRING formats identically
+    in both dialects): a DATE output column materializes as
+    datetime.date under Spark's toPandas but midnight Timestamp under
+    DuckDB's .df(), leaving the hash hostage to the driver canon's
+    midnight collapse (ADVICE r7 #2 — the round-5/6 failure class). Each recursion
     step is one UnionLoop iteration (~30 ms), so the spine costs ~1.6 s
     warm — at 100 TB the spine would come from sequence()+explode; this
     entry certifies the SQL surface, and the revenue aggregate follows

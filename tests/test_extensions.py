@@ -838,6 +838,28 @@ def test_fuzzy_join_attaches_matches(spark):
     assert got == {(1, "BRND-A1", 0), (1, "BRND-A2", 1)}
 
 
+def test_fuzzy_join_tolerates_name_a_column_and_rejects_reserved(spark):
+    # ADVICE r7 #3: a left frame already carrying a name_a column used
+    # to hit an ambiguous-reference error (the old internal join name);
+    # matched/dist are reserved outputs and must be rejected loudly.
+    import pytest
+
+    from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "BRND-A1", "whatever")], "id long, code string, name_a string"
+    )
+    right = spark.createDataFrame([("BRND-A2",)], "canon string")
+    out = fuzzy_join(left, right, "code", "canon", max_dist=1)
+    rows = out.collect()
+    assert [(r.id, r.name_a, r.matched, r.dist) for r in rows] == [
+        (1, "whatever", "BRND-A2", 1)
+    ]
+    clashing = left.withColumnRenamed("name_a", "dist")
+    with pytest.raises(ValueError, match="reserved"):
+        fuzzy_join(clashing, right, "code", "canon", max_dist=1)
+
+
 def test_fuzzy_self_match_ignores_nulls(spark):
     from fhc_rco_etl_scalable_spark.operators.fuzzy import fuzzy_self_match
 

@@ -61,6 +61,30 @@ def lint_oracle_types(con, name: str, sql: str) -> list[str]:
     return errs
 
 
+def lint_dtype_pairing(name: str, s_pdf, d_pdf) -> list[str]:
+    """WARN-level cross-engine dtype report (ADVICE r7 #2): a column
+    that materializes as datetime64 on one side but object-dates (or
+    anything else) on the other is only hash-equal because the
+    driver's canon collapses midnight timestamps to bare dates — an
+    assumption, not a contract. Date-columned entries certified green
+    prove the collapse is real driver behavior, so this is a warning
+    (surface the dependence), not a failure."""
+    warns = []
+    for col in s_pdf.columns:
+        if col not in d_pdf.columns:
+            continue
+        sk, dk = s_pdf[col].dtype.kind, d_pdf[col].dtype.kind
+        if sk != dk and "M" in (sk, dk):
+            warns.append(
+                f"{name}: column {col!r} is dtype kind {sk!r} on spark vs "
+                f"{dk!r} on duckdb — hash equality depends on the driver "
+                f"canon's midnight-timestamp collapse; prefer emitting the "
+                f"same logical type on both engines (CAST both to DATE or "
+                f"VARCHAR)"
+            )
+    return warns
+
+
 def canon_cell(v) -> str:
     """Dtype-sensitive canonical string for one pandas cell.
 
@@ -180,6 +204,8 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
+        for w in lint_dtype_pairing(name, s_pdf, d_pdf):
+            print(f"WARN {w}")
         ok = True
         if sorted(s_cols) != sorted(d_pdf.columns):
             ok = False
