@@ -38,14 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of the JSON history + _RECERTIFY, so it never drifts from what
 # the driver actually recorded.
 _RECERTIFY = [
-    # round 7: the three round-6 driver-canon reds (VERDICT r6 #1-#3) —
-    # integer oracle sums now CAST AS BIGINT (DuckDB HUGEINT renders
-    # float64 under the driver's pandas canon), and encode_documents
-    # serializes token_ids via array_join/array_to_string (a raw LIST
-    # column crashes the driver's sort_values).
-    "dq_profile",
-    "tpch_late_lines",
-    "encode_documents",
+    # round 8: implementations changed this round (ADVICE r7) —
+    # sql_api_recursive_spine's week_start became STRING on both
+    # engines (removing the date-vs-midnight-timestamp canon
+    # dependence) and unpivot_measures pins DuckDB's NULL-excluding
+    # UNPIVOT semantics with an explicit isNotNull filter.
+    "sql_api_recursive_spine",
+    "unpivot_measures",
 ]
 
 

@@ -6227,3 +6227,266 @@ def q_sql_api_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: the incremental-load semantics (S9/S10/S11) promoted from
+# test-only to driver-graded entries (VERDICT r7 #1 — the last
+# reference-semantics family with no green official row).  Each entry
+# runs the REAL ParquetIncrementalSink load protocol end-to-end in a
+# private tempdir and hashes the FINAL TABLE STATE against a DuckDB
+# transcription of the same protocol (reference
+# ref/RCO_Overall_orchestrator.R:304-394 delete-overlap+append with
+# the -10 s pad :308, :502-546 Script_Data upsert, :556-585 brandcode
+# anti-join merge).
+# ---------------------------------------------------------------------------
+
+_INC_FACT_SCHEMA_DDL = (
+    "event_id long, ts timestamp, LINE string, Server string,"
+    " event_type string, value double"
+)
+
+# Load protocol transcription, shared by the harness and its
+# idempotence twin (the final state is identical by construction —
+# that identity IS the idempotence certificate):
+#   load1 = full history up to max(ts) - 2 days (initial extraction);
+#   the Script_Data upsert records wm = max(ts of load1) as the
+#   watermark; the re-extraction window starts at
+#   lookback_start(hour not in {3,20,21,22}) = wm - 3 days; the DELETE
+#   cutoff pads the window start by -10 s (R:308); load2 re-extracts
+#   the window with REVISED values (value + 1000) and one line (L3)
+#   absent, so the partition scoping is load-bearing: L3's overlap
+#   rows must SURVIVE (only partitions present in the batch are
+#   touched), every other line's overlap rows must be replaced.
+_INCREMENTAL_LOAD_ORACLE = """
+WITH src AS (
+  SELECT event_id, ts, 'L' || CAST(user_id % 4 AS VARCHAR) AS LINE,
+         'HARNESS' AS Server, event_type, value
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+t1 AS (SELECT max(ts) - INTERVAL 2 DAY AS cut FROM src),
+load1 AS (SELECT src.* FROM src, t1 WHERE ts <= cut),
+wm AS (SELECT max(ts) AS wm_ts FROM load1),
+win AS (SELECT wm_ts - INTERVAL 3 DAY AS wstart,
+               wm_ts - INTERVAL 3 DAY - INTERVAL 10 SECOND AS cutoff FROM wm),
+load2 AS (
+  SELECT event_id, ts, LINE, Server, event_type, value + 1000 AS value
+  FROM src, win WHERE ts >= wstart AND LINE <> 'L3'
+),
+keys2 AS (SELECT DISTINCT LINE, Server FROM load2),
+survivors AS (
+  SELECT l.* FROM load1 l, win w
+  WHERE NOT (EXISTS (SELECT 1 FROM keys2 k
+                     WHERE k.LINE = l.LINE AND k.Server = l.Server)
+             AND l.ts >= w.cutoff)
+),
+final AS (SELECT * FROM survivors UNION ALL SELECT * FROM load2)
+SELECT LINE, strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       min(ts) AS min_ts, max(ts) AS max_ts
+FROM final GROUP BY 1, 2
+"""
+
+
+def _incremental_load_run(
+    spark: SparkSession, sf_dir: str, apply_load2_twice: bool
+) -> DataFrame:
+    """Run the sink's load protocol (see _INCREMENTAL_LOAD_ORACLE) and
+    return the per-(LINE, day) summary of the final table state.
+
+    The summary is collected (bounded: lines x days, ~120 rows) and
+    re-wrapped so the returned frame outlives the sink tempdir. Every
+    driver-side collect in the protocol is bounded by construction:
+    the two scalar anchors (one row each), the sink's partition-key
+    distinct (<= 4 keys), and the Script_Data watermark (one row)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql.types import StructType
+
+    from ..sinks.incremental import ParquetIncrementalSink, lookback_start
+
+    src = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            F.concat(F.lit("L"), (F.col("user_id") % 4).cast("string")).alias(
+                "LINE"
+            ),
+            F.lit("HARNESS").alias("Server"),
+            "event_type",
+            "value",
+        )
+    )
+    fact_schema = StructType.fromDDL(_INC_FACT_SCHEMA_DDL)
+    script_schema = StructType.fromDDL(
+        "System string, Server string, Data_Update_Time timestamp"
+    )
+    root = tempfile.mkdtemp(prefix="sg-incload-")
+    try:
+        sink = ParquetIncrementalSink(spark, root)
+        # -- initial extraction: everything up to max(ts) - 2 days
+        t1 = src.agg((F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("c")).first().c
+        load1 = src.filter(F.col("ts") <= F.lit(t1))
+        sink.delete_overlap_append(
+            load1, "fact", fact_schema, "ts",
+            watermark=datetime(2024, 1, 1), pad_seconds=10.0,
+        )
+        # -- Script_Data upsert records the watermark the NEXT run
+        #    anchors on (R:502-546) — read back via sink.watermark(),
+        #    so the upsert is load-bearing for the final hash.
+        wm_row = load1.agg(F.max("ts").alias("m")).first().m
+        sink.upsert_script_data(
+            spark.createDataFrame(
+                [("MDC_HARNESS", "HARNESS", wm_row)], script_schema
+            ),
+            "Script_Data",
+            script_schema,
+        )
+        wm = sink.watermark("Script_Data")
+        # hour 12 -> the default 3-day lookback branch
+        wstart = lookback_start(datetime(2024, 2, 1, 12, 0), wm)
+        # -- re-extraction: revised values, line L3 absent (its overlap
+        #    rows must survive — partition scoping under test)
+        load2 = (
+            src.filter((F.col("ts") >= F.lit(wstart)) & (F.col("LINE") != "L3"))
+            .withColumn("value", F.col("value") + F.lit(1000.0))
+        )
+        n_apply = 2 if apply_load2_twice else 1
+        for _ in range(n_apply):
+            sink.delete_overlap_append(
+                load2, "fact", fact_schema, "ts",
+                watermark=wstart, pad_seconds=10.0,
+            )
+        final = sink.read("fact", fact_schema)
+        summary = (
+            final.groupBy(
+                "LINE", F.date_format("ts", "yyyy-MM-dd").alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct("event_id").cast("long").alias("n_events"),
+                F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+                .cast("double")
+                .alias("total_value"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+            )
+        )
+        rows = summary.collect()  # bounded: lines x days
+        return spark.createDataFrame(
+            rows,
+            "LINE string, day string, n_rows long, n_events long,"
+            " total_value double, min_ts timestamp, max_ts timestamp",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query("incremental_load_harness", _INCREMENTAL_LOAD_ORACLE)
+def q_incremental_load_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9+S11 driver-graded: two overlapping delete-overlap+append
+    rounds through the REAL versioned-parquet sink (partition-scoped
+    rewrite, hive layout, snapshot pointer flip) with the -10 s
+    clock-skew pad and a Script_Data-upsert-anchored lookback window,
+    final table state hashed against the DuckDB transcription of the
+    same protocol (reference ref/RCO_Overall_orchestrator.R:304-394,
+    502-546; window policy App/utils/time_utils.py:25-51). The
+    partition scoping is observable in the hash: line L3 is absent
+    from the second batch, so its overlap rows survive while every
+    other line's are replaced with revised values. At 100 TB each load
+    rewrites only the touched (LINE, Server) hive partitions —
+    survivors come from a partition-pruned scan — and untouched
+    partitions carry over as hard links (write amplification O(batch
+    partitions), not O(table))."""
+    return _incremental_load_run(spark, sf_dir, apply_load2_twice=False)
+
+
+@query("incremental_load_idempotent", _INCREMENTAL_LOAD_ORACLE)
+def q_incremental_load_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The idempotence certificate for the load protocol: the SAME
+    re-extraction window applied TWICE must converge to the identical
+    final state (same oracle, same hash) — the reference's crash/retry
+    model is 'just re-run the window' (R:304-317), which only works if
+    delete-overlap+append is idempotent. The second application
+    deletes exactly the rows the first one appended (the batch's span
+    lies inside its own delete region) and re-appends them, so any
+    double-append or pad drift would flip the hash."""
+    return _incremental_load_run(spark, sf_dir, apply_load2_twice=True)
+
+
+_BRANDCODE_MERGE_ORACLE = """
+WITH b1 AS (
+  SELECT p_brand AS BRANDCODE,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_price,
+         'BATCH1' AS src
+  FROM part WHERE p_partkey % 2 = 0 GROUP BY 1
+),
+b2 AS (
+  SELECT p_brand AS BRANDCODE,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_price,
+         'BATCH2' AS src
+  FROM part WHERE p_partkey % 3 = 0 GROUP BY 1
+),
+final AS (
+  SELECT * FROM b1 WHERE BRANDCODE NOT IN (SELECT BRANDCODE FROM b2)
+  UNION ALL SELECT * FROM b2
+)
+SELECT BRANDCODE, n_parts, total_price, src FROM final
+"""
+
+
+@query("brandcode_merge_harness", _BRANDCODE_MERGE_ORACLE)
+def q_brandcode_merge_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 driver-graded: the brandcode-master merge protocol
+    (reference R:556-585 — keep historical keys ABSENT from the new
+    batch, everything else comes from the batch) run through the real
+    sink twice and hashed on final table state. The src column makes
+    the overwrite visible: brands present in both batches must carry
+    BATCH2 values/marker, batch-1-only brands survive with BATCH1. The
+    sink's merge is one broadcast anti-join of the (tiny) master
+    against the batch keys plus an atomic snapshot swap — never a row
+    loop."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import StructType
+
+    from ..sinks.incremental import ParquetIncrementalSink
+
+    part = load_table(spark, "part", sf_dir)
+    schema = StructType.fromDDL(
+        "BRANDCODE string, n_parts long, total_price double, src string"
+    )
+
+    def batch(mod: int, tag: str) -> DataFrame:
+        return (
+            part.filter(F.col("p_partkey") % mod == 0)
+            .groupBy(F.col("p_brand").alias("BRANDCODE"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_parts"),
+                F.round(F.sum(F.col("p_retailprice").cast(_MONEY)), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("src", F.lit(tag))
+        )
+
+    root = tempfile.mkdtemp(prefix="sg-bcmerge-")
+    try:
+        sink = ParquetIncrementalSink(spark, root)
+        sink.merge_dedup_overwrite(batch(2, "BATCH1"), "master", schema)
+        sink.merge_dedup_overwrite(batch(3, "BATCH2"), "master", schema)
+        rows = sink.read("master", schema).collect()  # bounded: ~25 brands
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
