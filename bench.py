@@ -123,9 +123,29 @@ def layout_bench(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def _load_marker() -> dict:
+    """Ambient-load evidence stamped into the bench record (VERDICT r7
+    #3: two irreconcilable same-code records needed manual forensics).
+    loadavg is the 1/5/15-min run-queue average; with this process's
+    own 32 worker threads idle at sample time, a 1-min value well above
+    ~1 means co-tenant load is inflating wall times and the run should
+    not be read as a regression signal."""
+    try:
+        la1, la5, la15 = os.getloadavg()
+    except OSError:
+        la1 = la5 = la15 = -1.0
+    return {
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "loadavg_15m": round(la15, 2),
+        "cpus": os.cpu_count(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_before = _load_marker()
     spark = get_spark("bench")
 
     # Warm the JVM/JIT + parquet reader path so the first measured query
@@ -244,6 +264,8 @@ def main() -> None:
         "layout": layout,
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load_before": load_before,
+        "load_after": _load_marker(),
     }
     try:
         with open(
