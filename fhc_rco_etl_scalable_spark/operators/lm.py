@@ -1,0 +1,150 @@
+"""N-gram language-model perplexity scoring (CCNet-style quality
+filtering).
+
+The standard public corpus-filtering signal (CCNet, Wenzek et al.
+2020; also the Gopher/RefinedWeb pipelines): score each document by
+the per-token log-probability of a small n-gram LM trained on a
+held-in slice, then keep/bucket documents by that score. The reference
+ETL has no LM stage — this is one of the LLM-data-pipeline extensions
+the engine ships as first-class operators (SURVEY.md §6).
+
+Spark-first shape, sized for 100 TB:
+
+* **Training is one groupBy each** for unigram and bigram counts over
+  the held-in slice (map-side partial aggregation does the heavy
+  lifting; the model is the aggregate, never the corpus).
+* **The pruned model broadcasts.** A count-pruned bigram table is
+  vocabulary-sized, not corpus-sized (empirically ~10-50 MB for a
+  100k-type vocabulary — broadcastable by design; CCNet itself ships
+  ~100 MB models per language). Scoring is then two BROADCAST hash
+  joins + native column arithmetic — zero shuffles on the scored
+  corpus until the final per-doc aggregate, zero Python anywhere.
+* **Stupid backoff** (Brants et al. 2007) rather than Kneser-Ney:
+  no normalization pass, score = c2/c1 on a bigram hit, else
+  alpha * c1/N, else alpha/N — exactly the large-scale trade the
+  paper proposes (quality parity at corpus scale, trivially
+  distributable arithmetic).
+
+Determinism contract: log-probabilities use ln() (libm vs JVM Math
+agree to 1 ulp) and the per-document mean is rounded to 6 decimals on
+both engines before hashing — the same convention the BM25 entry
+certifies. Perplexity (exp(-avg)) is monotone in avg_logprob, so
+downstream filters can threshold either; the oracle-graded surface
+ships avg_logprob to keep exp() out of the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens — the catalog's shared
+    tokenization (functions/text.py), inlined so the lambda stays one
+    expression tree."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def _bigrams(toks: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs (empty for docs
+    under 2 tokens)."""
+    return F.filter(
+        F.transform(
+            toks,
+            lambda x, i: F.when(
+                i < F.size(toks) - 1,
+                F.struct(x.alias("w1"), F.element_at(toks, i + 2).alias("w2")),
+            ),
+        ),
+        lambda p: p.isNotNull(),
+    )
+
+
+def bigram_logprob_score(
+    docs: DataFrame,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    train_mod: int = 10,
+    train_rem: int = 0,
+    alpha: float = 0.4,
+    min_bigram_count: int = 2,
+) -> DataFrame:
+    """Score every held-out document (``doc_id % train_mod !=
+    train_rem``) with a stupid-backoff bigram LM trained on the
+    held-in slice.
+
+    Returns (doc_id, n_transitions, avg_logprob): the number of scored
+    bigram transitions and their mean natural-log probability (rounded
+    to 6 decimals). Documents with fewer than 2 tokens score no
+    transitions and are absent. Higher avg_logprob = more in-domain;
+    perplexity is ``exp(-avg_logprob)``.
+
+    Plan shape: two aggregations over the train slice build the model;
+    the scored corpus pays ONE explode + two broadcast joins + one
+    per-doc aggregate — audited in tools/explain_audit.py (broadcast
+    model, no shuffle of the corpus before the doc_id aggregate).
+    """
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"), _tokens(F.col(text)).alias("toks")
+    )
+    is_train = (F.col("doc_id") % train_mod) == train_rem
+    train = tok.filter(is_train)
+
+    uni = (
+        train.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    # Model scalars ride the plan as a broadcast crossJoin (same idiom
+    # as the BM25 corpus stats) — no driver round-trip, no closure
+    # capture, re-derivable from any snapshot of the train slice.
+    tot = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+    bi = (
+        train.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+        .filter(F.col("c2") >= min_bigram_count)
+    )
+
+    pairs = tok.filter(~is_train).select(
+        "doc_id", F.explode(_bigrams(F.col("toks"))).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+
+    u1 = uni.select(F.col("w").alias("__u1_w"), F.col("c1").alias("__u1_c"))
+    u2 = uni.select(F.col("w").alias("__u2_w"), F.col("c1").alias("__u2_c"))
+    scored = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(u1), F.col("w1") == F.col("__u1_w"), "left")
+        .join(F.broadcast(u2), F.col("w2") == F.col("__u2_w"), "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    lp = (
+        F.when(
+            F.col("c2").isNotNull(),
+            F.log(F.col("c2").cast("double") / F.col("__u1_c").cast("double")),
+        )
+        .when(
+            F.col("__u2_c").isNotNull(),
+            F.log(F.lit(alpha) * F.col("__u2_c").cast("double") / F.col("n_total")),
+        )
+        .otherwise(F.log(F.lit(alpha) / F.col("n_total")))
+    )
+    return (
+        scored.select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )
+
+
+def perplexity(avg_logprob: Column) -> Column:
+    """exp(-avg_logprob): the conventional reporting form. Kept OUT of
+    the oracle-graded surface (exp() ulp drift would sit directly in
+    the hash); filters should threshold avg_logprob itself."""
+    return F.exp(-avg_logprob)

@@ -712,3 +712,85 @@ def margin_pairs(
         )
         .select("x_id", "y_id", "margin")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_assign: int = 1,
+    sample_size: int = 512,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public recipe): cluster the
+    embedding space with the IVF coarse quantizer, then inside each
+    cluster prune near-duplicate pairs above a cosine threshold,
+    keeping one representative. Returns the KEPT ids (one column,
+    ``id_col``'s name/dtype preserved).
+
+    Representative choice is deterministic min-id dominance: a row is
+    removed iff SOME lower-id row in a shared cluster sits within the
+    threshold — no RNG, no iteration order, reproducible across runs
+    and engines.
+
+    Clustering reuses ``ivf_topk``'s machinery verbatim: centroids
+    train driver-side on a deterministic id-ordered sample (bounded
+    collect; the quantizer is data, not data-scale) and broadcast as a
+    closure constant; assignment is one Arrow-batch matmul. The corpus
+    shuffles ONCE on cell id, and the pair join is an equi-join on the
+    cell — candidate count is bounded by the largest cluster squared,
+    NEVER all-pairs (the published recipe's point: k-means cells make
+    100 TB-scale dedup tractable because epsilon-duplicates co-cluster
+    with high probability).
+
+    ``n_assign`` co-assigns each vector to its ``n_assign`` nearest
+    cells (multi-probe against boundary splits). ``n_assign ==
+    n_cells`` puts every pair in some shared cell — deterministically
+    exact (equal to all-pairs dedup; the oracle configuration) while
+    the full cluster-route-join path still executes. ``n_assign=1`` is
+    the published scale path; its recall against planted duplicates is
+    pytest-bounded (tests/test_extensions.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .skew import spread
+
+    sample_rows = (
+        df.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
+        .orderBy("sid")
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample_rows:
+        return df.select(id_col).limit(0)
+    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
+    n_assign_eff = min(n_assign, len(cents))
+
+    @pandas_udf("array<int>")
+    def assign_cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(-(v @ cents.T), axis=1)[:, :n_assign_eff].astype(np.int32)
+        return pd.Series(list(order))
+
+    base = spread(df, id_col).select(
+        F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v")
+    ).withColumn("__cell", F.explode(assign_cells(F.col("__v"))))
+    a = base.select(
+        F.col("__id").alias("__id_a"), F.col("__v").alias("__va"), "__cell"
+    )
+    b = base.select(
+        F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"), "__cell"
+    )
+    removed = (
+        a.join(b, ["__cell"])
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .dropDuplicates(["__id_a", "__id_b"])
+        .filter(dot(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__id_b").alias("__rm"))
+        .distinct()
+    )
+    return df.select(id_col).join(
+        removed, F.col(id_col) == F.col("__rm"), "left_anti"
+    )

@@ -6565,3 +6565,200 @@ def q_brandcode_merge_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 8: n-gram LM perplexity scoring (CCNet-style quality filter,
+# VERDICT r7 #4) — operators/lm.py; oracle is the same stupid-backoff
+# arithmetic transcribed to DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+_NGRAM_PPL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok
+),
+pairs AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx),
+uni AS (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS t FROM tok WHERE doc_id % 10 = 0)
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
+bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+  FROM pairs WHERE doc_id % 10 = 0
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+scored AS (
+  SELECT p.doc_id,
+         CASE WHEN b.c2 IS NOT NULL
+                THEN ln(CAST(b.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+              WHEN u2.c1 IS NOT NULL
+                THEN ln(0.4 * CAST(u2.c1 AS DOUBLE) / n_total)
+              ELSE ln(0.4 / n_total) END AS lp
+  FROM pairs p
+  LEFT JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN uni u1 ON p.w1 = u1.w
+  LEFT JOIN uni u2 ON p.w2 = u2.w
+  CROSS JOIN tot
+  WHERE p.doc_id % 10 <> 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(round(sum(lp) / count(*), 6) AS DOUBLE) AS avg_logprob
+FROM scored GROUP BY 1
+"""
+
+
+@query("ngram_perplexity", _NGRAM_PPL_ORACLE)
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): a
+    stupid-backoff bigram model trained on the doc_id%10==0 slice
+    scores every held-out document's mean transition log-probability.
+    Train = two map-side-combined groupBys; score = one explode + two
+    BROADCAST model joins + one per-doc aggregate — the corpus is
+    never shuffled before the doc_id aggregate, no Python in the path
+    (plan-audited). ln() agrees across libm/JVM to 1 ulp; the mean is
+    rounded to 6 decimals on both engines (the BM25 determinism
+    contract); exp(-avg) = perplexity stays out of the hash."""
+    from ..operators.lm import bigram_logprob_score
+
+    return bigram_logprob_score(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 8: SemDeDup-style semantic dedup (VERDICT r7 #5) —
+# operators/similarity.py::semantic_dedup; oracle = exact all-pairs
+# min-id dominance (the n_assign == n_cells configuration is
+# deterministically equal to it while the full cluster-route-join
+# path executes — the ivf_topk probe-all certification pattern).
+# Threshold 0.45 sits in a measured gap of the fixture's cosine
+# distribution (nearest pair 1e-4 away at sf0.01/sf0.1), so the raw
+# float comparison cannot flip between engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semantic_dedup",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+removed AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+)
+SELECT vec_id FROM e
+WHERE vec_id NOT IN (SELECT vec_id FROM removed)
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    (the IVF coarse quantizer, reused verbatim), prune within-cluster
+    cosine-near-duplicates keeping the lowest id. Exact configuration
+    under the oracle (every vector co-assigned to every cell => the
+    candidate set covers all pairs); the n_assign=1 scale path — the
+    published recipe, candidates bounded per cluster, never all-pairs
+    — is recall-tested in pytest and probed in tools/scale_probe.py."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return SIM.semantic_dedup(
+        emb, threshold=0.45, n_cells=8, n_assign=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: URL canonicalization + dedup (VERDICT r7 #6) —
+# functions/url.py. The fixtures carry no URL column, so the entry
+# derives a deterministic messy URL per document (the harness's
+# LINE-from-user_id convention): each group of 4 doc_ids yields two
+# case/port/param/tracking variants of one resource (rows %4 in {0,1})
+# plus two URLs that differ only by a NON-tracking param (rows %4 in
+# {2,3}) — so the hash certifies both the merges AND the non-merges.
+# ---------------------------------------------------------------------------
+
+_URL_DEDUP_ORACLE = """
+WITH urls AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTP://Example.COM:80/path/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '/?utm_source=x&b=2&a=1'
+           WHEN 1 THEN 'http://example.com/path/' || CAST(doc_id // 4 AS VARCHAR)
+                       || '?a=1&b=2&utm_campaign=z'
+           WHEN 2 THEN 'https://Site.ORG:443/p?id=' || CAST(doc_id // 4 AS VARCHAR)
+                       || '&gclid=abc123'
+           ELSE 'https://site.org/p?ref=mirror&id=' || CAST(doc_id // 4 AS VARCHAR)
+         END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+         regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest,
+         regexp_extract(url, '\\?([^#]*)', 1) AS qs
+  FROM urls
+),
+parts AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                        ':[0-9]+$', '') AS host,
+         regexp_extract(lower(regexp_extract(rest, '^([^/?#]*)', 1)),
+                        ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1),
+                        '/+$', '') AS path,
+         list_sort(list_filter(string_split(qs, '&'),
+            p -> p <> '' AND NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|gclid|fbclid)=')))
+           AS params
+  FROM canon
+),
+c AS (
+  SELECT doc_id,
+         scheme || '://' || host
+         || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                       OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END
+         || path
+         || CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&') ELSE '' END
+           AS canonical_url
+  FROM parts
+)
+SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM c GROUP BY 1
+"""
+
+
+@query("url_dedup", _URL_DEDUP_ORACLE)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + exact dedup (functions/url.py): scheme/
+    host lowercasing, default-port strip, trailing-slash strip, query-
+    param sort, tracking-param removal (utm_*/gclid/fbclid), then one
+    groupBy on the canonical key. All native regexp/array expressions
+    (zero Python); the only shuffle is the final high-cardinality-key
+    aggregate — the cheapest dedup pass of a web-corpus pipeline. The
+    derived fixture guarantees both merge directions are under test:
+    %4 in {0,1} MUST collapse (case+port+tracking+order noise), %4 in
+    {2,3} MUST NOT (a real 'ref' param differs)."""
+    from ..functions.url import url_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    k = F.floor(F.col("doc_id") / 4).cast("long").cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTP://Example.COM:80/path/"), k, F.lit("/?utm_source=x&b=2&a=1")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("http://example.com/path/"), k, F.lit("?a=1&b=2&utm_campaign=z")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://Site.ORG:443/p?id="), k, F.lit("&gclid=abc123")),
+        )
+        .otherwise(F.concat(F.lit("https://site.org/p?ref=mirror&id="), k))
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")), "doc_id", "url")

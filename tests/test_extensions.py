@@ -929,3 +929,74 @@ def test_margin_pairs_empty_and_zero_norm_edges(spark):
     got = {(r.x_id, r.y_id) for r in rows}
     assert (1, 10) in got                      # the parallel pair survives
     assert all(abs(r.margin) < 1e6 for r in rows)  # no overflow garbage
+
+
+def test_semantic_dedup_exact_and_clustered(spark):
+    # planted duplicates: 30 ~orthogonal bases, each with a jittered
+    # copy (cos >> 0.9). Exact config (n_assign == n_cells) must drop
+    # exactly the higher-id copy of every planted pair; the n_assign=1
+    # published scale path must keep precision (only true dups
+    # removed) with high recall (dups co-cluster).
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(30):
+        v = rng.randn(64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        w = v + 0.05 * rng.randn(64)
+        w /= np.linalg.norm(w)
+        rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept_exact = {
+        r.vec_id
+        for r in SIM.semantic_dedup(
+            emb, threshold=0.9, n_cells=8, n_assign=8
+        ).collect()
+    }
+    assert kept_exact == set(range(30))  # every copy removed, bases kept
+    kept_1 = {
+        r.vec_id
+        for r in SIM.semantic_dedup(
+            emb, threshold=0.9, n_cells=8, n_assign=1
+        ).collect()
+    }
+    # precision is exact by construction (pairs are verified with the
+    # real cosine); recall = fraction of planted copies removed
+    assert set(range(30)) <= kept_1  # no base falsely removed
+    removed = 30 - (len(kept_1) - 30)
+    assert removed / 30 >= 0.9, f"clustered dedup recall {removed / 30}"
+
+
+def test_ngram_perplexity_separates_in_domain_text(spark):
+    # train slice (doc_id%10==0) repeats a fixed phrase; held-out docs
+    # repeating the same phrase must score a higher avg_logprob than a
+    # doc of unseen tokens (scored purely by the backoff floor).
+    from fhc_rco_etl_scalable_spark.operators.lm import bigram_logprob_score
+
+    phrase = "the quick brown fox jumps over the lazy dog"
+    rows = [(i * 10, phrase) for i in range(6)]          # train
+    rows += [(1, phrase), (2, "zzz qqq www eee rrr ttt")]  # held-out
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].n_transitions == 8 and got[2].n_transitions == 5
+    assert got[1].avg_logprob > got[2].avg_logprob + 1.0
+    # in-domain transitions are bigram hits: logprob well above floor
+    assert got[1].avg_logprob > -2.0
+
+
+def test_canonicalize_url_rules(spark):
+    from fhc_rco_etl_scalable_spark.functions.url import canonicalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&b=2&a=1", "http://example.com/a/b?a=1&b=2"),
+        ("http://example.com/a/b?b=2&a=1", "http://example.com/a/b?a=1&b=2"),
+        ("https://Site.ORG:443/p?gclid=zz", "https://site.org/p"),
+        ("https://site.org:8443/p", "https://site.org:8443/p"),  # non-default port kept
+        ("http://h/x#frag", "http://h/x"),                        # fragment dropped
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == [want for _, want in cases]
