@@ -776,17 +776,30 @@ def semantic_dedup(
 
     base = spread(df, id_col).select(
         F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v")
-    ).withColumn("__cell", F.explode(assign_cells(F.col("__v"))))
-    a = base.select(
-        F.col("__id").alias("__id_a"), F.col("__v").alias("__va"), "__cell"
     )
-    b = base.select(
-        F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"), "__cell"
+    # Candidate generation is ID-ONLY: the cell equi-join and the pair
+    # dedup shuffle (cell, id) rows, never the vectors — with
+    # multi-assignment a pair surfaces once per shared cell, and
+    # deduping WIDE rows (2 x dim doubles each) before verification
+    # was measured at ~10x the whole operator's cost at 2k vectors x
+    # probe-all. Vectors attach AFTER the distinct, via joins against
+    # the (unit-normalized) corpus frame — broadcast when small, and
+    # at scale n_assign=1 keeps the candidate side bounded per cell.
+    cells = base.withColumn("__cell", F.explode(assign_cells(F.col("__v")))).select(
+        "__id", "__cell"
     )
-    removed = (
-        a.join(b, ["__cell"])
+    cand = (
+        cells.select(F.col("__id").alias("__id_a"), "__cell")
+        .join(cells.select(F.col("__id").alias("__id_b"), "__cell"), ["__cell"])
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .dropDuplicates(["__id_a", "__id_b"])
+        .select("__id_a", "__id_b")
+        .distinct()
+    )
+    va = base.select(F.col("__id").alias("__id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"))
+    removed = (
+        cand.join(va, "__id_a")
+        .join(vb, "__id_b")
         .filter(dot(F.col("__va"), F.col("__vb")) >= threshold)
         .select(F.col("__id_b").alias("__rm"))
         .distinct()

@@ -6160,6 +6160,13 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle spells the same logic as three joined CTEs). The final
     global funnel counts are one tiny aggregate."""
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_type", "ts")
+    return funnel_from_events(ev)
+
+
+def funnel_from_events(ev: DataFrame) -> DataFrame:
+    """The funnel plan on a caller-supplied (user_id, event_type, ts)
+    frame — shared by the harness entry and tools/scale_probe.py so
+    the probe times the certified plan, not a reimplementation."""
     w = Window.partitionBy("user_id")
     staged = (
         ev.withColumn(
@@ -6232,6 +6239,12 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", F.col("ts").cast("date").alias("d")
     )
+    return cohort_from_events(ev)
+
+
+def cohort_from_events(ev: DataFrame) -> DataFrame:
+    """The cohort-retention plan on a caller-supplied (user_id, d)
+    frame — shared with tools/scale_probe.py (see funnel_from_events)."""
     w = Window.partitionBy("user_id")
     act = (
         ev.withColumn("c0", F.min("d").over(w))

@@ -348,6 +348,27 @@ def main() -> int:
         "SortMergeJoin" not in p and "Cartesian" not in p,
     )
 
+    # 26. Round-8 LLM-pipeline additions. The ngram LM scorer must
+    #     join the scored corpus to the model by BROADCAST only (3
+    #     broadcast joins: bigram, two unigram aliases) with no SMJ —
+    #     the corpus shuffles only for its final per-doc aggregate.
+    #     url_dedup is canonicalization map-side + ONE aggregate
+    #     exchange. semantic_dedup's pair join must be an equi-join on
+    #     the cell id (hash join, no cartesian).
+    p = plan_of(hq.q_ngram_perplexity(spark, sf_dir))
+    n_bhj = len(re.findall(r"BroadcastHashJoin", p))
+    check("broadcast_model(ngram_perplexity)", n_bhj >= 3, detail=f"{n_bhj} BHJ")
+    check("no_smj(ngram_perplexity)", "SortMergeJoin" not in p)
+    p = plan_of(hq.q_url_dedup(spark, sf_dir))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    check("single_shuffle(url_dedup)", n_ex <= 1, detail=f"{n_ex} exchanges")
+    check("no_python(url_dedup)", "Python" not in p and "Arrow" not in p)
+    p = plan_of(hq.q_semantic_dedup(spark, sf_dir))
+    check(
+        "no_cartesian(semantic_dedup)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

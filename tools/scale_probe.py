@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -269,6 +269,115 @@ def run_fuzzy(spark, names, sf_dir: str) -> dict:
     return out
 
 
+def run_funnel(spark, ev) -> dict[str, int]:
+    """funnel_conversion + cohort_retention on replicated users (the
+    disjoint-id convention: replicas add USERS, the growth axis of
+    product analytics). The claim under test: both plans ride ONE
+    hashpartitioning(user_id) exchange, so wall grows ~linearly with
+    users and there is no join or driver-side step to blow up."""
+    from fhc_rco_etl_scalable_spark.plans.harness_queries import (
+        cohort_from_events,
+        funnel_from_events,
+    )
+
+    funnel = funnel_from_events(ev.select("user_id", "event_type", "ts"))
+    row = funnel.first()
+    cohort = cohort_from_events(
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+    )
+    return {
+        "n_view": int(row["n_view"]),
+        "n_view_click_buy": int(row["n_view_click_buy"]),
+        "cohort_cells": cohort.count(),
+    }
+
+
+def run_semdedup(spark, emb) -> dict:
+    """semantic_dedup on rotation-salted replicated embeddings
+    (n_assign=1, the published scale path). Alongside wall time the
+    probe records the candidate-pair count and the hottest cluster's
+    share of it — the per-cluster boundedness that makes SemDeDup
+    tractable where all-pairs is not (candidates ~ sum of cell^2, and
+    no cell dominates).
+
+    Cluster count SCALES WITH THE CORPUS (~125 vectors per cell),
+    exactly as the published recipe sizes k (SemDeDup uses k ~ n/2000
+    at 100M-scale): the probe's first run with k FIXED at 16 measured
+    candidates pinned at 1/16 of all-pairs — i.e. quadratic growth,
+    119.9 s at x8 — because constant cluster count means cluster SIZE
+    grows with n. With k ∝ n the per-cell population is constant, the
+    candidate count is linear in n, and so is the wall."""
+    from fhc_rco_etl_scalable_spark.operators import similarity as SIM
+
+    n = emb.count()
+    n_cells = max(16, n // 125)
+    kept = SIM.semantic_dedup(
+        emb, threshold=0.45, n_cells=n_cells, n_assign=1,
+        sample_size=max(512, 8 * n_cells),
+    ).count()
+    # candidate accounting: same quantizer, same assignment
+    import numpy as np
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    sample_rows = (
+        emb.select(SIM._unit(F.col("embedding")).alias("uv"), F.col("vec_id").alias("sid"))
+        .orderBy("sid").limit(max(512, 8 * n_cells)).collect()
+    )
+    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
+    cents = SIM._kmeans_centroids(sample, min(n_cells, len(sample)))
+
+    @pandas_udf("int")
+    def cell_of(vecs):
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        import pandas as _pd
+
+        return _pd.Series(np.argmax(v @ cents.T, axis=1).astype(np.int32))
+
+    sizes = (
+        emb.select(cell_of(SIM._unit(F.col("embedding"))).alias("c"))
+        .groupBy("c").count().select((F.col("count") * (F.col("count") - 1) / 2).alias("pairs"))
+        .agg(F.sum("pairs").alias("tot"), F.max("pairs").alias("mx")).first()
+    )
+    n = emb.count()
+    all_pairs = n * (n - 1) / 2
+    return {
+        "kept": kept,
+        "candidates": int(sizes["tot"]),
+        "candidate_frac_of_allpairs": round(sizes["tot"] / all_pairs, 4),
+        "max_cluster_share": round(sizes["mx"] / sizes["tot"], 4),
+    }
+
+
+def scaled_embeddings_all(spark, sf_dir: str, n: int):
+    """Full embeddings table replicated with the rotation salting (no
+    label filter — the dedup probe wants the whole space)."""
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table
+
+    base = load_table(spark, "embeddings", sf_dir)
+    parts = []
+    for k in range(n):
+        s = k % 64
+        emb = (
+            F.col("embedding")
+            if s == 0
+            else F.concat(
+                F.slice("embedding", s + 1, 64 - s), F.slice("embedding", 1, s)
+            )
+        )
+        parts.append(
+            base.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000_000)).alias("vec_id"),
+                emb.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
 RUNNERS = {
     "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
     "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
@@ -276,6 +385,8 @@ RUNNERS = {
     "span": lambda spark, data, sf_dir: run_span(spark, data),
     "margin": run_margin,
     "fuzzy": run_fuzzy,
+    "funnel": lambda spark, data, sf_dir: run_funnel(spark, data),
+    "semdedup": lambda spark, data, sf_dir: run_semdedup(spark, data),
 }
 
 
@@ -323,6 +434,10 @@ def main() -> None:
             data = scaled_embeddings_x(spark, sf_dir, eff)
         elif probe == "fuzzy":
             data = skewed_names(spark, eff)
+        elif probe == "funnel":
+            data = scaled_events(spark, sf_dir, eff)
+        elif probe == "semdedup":
+            data = scaled_embeddings_all(spark, sf_dir, eff)
         else:
             raise SystemExit(f"unknown probe {probe}")
         if materialize:
