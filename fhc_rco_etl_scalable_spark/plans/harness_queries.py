@@ -6775,3 +6775,134 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("https://site.org/p?ref=mirror&id="), k))
     )
     return url_dedup(docs.select("doc_id", url.alias("url")), "doc_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): hybrid retrieval fusion + set-operation SQL surface.
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60  # the standard reciprocal-rank-fusion damping constant
+
+_HYBRID_RRF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+         unnest(list_transform(toks, t -> lower(t))) AS t
+  FROM tok
+),
+hits AS (
+  SELECT doc_id, dl, t, count(*) AS tf FROM base
+  WHERE t IN ('customer', 'join', 'order')
+  GROUP BY 1, 2, 3
+),
+dfc AS (SELECT t, count(*) AS df FROM hits GROUP BY 1),
+corpus AS (
+  SELECT count(*)::DOUBLE AS n, sum(len(toks))::DOUBLE / count(*) AS avgdl
+  FROM tok
+),
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY round(sum(
+             ln(1 + (n - df + 0.5) / (df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) DESC,
+           doc_id) AS INT) AS r
+  FROM hits JOIN dfc USING (t) CROSS JOIN corpus
+  GROUP BY doc_id
+  ORDER BY r LIMIT 20
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(row_number() OVER (
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qv.v) DESC,
+                      e.vec_id) AS INT) AS r
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> 0
+  ORDER BY r LIMIT 20
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(round(coalesce(1.0 / ({_RRF_K0} + lex.r), 0)
+                    + coalesce(1.0 / ({_RRF_K0} + sem.r), 0), 6) AS DOUBLE) AS rrf,
+         lex.r IS NOT NULL AS in_lexical,
+         sem.r IS NOT NULL AS in_semantic
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf, in_lexical, in_semantic,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+@query("hybrid_rrf_search", _HYBRID_RRF_ORACLE)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009 — the standard public recipe for combining lexical and vector
+    search in RAG pipelines): BM25 top-20 for "customer join order"
+    fused with cosine top-20 around a query embedding by
+    rrf = sum 1/(60 + rank), top-10 out. Both retriever plans are the
+    certified catalog entries (bm25_search / embedding_topk); fusion
+    is one full-outer join of two 20-row frames + an ordered limit —
+    driver-trivial at any corpus scale, because only the top-k lists
+    meet. Ranks are integers and 1/(60+r) is one exact IEEE division,
+    so the fused score is deterministic on both engines (round 6 as
+    usual)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = bm25_topk(docs, "doc_id", "text", "customer join order", k=20).select(
+        F.col("doc_id").alias("__lid"), F.col("rank").alias("__lr")
+    )
+    sem = SIM.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("neighbor_id").alias("__sid"), F.col("rank").alias("__sr"))
+    fused = lex.join(sem, F.col("__lid") == F.col("__sid"), "full_outer").select(
+        F.coalesce(F.col("__lid"), F.col("__sid")).alias("doc_id"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("__lr")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("__sr")), F.lit(0.0)),
+            6,
+        ).cast("double").alias("rrf"),
+        F.col("__lr").isNotNull().alias("in_lexical"),
+        F.col("__sr").isNotNull().alias("in_semantic"),
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", "rrf", "in_lexical", "in_semantic",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+    )
+
+
+_INTERSECT_EXCEPT_SQL = """
+WITH building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+in_both AS (SELECT custkey FROM building INTERSECT SELECT custkey FROM big),
+only_b AS (SELECT custkey FROM building EXCEPT SELECT custkey FROM big)
+SELECT 'intersect' AS which, custkey FROM in_both
+UNION ALL
+SELECT 'except' AS which, custkey FROM only_b
+"""
+
+
+@query("sql_api_intersect_except", _INTERSECT_EXCEPT_SQL)
+def q_sql_api_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set operations as one SQL text on both engines: INTERSECT
+    (Catalyst: left-semi + distinct) and EXCEPT (left-anti + distinct)
+    between the BUILDING customers and the big-spender custkeys, both
+    halves tagged and unioned so one hash certifies both operators.
+    Distinct set semantics (not ALL) — the dialect default on both
+    engines."""
+    from ..sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_INTERSECT_EXCEPT_SQL)
