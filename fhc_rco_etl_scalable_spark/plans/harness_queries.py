@@ -6906,3 +6906,201 @@ def q_sql_api_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_INTERSECT_EXCEPT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): SCD2 merge + change-feed surfaces promoted to
+# oracle evidence — the same real-sink-in-tempdir pattern as the
+# incremental-load harnesses. Two deterministic dimension batches
+# (brand aggregates over disjoint part subsets, fixed effective
+# timestamps) drive sinks/incremental.py::merge_scd2 and
+# ::changes_between; DuckDB transcribes the merge algebra directly.
+# ---------------------------------------------------------------------------
+
+_SCD2_BATCH_SQL = """
+b1 AS (
+  SELECT p_brand AS BRANDCODE,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_price
+  FROM part WHERE p_partkey % 2 = 0 GROUP BY 1
+),
+b2 AS (
+  SELECT p_brand AS BRANDCODE,
+         CAST(count(*) AS BIGINT) AS n_parts,
+         CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+           AS total_price
+  FROM part WHERE p_partkey % 3 = 0 GROUP BY 1
+)"""
+
+_SCD2_MERGE_ORACLE = "WITH " + _SCD2_BATCH_SQL + """,
+closed AS (
+  SELECT b1.BRANDCODE, b1.n_parts, b1.total_price,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '2024-02-01 00:00:00' AS valid_to,
+         FALSE AS is_current
+  FROM b1 JOIN b2 USING (BRANDCODE)
+  WHERE b1.n_parts <> b2.n_parts OR b1.total_price <> b2.total_price
+),
+carried AS (
+  SELECT b1.BRANDCODE, b1.n_parts, b1.total_price,
+         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM b1 LEFT JOIN b2 USING (BRANDCODE)
+  WHERE b2.BRANDCODE IS NULL
+     OR (b1.n_parts = b2.n_parts AND b1.total_price = b2.total_price)
+),
+inserted AS (
+  SELECT b2.BRANDCODE, b2.n_parts, b2.total_price,
+         TIMESTAMP '2024-02-01 00:00:00' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+  FROM b2 LEFT JOIN b1 USING (BRANDCODE)
+  WHERE b1.BRANDCODE IS NULL
+     OR b1.n_parts <> b2.n_parts OR b1.total_price <> b2.total_price
+)
+SELECT * FROM closed UNION ALL SELECT * FROM carried
+UNION ALL SELECT * FROM inserted
+"""
+
+
+def _scd2_batches(spark: SparkSession, sf_dir: str):
+    part = load_table(spark, "part", sf_dir)
+
+    def batch(mod: int, ts: str) -> DataFrame:
+        return (
+            part.filter(F.col("p_partkey") % mod == 0)
+            .groupBy(F.col("p_brand").alias("BRANDCODE"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_parts"),
+                F.round(F.sum(F.col("p_retailprice").cast(_MONEY)), 2)
+                .cast("double")
+                .alias("total_price"),
+            )
+            .withColumn("effective_ts", F.lit(ts).cast("timestamp"))
+        )
+
+    return batch(2, "2024-01-01 00:00:00"), batch(3, "2024-02-01 00:00:00")
+
+
+def _scd2_sink(spark: SparkSession, sf_dir: str, root: str):
+    from ..sinks.incremental import ParquetIncrementalSink
+
+    sink = ParquetIncrementalSink(spark, root)
+    d1, d2 = _scd2_batches(spark, sf_dir)
+    for d in (d1, d2):
+        sink.merge_scd2(
+            d, "dim_brand", key_cols=("BRANDCODE",),
+            change_cols=("n_parts", "total_price"),
+        )
+    return sink
+
+
+@query("scd2_merge_harness", _SCD2_MERGE_ORACLE)
+def q_scd2_merge_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge through the real sink
+    (sinks/incremental.py::merge_scd2): two brand-aggregate batches at
+    fixed effective timestamps; overlapping keys with changed
+    attributes must close their first version (valid_to = t2) and open
+    a second, batch-1-only keys carry, changed/new batch-2 keys
+    insert. Final chain state (all versions, validity bounds, current
+    flags) hashed against the DuckDB transcription of the merge
+    algebra. The merge is one dimension-sized broadcast full-outer —
+    never a fact shuffle — and the snapshot swap is atomic, so readers
+    never observe a half-merged chain."""
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="sg-scd2-")
+    try:
+        sink = _scd2_sink(spark, sf_dir, root)
+        rows = sink.read("dim_brand").collect()  # bounded: ~25 brands x <=2 versions
+        return spark.createDataFrame(
+            rows,
+            "BRANDCODE string, n_parts long, total_price double,"
+            " valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_TABLE_CHANGES_ORACLE = "WITH " + _SCD2_BATCH_SQL + """,
+v2 AS (
+  -- the merge's actual v2 state: batch2 overlaid on the carried
+  -- batch-1-only keys (merge_dedup_overwrite never deletes), so a
+  -- 'deleted' classification is impossible by CONSTRUCTION on both
+  -- engines — not by fixture luck (sf0.001 has a b1-only brand).
+  SELECT * FROM b2
+  UNION ALL
+  SELECT b1.* FROM b1 LEFT JOIN b2 USING (BRANDCODE)
+  WHERE b2.BRANDCODE IS NULL
+),
+merged AS (
+  SELECT coalesce(b1.BRANDCODE, v2.BRANDCODE) AS BRANDCODE,
+         CASE WHEN b1.BRANDCODE IS NULL THEN 'inserted'
+              WHEN v2.BRANDCODE IS NULL THEN 'deleted'
+              WHEN b1.n_parts = v2.n_parts AND b1.total_price = v2.total_price
+                THEN 'unchanged'
+              ELSE 'updated' END AS change_type,
+         b1.n_parts AS before_n_parts, b1.total_price AS before_total_price,
+         v2.n_parts AS after_n_parts, v2.total_price AS after_total_price
+  FROM b1 FULL OUTER JOIN v2 USING (BRANDCODE)
+)
+SELECT * FROM merged WHERE change_type <> 'unchanged'
+"""
+
+
+@query("table_changes_harness", _TABLE_CHANGES_ORACLE)
+def q_table_changes_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two retained snapshots
+    (sinks/incremental.py::changes_between — the CDF surface the
+    version-pointer layout makes nearly free): the brandcode master is
+    loaded twice via merge_dedup_overwrite, then the diff of v1 vs v2
+    classifies every key as inserted/deleted/updated with before/after
+    values — hashed against the same classification computed straight
+    from the two batch definitions. Struct payloads are projected to
+    flat columns (LIST/STRUCT outputs are driver-canon-unsafe)."""
+    import shutil
+    import tempfile
+
+    from ..sinks.incremental import ParquetIncrementalSink
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromDDL(
+        "BRANDCODE string, n_parts long, total_price double"
+    )
+    root = tempfile.mkdtemp(prefix="sg-cdf-")
+    try:
+        sink = ParquetIncrementalSink(spark, root)
+        d1, d2 = _scd2_batches(spark, sf_dir)
+        # merge_dedup_overwrite with EVERY key present in the batch ==
+        # full snapshot replace, so v1/v2 are exactly batch1/batch2.
+        sink.merge_dedup_overwrite(
+            d1.drop("effective_ts"), "master", schema
+        )
+        sink.merge_dedup_overwrite(
+            d2.drop("effective_ts"), "master", schema
+        )
+        # v2 keeps v1 keys absent from batch2 (the merge semantics),
+        # so the oracle diffs v1 against the batch-2 OVERLAY (its v2
+        # CTE), making 'deleted' impossible by construction on both
+        # engines — sf0.001 really does have a batch-1-only brand.
+        changes = sink.changes_between(
+            "master", 1, 2, key_cols=("BRANDCODE",)
+        )
+        out = changes.select(
+            "BRANDCODE",
+            "change_type",
+            F.col("before.n_parts").alias("before_n_parts"),
+            F.col("before.total_price").alias("before_total_price"),
+            F.col("after.n_parts").alias("after_n_parts"),
+            F.col("after.total_price").alias("after_total_price"),
+        )
+        rows = out.collect()  # bounded: ~25 brands
+        return spark.createDataFrame(
+            rows,
+            "BRANDCODE string, change_type string,"
+            " before_n_parts long, before_total_price double,"
+            " after_n_parts long, after_total_price double",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
