@@ -7104,3 +7104,86 @@ def q_table_changes_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): S3 (SQL window scan) promoted to oracle evidence —
+# a LIVE JDBC round-trip: a bounded, deterministic events subset is
+# seeded into embedded Derby (ships inside Spark's own jars — no
+# network), read back through JdbcWindowScan with the reference's
+# time-window predicate + explicit column list + parallel range
+# partitions, and the aggregate of what ARRIVED is hashed against
+# DuckDB computing the same window straight from parquet. Any loss in
+# the JDBC write/read round-trip (timestamp precision, predicate
+# semantics, projection) flips the hash.
+# ---------------------------------------------------------------------------
+
+_JDBC_SCAN_ORACLE = """
+WITH src AS (
+  SELECT event_id, ts, event_type, value FROM events WHERE event_id < 5000
+),
+win AS (
+  SELECT * FROM src
+  WHERE ts > TIMESTAMP '2024-01-08 00:00:00'
+    AND ts < TIMESTAMP '2024-01-22 00:00:00'
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM win GROUP BY 1
+"""
+
+
+@query("jdbc_window_scan_harness", _JDBC_SCAN_ORACLE)
+def q_jdbc_window_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 driver-graded (reference ref/RCO_Maple_orchestrator.R:36-41 —
+    SQL text with an embedded time predicate): seed <=5000 events into
+    an in-memory Derby database over JDBC, scan back through
+    JdbcWindowScan (predicate + column list pushed into the database's
+    SQL, 4 parallel range partitions over the window — Spark's answer
+    to the reference's single-cursor read), aggregate per event_type.
+    The bounded seed keeps the single-connection JDBC write O(1) in
+    sf; the scan itself is the surface under test. Timestamps
+    round-trip exactly (Derby TIMESTAMP carries nanos; the session
+    stays UTC via load_table's pinned confs)."""
+    import uuid
+
+    from ..sources.jdbc import JdbcWindowScan
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 5000)
+        .select(
+            F.col("event_id").alias("ID"),
+            F.col("ts").alias("TS"),
+            F.col("event_type").alias("ETYPE"),
+            F.col("value").alias("V"),
+        )
+    )
+    url = f"jdbc:derby:memory:sg{uuid.uuid4().hex[:12]};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    (
+        ev.coalesce(1)  # single-connection seed: plumbing, not the surface
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events")
+        .options(**props)
+        .save()
+    )
+    scan = JdbcWindowScan(
+        url=url,
+        table="events",
+        columns=["ID", "TS", "ETYPE", "V"],
+        ts_col="TS",
+        start="2024-01-08 00:00:00",
+        end="2024-01-22 00:00:00",
+        num_partitions=4,
+        properties=props,
+    )
+    got = scan.load(spark)
+    return got.groupBy(F.col("ETYPE").alias("event_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("V").cast(_MONEY)), 2).cast("double").alias("total_value"),
+        F.min("ID").alias("min_id"),
+        F.max("ID").alias("max_id"),
+    )
