@@ -7187,3 +7187,120 @@ def q_jdbc_window_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ID").alias("min_id"),
         F.max("ID").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): S1 (paginated REST scan) promoted to oracle
+# evidence — the Spark 4 Python DataSource reads a LIVE in-process
+# HTTP server (loopback; one ThreadingHTTPServer serving a bounded,
+# deterministic events subset as a 3-site paged API) and the
+# aggregate of what arrived over the wire is hashed against DuckDB
+# computing the same slice straight from parquet. Paging, per-site
+# partitioning, JSON round-trip, and site injection all sit in the
+# hash.
+# ---------------------------------------------------------------------------
+
+_REST_SCAN_ORACLE = """
+WITH src AS (
+  SELECT event_id, 'S' || CAST(user_id % 3 AS VARCHAR) AS site,
+         event_type, value
+  FROM events WHERE event_id < 3000
+)
+SELECT site, event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM src GROUP BY 1, 2
+"""
+
+
+@query("rest_scan_harness", _REST_SCAN_ORACLE)
+def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 driver-graded (reference RCO_Maple_orchestrator.R:96-140 —
+    serial per-site page loops): the paged_rest DataSource walks three
+    sites' page chains partition-parallel against a real local HTTP
+    server (pages of 250 items, `_links.next` protocol — the same
+    handler shape the pytest uses), and the per-(site, event_type)
+    aggregate is hashed against the parquet truth. Bounded by
+    construction: the served subset is <=3000 rows collected once to
+    seed the server (harness scaffolding — production servers already
+    hold the data), and the result is collected before the server
+    shuts down so the returned frame outlives it."""
+    import http.server
+    import json as _json
+    import threading
+
+    from ..sources.rest_datasource import PagedRestDataSource
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    by_site: dict[str, list[dict]] = {}
+    for r in ev.collect():  # bounded: <=3000 rows, seed data only
+        by_site.setdefault(f"S{r.user_id % 3}", []).append(
+            {"id": r.event_id, "etype": r.event_type, "value": r.value}
+        )
+    for items in by_site.values():
+        items.sort(key=lambda d: d["id"])
+    page_size = 250
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(self.path).query)
+            site = q.get("site", [""])[0]
+            page = int(q.get("page", ["1"])[0])
+            items = by_site.get(site, [])
+            chunk = items[(page - 1) * page_size : page * page_size]
+            links = {}
+            if page * page_size < len(items):
+                links = {
+                    "next": {
+                        "href": f"http://{self.headers['Host']}/events"
+                        f"?site={site}&page={page + 1}"
+                    }
+                }
+            payload = _json.dumps({"items": chunk, "_links": links}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):  # keep the harness quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(PagedRestDataSource)
+        df = (
+            spark.read.format("paged_rest")
+            .schema("id long, site string, etype string, value double")
+            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+            .option("entity", "events")
+            .option("sites", ",".join(sorted(by_site)))
+            .option("start_date", "2024-01-01")
+            .load()
+        )
+        agg = df.groupBy(
+            "site", F.col("etype").alias("event_type")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+            .cast("double")
+            .alias("total_value"),
+            F.min("id").alias("min_id"),
+            F.max("id").alias("max_id"),
+        )
+        rows = agg.collect()  # must materialize while the server lives
+        return spark.createDataFrame(
+            rows,
+            "site string, event_type string, n long, total_value double,"
+            " min_id long, max_id long",
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
