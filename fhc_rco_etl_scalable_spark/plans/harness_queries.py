@@ -7304,3 +7304,97 @@ def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+@query("rest_sink_harness", _REST_SCAN_ORACLE)
+def q_rest_sink_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 driver-graded (reference run-log push-back,
+    RCO_Overall_orchestrator.R — one HTTP request per row from one
+    process): the rest_batch two-phase-commit sink writes the
+    per-(site, event_type) aggregate to a live local server —
+    partitions stage executor-parallel, the driver's commit flips all
+    staged batches visible atomically — and the entry returns what the
+    SERVER holds after commit, hashed against DuckDB computing the
+    same aggregate from parquet. The JSON wire round-trip (doubles via
+    shortest-repr, longs exact) and the 2PC finalize both sit in the
+    hash; the oracle is shared with rest_scan_harness (one truth, read
+    and write surfaces)."""
+    import http.server
+    import json as _json
+    import threading
+
+    from ..sources.rest_datasource import RestBatchSinkDataSource
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("event_id") < 3000)
+    agg = ev.groupBy(
+        F.concat(F.lit("S"), (F.col("user_id") % 3).cast("string")).alias("site"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+        .cast("double")
+        .alias("total_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+    staged: dict[str, tuple[str, list]] = {}
+    visible: list[dict] = []
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            with lock:
+                if self.path.endswith("/stage"):
+                    staged[body["batch_id"]] = (body["job_id"], body["rows"])
+                elif self.path.endswith("/commit"):
+                    for bid in body["batch_ids"]:
+                        visible.extend(staged.pop(bid)[1])
+                    for bid in [
+                        b for b, (j, _) in list(staged.items())
+                        if j == body["job_id"]
+                    ]:
+                        staged.pop(bid)
+                elif self.path.endswith("/abort"):
+                    for bid in [
+                        b for b, (j, _) in list(staged.items())
+                        if j == body["job_id"]
+                    ]:
+                        staged.pop(bid)
+            payload = b"{}"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spark.dataSource.register(RestBatchSinkDataSource)
+        (
+            agg.repartition(3)
+            .write.format("rest_batch")
+            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+            .option("entity", "runlog")
+            .mode("append")
+            .save()
+        )
+        assert not staged, "commit left staged batches behind"
+        return spark.createDataFrame(
+            [
+                (
+                    d["site"], d["event_type"], d["n"],
+                    d["total_value"], d["min_id"], d["max_id"],
+                )
+                for d in visible
+            ],
+            "site string, event_type string, n long, total_value double,"
+            " min_id long, max_id long",
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
