@@ -223,7 +223,15 @@ def main() -> None:
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist(False)
 
-    for name, fn in queries.items():
+    # Mid-run interference watch: loadavg BETWEEN queries still carries
+    # our own (decaying) contribution, so the absolute value is noisy —
+    # but a RISE over the run (vs the first inter-query samples) can
+    # only come from co-tenants, since our workload shape is constant.
+    # Recorded as a small series for the comparer/judge to eyeball;
+    # the before/after markers stay the primary dirty-window signal.
+    load_series: list[float] = []
+
+    for i, (name, fn) in enumerate(queries.items()):
         samples: list[float] = []
         n = -1
         if name in warmup_first:
@@ -235,6 +243,11 @@ def main() -> None:
             n = df.count()
             samples.append(time.time() - t0)
         release_checkpoints()
+        if i % 20 == 0:
+            try:
+                load_series.append(round(os.getloadavg()[0], 1))
+            except OSError:
+                pass
         best = min(samples)
         timings[name] = round(best, 3)
         cold[name] = round(samples[0], 3)
@@ -266,6 +279,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "load_before": load_before,
         "load_after": _load_marker(),
+        "load_series_1m": load_series,
     }
     try:
         with open(
