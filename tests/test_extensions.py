@@ -1000,3 +1000,41 @@ def test_canonicalize_url_rules(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_idempotent(spark):
+    # canonical form is a fixed point: canon(canon(u)) == canon(u) for
+    # a messy generated family (case x port x tracking x order x
+    # trailing-slash variants).
+    from fhc_rco_etl_scalable_spark.functions.url import canonicalize_url
+
+    urls = []
+    for scheme in ("http", "HTTPS"):
+        for host in ("A.Example.com", "x.org:8080", "y.net:443"):
+            for path in ("", "/p", "/p/q///"):
+                for q in ("", "?b=2&a=1", "?utm_source=s&z=9", "?gclid=g"):
+                    urls.append((f"{scheme}://{host}{path}{q}",))
+    df = spark.createDataFrame(urls, "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(
+        "c1", canonicalize_url(F.col("c1")).alias("c2")
+    ).collect()
+    for r in twice:
+        assert r.c1 == r.c2, (r.c1, r.c2)
+
+
+def test_ngram_perplexity_edges(spark):
+    # <2-token docs score no transitions; train docs never appear;
+    # an all-unseen doc scores exactly the backoff floor ln(0.4/N).
+    import math
+
+    from fhc_rco_etl_scalable_spark.operators.lm import bigram_logprob_score
+
+    rows = [(0, "a b a b a b"), (10, "a b a b"), (1, "x"), (2, "q1 q2 q3")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob_score(docs).collect()}
+    assert set(got) == {2}  # doc 1 has no transitions; 0/10 are train
+    n_total = 10.0  # train tokens: 6 + 4
+    floor = math.log(0.4 / n_total)
+    assert got[2].n_transitions == 2
+    assert abs(got[2].avg_logprob - round(floor, 6)) < 1e-9
