@@ -6845,30 +6845,39 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     fused with cosine top-20 around a query embedding by
     rrf = sum 1/(60 + rank), top-10 out. Both retriever plans are the
     certified catalog entries (bm25_search / embedding_topk); fusion
-    is one full-outer join of two 20-row frames + an ordered limit —
-    driver-trivial at any corpus scale, because only the top-k lists
-    meet. Ranks are integers and 1/(60+r) is one exact IEEE division,
-    so the fused score is deterministic on both engines (round 6 as
-    usual)."""
+    is a UNION of the two 20-row contribution lists + one tiny
+    aggregate — no join at all (the natural outer-join formulation
+    planned a SortMergeJoin, which full-outer cannot broadcast away;
+    sum-of-contributions is the same algebra join-free and stays
+    join-free for ANY number of retrievers). Ranks are integers and
+    1/(60+r) is one exact IEEE division, so the fused score is
+    deterministic on both engines (round 6 as usual)."""
     from ..operators.retrieval import bm25_topk
 
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
     lex = bm25_topk(docs, "doc_id", "text", "customer join order", k=20).select(
-        F.col("doc_id").alias("__lid"), F.col("rank").alias("__lr")
+        "doc_id",
+        (1.0 / (F.lit(_RRF_K0) + F.col("rank"))).alias("__c"),
+        F.lit(True).alias("__lex"),
+        F.lit(False).alias("__sem"),
     )
     sem = SIM.brute_force_topk(
         emb, emb.filter(F.col("vec_id") == 0), k=20
-    ).select(F.col("neighbor_id").alias("__sid"), F.col("rank").alias("__sr"))
-    fused = lex.join(sem, F.col("__lid") == F.col("__sid"), "full_outer").select(
-        F.coalesce(F.col("__lid"), F.col("__sid")).alias("doc_id"),
-        F.round(
-            F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("__lr")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(_RRF_K0) + F.col("__sr")), F.lit(0.0)),
-            6,
-        ).cast("double").alias("rrf"),
-        F.col("__lr").isNotNull().alias("in_lexical"),
-        F.col("__sr").isNotNull().alias("in_semantic"),
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        (1.0 / (F.lit(_RRF_K0) + F.col("rank"))).alias("__c"),
+        F.lit(False).alias("__lex"),
+        F.lit(True).alias("__sem"),
+    )
+    fused = (
+        lex.unionByName(sem)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("__c"), 6).cast("double").alias("rrf"),
+            F.max("__lex").alias("in_lexical"),
+            F.max("__sem").alias("in_semantic"),
+        )
     )
     w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
     return (

@@ -369,6 +369,26 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
     )
 
+    # 27. Late round-8 entries. RRF fusion must rank each retriever
+    #     with an ordered limit (TakeOrdered — no global sort
+    #     materialization) and fuse by union+aggregate with NO join at
+    #     all (the outer-join formulation planned an SMJ); the
+    #     INTERSECT/EXCEPT text must decorrelate to left-semi +
+    #     left-anti hash joins.
+    p = plan_of(hq.q_hybrid_rrf_search(spark, sf_dir))
+    check("take_ordered(hybrid_rrf_search)", "TakeOrdered" in p)
+    # broadcast-only joins allowed (BM25's 1-row scalar crossJoins ride
+    # BroadcastNestedLoop); the fusion itself contributes a Union, and
+    # nothing in the plan may sort-merge.
+    check("no_smj(hybrid_rrf_search)", "SortMergeJoin" not in p)
+    check("union_fusion(hybrid_rrf_search)", "Union" in p)
+    p = plan_of(hq.q_sql_api_intersect_except(spark, sf_dir))
+    check(
+        "semi_anti(sql_api_intersect_except)",
+        "LeftSemi" in p and "LeftAnti" in p,
+    )
+    check("no_cartesian(sql_api_intersect_except)", "Cartesian" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
