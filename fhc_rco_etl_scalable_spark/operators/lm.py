@@ -148,3 +148,71 @@ def perplexity(avg_logprob: Column) -> Column:
     the oracle-graded surface (exp() ulp drift would sit directly in
     the hash); filters should threshold avg_logprob itself."""
     return F.exp(-avg_logprob)
+
+
+def dsir_logratio_score(
+    docs: DataFrame,
+    target: Column,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the public
+    data-selection recipe): score every document by the average
+    log-likelihood ratio of its HASHED unigram features under a
+    target-slice model vs the raw-corpus model,
+
+        w(doc) = avg_t [ ln p_target(h(t)) - ln p_raw(h(t)) ]
+
+    with add-one smoothing over ``n_buckets`` hashed buckets. Rows
+    where ``target`` is true define the target distribution; the raw
+    model is the whole corpus. Importance RESAMPLING then composes
+    with the engine's weighted_sample on exp(w) — this operator ships
+    the weights, which is the part with distributed structure.
+
+    One corpus pass builds BOTH models (count + conditional count per
+    bucket in a single groupBy); the bucket table (<= n_buckets rows)
+    broadcasts; scoring is one broadcast join + a per-doc aggregate —
+    the same 100 TB shape as bigram_logprob_score. The bucket hash is
+    the catalog's portable md5-prefix idiom, so the DuckDB oracle
+    reproduces it bit-for-bit; ln()/round-6 per the BM25 contract.
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col("__w"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        target.alias("__t"),
+        F.explode(_tokens(F.col(text))).alias("__w"),
+    ).select("doc_id", "__t", bucket.alias("__bk"))
+    counts = base.groupBy("__bk").agg(
+        F.count(F.lit(1)).cast("long").alias("__cs"),
+        F.count_if(F.col("__t")).cast("long").alias("__ct"),
+    )
+    totals = counts.agg(
+        F.sum("__cs").cast("double").alias("__ns"),
+        F.sum("__ct").cast("double").alias("__nt"),
+    )
+    b = float(n_buckets)
+    lr = F.log((F.col("__ct") + 1.0) / (F.col("__nt") + b)) - F.log(
+        (F.col("__cs") + 1.0) / (F.col("__ns") + b)
+    )
+    return (
+        base.join(F.broadcast(counts), "__bk")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", lr.alias("__lr"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("__lr") / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("avg_log_ratio"),
+        )
+    )

@@ -7407,3 +7407,54 @@ def q_rest_sink_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): DSIR importance weights (operators/lm.py) — the
+# standard public data-selection signal alongside the perplexity
+# filter; target slice = lang='en'.
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_t,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+b AS (
+  SELECT doc_id, is_t,
+         (('0x' || substr(md5('dsir|' || w), 1, 8))::BIGINT % 1024) AS bk
+  FROM tok
+),
+m AS (
+  SELECT bk, CAST(count(*) AS BIGINT) AS cs,
+         CAST(count(*) FILTER (is_t) AS BIGINT) AS ct
+  FROM b GROUP BY 1
+),
+t AS (SELECT CAST(sum(cs) AS DOUBLE) AS ns, CAST(sum(ct) AS DOUBLE) AS nt FROM m),
+s AS (
+  SELECT doc_id,
+         ln((ct + 1.0) / (nt + 1024.0)) - ln((cs + 1.0) / (ns + 1024.0)) AS lr
+  FROM b JOIN m USING (bk) CROSS JOIN t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(sum(lr) / count(*), 6) AS DOUBLE) AS avg_log_ratio
+FROM s GROUP BY 1
+"""
+
+
+@query("dsir_weights", _DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/lm.py::dsir_logratio_score):
+    hashed-unigram log-likelihood ratio of the lang='en' target model
+    vs the raw corpus, add-one smoothed over 1024 md5-prefix buckets
+    (the catalog's engine-portable hash idiom). One corpus pass builds
+    both models in a single groupBy; the <=1024-row bucket table
+    broadcasts; scoring is one broadcast join + a per-doc aggregate —
+    no corpus shuffle before the doc_id rollup (plan-audited with the
+    ngram entry's invariants)."""
+    from ..operators.lm import dsir_logratio_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_logratio_score(docs, target=F.col("lang") == "en")

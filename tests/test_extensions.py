@@ -1038,3 +1038,26 @@ def test_ngram_perplexity_edges(spark):
     floor = math.log(0.4 / n_total)
     assert got[2].n_transitions == 2
     assert abs(got[2].avg_logprob - round(floor, 6)) < 1e-9
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    # target docs share a vocabulary; a held-out doc written in the
+    # target vocabulary must outscore one written in the off-target
+    # vocabulary (the DSIR selection property).
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.operators.lm import dsir_logratio_score
+
+    rows = [(i, "alpha beta gamma delta", "en") for i in range(10)]
+    rows += [(100 + i, "uno dos tres cuatro", "es") for i in range(10)]
+    rows += [(900, "alpha beta gamma", "xx"), (901, "uno dos tres", "xx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r.avg_log_ratio
+        for r in dsir_logratio_score(docs, target=F.col("lang") == "en").collect()
+    }
+    # the DSIR contract is the ORDERING of weights (resampling uses
+    # relative exp(w)); absolute sign depends on the smoothing mass
+    # (B=1024 buckets dominates tiny toy counts)
+    assert got[900] > got[901] + 1.0
+    assert max(got[i] for i in range(10)) > got[901]
