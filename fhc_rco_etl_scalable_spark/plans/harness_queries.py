@@ -7458,3 +7458,124 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return dsir_logratio_score(docs, target=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): exact distribution profiling — rank-based discrete
+# quantiles (the data-profiling staple next to dq_profile). Exact by
+# construction on both engines: the p-quantile is THE VALUE at ordered
+# row ceil(p*n) with a total tie-break (value, then rowid), never an
+# interpolation (percentile_cont midpoints and approx sketches are
+# engine-specific; a DISC quantile is a data value and hashes).
+# ---------------------------------------------------------------------------
+
+_EXACT_QUANTILES_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT flag, CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END)
+            AS DOUBLE) AS p50,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END)
+            AS DOUBLE) AS p90,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END)
+            AS DOUBLE) AS p99
+FROM r GROUP BY 1
+"""
+
+
+@query("exact_quantiles", _EXACT_QUANTILES_ORACLE)
+def q_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete per-group quantiles via ordered rank selection:
+    one window over the group exchange assigns a totally-ordered rank
+    (value, then the (orderkey, linenumber) key so duplicates break
+    identically on both engines), and the p-quantile is the value at
+    rank ceil(p*n) — a conditional aggregate on the same exchange, no
+    second shuffle. At 100 TB this is the EXACT-answer path (one sort
+    per group partition); approx_percentile (t-digest) remains the
+    sketch path where a bounded-error answer is acceptable, but sketch
+    internals are engine-specific and can never be hash-certified —
+    which is precisely why the certified surface is the rank form."""
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("v"),
+            )
+        ).cast("double")
+
+    return r.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(0.5).alias("p50"),
+        pick(0.9).alias("p90"),
+        pick(0.99).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): BPE tokenizer training (operators/bpe.py). The
+# distributed per-iteration workhorse — adjacent-pair weighting over
+# the word-type table — is oracle-certified here; the greedy merge
+# LOOP is data-dependent iteration (not SQL-expressible) and is
+# pinned row-for-row against a pure-python reference in pytest.
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_ORACLE = """
+WITH wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1 HAVING count(*) >= 2
+  ORDER BY c DESC, w LIMIT 50000
+),
+pairs AS (
+  SELECT substr(w, i, 1) || '|' ||
+         CASE WHEN i < len(w) THEN substr(w, i + 1, 1) ELSE '</w>' END AS pair,
+         c
+  FROM wc, unnest(range(1, len(w) + 1)) AS t(i)
+),
+agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS weight FROM pairs GROUP BY 1)
+SELECT pair, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, pair) AS INT) AS rank
+FROM agg ORDER BY weight DESC, pair LIMIT 20
+"""
+
+
+@query("bpe_top_pairs", _BPE_PAIRS_ORACLE)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration-1 candidate table (operators/bpe.py): word-type
+    counts (the single corpus pass, min_count=2, deterministic top-K)
+    -> adjacent character-pair weights with the end-of-word marker ->
+    top-20 by (weight desc, pair). The first merge the greedy loop
+    would pick is rank 1 with the same tie-break, so this entry
+    hash-pins exactly the decision input of the learner's distributed
+    stage. Plan: explode over word TYPES (vocabulary-sized, not
+    corpus-sized) + one aggregate."""
+    from ..operators.bpe import initial_pair_counts, word_type_counts
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = initial_pair_counts(word_type_counts(docs))
+    w = Window.orderBy(F.col("weight").desc(), F.col("pair"))
+    return (
+        pairs.orderBy(F.col("weight").desc(), F.col("pair"))
+        .limit(20)
+        .select("pair", "weight", F.row_number().over(w).cast("int").alias("rank"))
+    )

@@ -1061,3 +1061,54 @@ def test_dsir_weights_separate_target_like_docs(spark):
     # (B=1024 buckets dominates tiny toy counts)
     assert got[900] > got[901] + 1.0
     assert max(got[i] for i in range(10)) > got[901]
+
+
+def test_bpe_learns_and_segments_like_reference(spark):
+    # Pin the greedy loop row-for-row against an independent in-test
+    # reference on a toy corpus, and check apply-time invariants:
+    # pieces concatenate back to word+EOW, and learned merges compress.
+    from fhc_rco_etl_scalable_spark.operators.bpe import (
+        EOW,
+        apply_bpe,
+        learn_bpe,
+        segment_word,
+    )
+
+    corpus = [(i, "low low low lower lower newest newest newest widest") for i in range(3)]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    merges = learn_bpe(docs, n_merges=6, min_count=1)
+
+    # independent reference (naive dict-based BPE)
+    words = {}
+    for _, t in corpus:
+        for w in t.split():
+            words[w] = words.get(w, 0) + 1
+    seqs = {w: list(w) + [EOW] for w in words}
+    want = []
+    for _ in range(6):
+        pw = {}
+        for w, c in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pw[(a, b)] = pw.get((a, b), 0) + c
+        top = max(pw.values())
+        best = min(p for p, v in pw.items() if v == top)
+        want.append(best)
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1]); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = out
+    assert merges == want
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        pieces = segment_word(w, ranks)
+        assert "".join(pieces) == w + EOW  # lossless
+    out = {r.doc_id: r for r in apply_bpe(docs, merges).collect()}
+    assert out[0].n_words == 9
+    assert out[0].n_pieces < 9 * 6  # merges compress vs raw chars
+    assert out[0].pieces_per_word == out[1].pieces_per_word
