@@ -389,6 +389,22 @@ def main() -> int:
     )
     check("no_cartesian(sql_api_intersect_except)", "Cartesian" not in p)
 
+    # 28. Final round-8 additions: the DSIR scorer joins its model by
+    #     broadcast only; exact_quantiles pays at most the group
+    #     exchange plus one (rank window + aggregate share the flag
+    #     partitioning); bpe_top_pairs is explode-over-word-TYPES with
+    #     a single aggregate exchange.
+    p = plan_of(hq.q_dsir_weights(spark, sf_dir))
+    check("broadcast_model(dsir_weights)", "BroadcastHashJoin" in p)
+    check("no_smj(dsir_weights)", "SortMergeJoin" not in p)
+    p = plan_of(hq.q_exact_quantiles(spark, sf_dir))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check("bounded_shuffle(exact_quantiles)", n_ex <= 2, detail=f"{n_ex} exchanges")
+    check("no_join(exact_quantiles)", "Join" not in p)
+    p = plan_of(hq.q_bpe_top_pairs(spark, sf_dir))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check("single_shuffle(bpe_top_pairs)", n_ex <= 1, detail=f"{n_ex} exchanges")
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
