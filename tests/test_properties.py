@@ -299,3 +299,122 @@ def test_q20_window_total_equals_correlated_total(spark, ship_rows):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE merge loop: the driver-side greedy loop must match an
+# independent reference on arbitrary word-count tables (pure python —
+# no Spark per example, so the example budget is generous), and
+# segmentation with the learned table must be lossless.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+def test_bpe_merge_loop_matches_reference(word_counts, n_merges):
+    from fhc_rco_etl_scalable_spark.operators.bpe import (
+        EOW,
+        _merge_loop,
+        segment_word,
+    )
+
+    got = _merge_loop(word_counts, n_merges)
+
+    # independent reference
+    seqs = {w: list(w) + [EOW] for w, _ in word_counts}
+    counts = dict(word_counts)
+    want = []
+    for _ in range(n_merges):
+        pw = {}
+        for w, c in counts.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                pw[(a, b)] = pw.get((a, b), 0) + c
+        if not pw:
+            break
+        top = max(pw.values())
+        best = min(p for p, v in pw.items() if v == top)
+        want.append(best)
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1]); i += 2
+                else:
+                    out.append(s[i]); i += 1
+            seqs[w] = out
+    assert got == want
+
+    ranks = {p: i for i, p in enumerate(got)}
+    for w, _ in word_counts:
+        assert "".join(segment_word(w, ranks)) == w + EOW  # lossless
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: the Spark expression tree must match a pure-
+# python model over structured random URLs (case x port x trailing
+# slash x param order x tracking x fragment).
+# ---------------------------------------------------------------------------
+
+_url_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["http", "HTTP", "https", "HtTpS"]),
+        st.sampled_from(["Host.COM", "a.b.org", "X9.net"]),
+        st.sampled_from(["", ":80", ":443", ":8080"]),
+        st.sampled_from(["", "/p", "/p/q", "/p/q/", "/p//"]),
+        st.lists(
+            st.sampled_from(
+                ["a=1", "b=2", "z=9", "utm_source=s", "utm_campaign=c",
+                 "gclid=g", "fbclid=f", "ref=r"]
+            ),
+            max_size=4,
+            unique=True,
+        ),
+        st.sampled_from(["", "#frag"]),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _canon_model(scheme, host, port, path, params, frag) -> str:
+    import re as _re
+
+    s = scheme.lower()
+    h = host.lower()
+    p = port
+    if (s == "http" and p == ":80") or (s == "https" and p == ":443"):
+        p = ""
+    pa = _re.sub(r"/+$", "", path)
+    keep = sorted(
+        q for q in params
+        if not _re.match(r"^(utm_[A-Za-z0-9_]*|gclid|fbclid)=", q)
+    )
+    qs = "?" + "&".join(keep) if keep else ""
+    return f"{s}://{h}{p}{pa}{qs}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_url_strategy)
+def test_url_canonicalization_matches_model(spark, urls):
+    from fhc_rco_etl_scalable_spark.functions.url import canonicalize_url
+
+    raw = [
+        (f"{s}://{h}{p}{pa}" + ("?" + "&".join(q) if q else "") + f,)
+        for s, h, p, pa, q, f in urls
+    ]
+    want = [_canon_model(*u) for u in urls]
+    df = spark.createDataFrame(raw, "url string")
+    got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
+    assert got == want
