@@ -7579,3 +7579,139 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("pair", "weight", F.row_number().over(w).cast("int").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8 (cont.): S2 (hierarchy/dim lookups) promoted to oracle
+# evidence — the driver-paged rest.py surface this time (S1's entry
+# certifies the executor-parallel DataSource): a NESTED hierarchy dim
+# served over live loopback HTTP in two pages, parsed executor-side
+# (spark.read.json over the page payload RDD), flattened to dotted
+# names (json_flatten — the json_normalize equivalent), then
+# broadcast-joined onto the fact aggregate. The oracle derives the
+# same dim arithmetically from parquet, so the paging protocol, the
+# nested flatten, and the dim join all sit in the hash.
+# ---------------------------------------------------------------------------
+
+_REST_DIM_ORACLE = """
+WITH ev AS (
+  SELECT 'L' || CAST(user_id % 4 AS VARCHAR) AS LINE, value FROM events
+),
+dim AS (
+  SELECT DISTINCT LINE,
+         (CAST(substr(LINE, 2) AS INT) + 1) * 100 AS speed,
+         'Z' || CAST(CAST(substr(LINE, 2) AS INT) % 2 AS VARCHAR) AS zone
+  FROM ev
+)
+SELECT e.LINE, d.zone, CAST(d.speed AS BIGINT) AS speed,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total_value
+FROM ev e JOIN dim d USING (LINE)
+GROUP BY 1, 2, 3
+"""
+
+
+@query("rest_hierarchy_dim_harness", _REST_DIM_ORACLE)
+def q_rest_hierarchy_dim_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 driver-graded (reference hierarchy lookups,
+    App/mdc/__init__.py:14-148 + json_normalize :198): rest_scan walks
+    a two-page `_links.next` chain from a live local server carrying a
+    NESTED line-hierarchy dim, pages parse executor-side and
+    flatten_structs exposes `meta.speed`/`meta.zone` as dotted
+    columns, and the dim broadcast-joins onto the per-LINE fact
+    aggregate. The dim payload is derived deterministically from the
+    fixture's line set (bounded: 4 lines), so the oracle reproduces it
+    arithmetically — any drift in paging, nested parse, flatten
+    naming, or the join flips the hash."""
+    import http.server
+    import json as _json
+    import threading
+
+    from ..sources.rest import default_fetch, rest_scan
+
+    lines = sorted(
+        r.LINE
+        for r in load_table(spark, "events", sf_dir)
+        .select(
+            F.concat(F.lit("L"), (F.col("user_id") % 4).cast("string")).alias(
+                "LINE"
+            )
+        )
+        .distinct()
+        .collect()  # bounded: 4 lines
+    )
+    items = [
+        {
+            "line": ln,
+            "meta": {
+                "speed": (int(ln[1:]) + 1) * 100,
+                "zone": f"Z{int(ln[1:]) % 2}",
+            },
+        }
+        for ln in lines
+    ]
+    half = max(1, len(items) // 2)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            if "page=2" in self.path:
+                body = {"items": items[half:], "_links": {}}
+            else:
+                body = {
+                    "items": items[:half],
+                    "_links": {
+                        "next": {
+                            "href": f"http://{self.headers['Host']}"
+                            f"/hierarchy?page=2"
+                        }
+                    },
+                }
+            payload = _json.dumps(body).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        dim = rest_scan(
+            spark,
+            default_fetch,
+            f"http://127.0.0.1:{srv.server_address[1]}",
+            "hierarchy",
+            site="ALL",
+            start_date="2024-01-01",
+        ).select(
+            F.col("line").alias("LINE"),
+            F.col("`meta.speed`").cast("long").alias("speed"),
+            F.col("`meta.zone`").alias("zone"),
+        )
+        ev = load_table(spark, "events", sf_dir).select(
+            F.concat(F.lit("L"), (F.col("user_id") % 4).cast("string")).alias(
+                "LINE"
+            ),
+            "value",
+        )
+        out = (
+            ev.join(F.broadcast(dim), "LINE")
+            .groupBy("LINE", "zone", "speed")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+                .cast("double")
+                .alias("total_value"),
+            )
+        )
+        rows = out.collect()  # bounded: 4 lines; server must outlive the scan
+        return spark.createDataFrame(
+            rows,
+            "LINE string, zone string, speed long, n long, total_value double",
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()
