@@ -38,13 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of the JSON history + _RECERTIFY, so it never drifts from what
 # the driver actually recorded.
 _RECERTIFY = [
-    # round 8: implementations changed this round (ADVICE r7) —
-    # sql_api_recursive_spine's week_start became STRING on both
-    # engines (removing the date-vs-midnight-timestamp canon
-    # dependence) and unpivot_measures pins DuckDB's NULL-excluding
-    # UNPIVOT semantics with an explicit isNotNull filter.
-    "sql_api_recursive_spine",
-    "unpivot_measures",
+    # round 9: rest_scan_harness now self-provisions
+    # spark.sql.python.filterPushdown.enabled (set/restore inside the
+    # entry) — the r8 official red was a session-conf dependence, not
+    # operator semantics. (It is also never-green so it sorts first
+    # regardless; listed for the record.)
+    "rest_scan_harness",
 ]
 
 

@@ -7283,7 +7283,19 @@ def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
+    # Self-provision the Python-DataSource pushdown conf: the driver
+    # grades on a VANILLA session where it defaults to false, and
+    # PagedRestReader implements pushFilters(), so reader init raises
+    # DATA_SOURCE_PUSHDOWN_DISABLED without it (the r8 official red).
+    # Runtime-settable; restored in the finally so the entry leaves the
+    # session exactly as it found it.
+    _PD_CONF = "spark.sql.python.filterPushdown.enabled"
+    # `conf.get` returns the session DEFAULT for an unset conf, so use
+    # SET (explicitly-set confs only) to decide between restore/unset.
+    _explicit = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+    prior_pd = _explicit.get(_PD_CONF)
     try:
+        spark.conf.set(_PD_CONF, "true")
         spark.dataSource.register(PagedRestDataSource)
         df = (
             spark.read.format("paged_rest")
@@ -7311,6 +7323,10 @@ def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             " min_id long, max_id long",
         )
     finally:
+        if prior_pd is None:
+            spark.conf.unset(_PD_CONF)
+        else:
+            spark.conf.set(_PD_CONF, prior_pd)
         srv.shutdown()
         srv.server_close()
 

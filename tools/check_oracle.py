@@ -150,16 +150,57 @@ def canon_pandas(df) -> list[str]:
     return out
 
 
+def vanilla_spark():
+    """A bone-vanilla SparkSession — master + UI off and NOTHING else.
+
+    The gate exists to reproduce the driver's environment, and the
+    driver grades entries on a session with no engine confs set
+    (round 8's one red, ``rest_scan_harness``, was green under
+    ``get_spark()`` and red officially purely because ``get_spark``
+    sets ``spark.sql.python.filterPushdown.enabled``).  Running the
+    replica vanilla makes every entry self-provision any conf it
+    needs — the actual driver contract.  An entry that goes red here
+    is a bug in the entry, never a reason to re-add a conf below.
+    """
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("oracle-check-vanilla")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def session_conf_snapshot(spark) -> dict:
+    """Explicitly-set session confs (SET output), for leak detection."""
+    return {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+
+
+# The ingestion-contract confs that sources/parquet.load_table pins for
+# the LIFETIME of the session by documented design (timestamp semantics
+# must not flip between a frame's analysis and its execution). Every
+# entry self-provisions them through load_table, so their appearance is
+# the contract working — not a leak.
+from fhc_rco_etl_scalable_spark.sources.parquet import (  # noqa: E402
+    _PINNED_CONFS as _LIFETIME_PINS,
+)
+
+
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
-    from fhc_rco_etl_scalable_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    spark = vanilla_spark()
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -184,6 +225,7 @@ def main() -> int:
                 linted = True
                 for e in lint:
                     print(f"LINT {e}")
+        conf_before = session_conf_snapshot(spark)
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -192,6 +234,24 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
             continue
+        finally:
+            # Conf-leak lint: an entry that needs a non-default conf
+            # must set AND restore it — a leaked conf can silently
+            # green a LATER entry that would be red standalone on the
+            # driver (the rotation order differs between gate and
+            # driver, so leaks are a correctness hazard, not hygiene).
+            conf_after = session_conf_snapshot(spark)
+            leaked = {
+                k: v
+                for k, v in conf_after.items()
+                if conf_before.get(k) != v and k not in _LIFETIME_PINS
+            } | {
+                k: "<unset>"
+                for k in conf_before
+                if k not in conf_after and k not in _LIFETIME_PINS
+            }
+            if leaked:
+                print(f"WARN {name}: leaked session confs {leaked}")
         if sql is None:
             print(f"ok?  {name}: rows={len(s_pdf)} (no oracle, rows-only check)"
                   f" [{time.time()-t0:.1f}s]")
