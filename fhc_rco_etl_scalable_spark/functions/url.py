@@ -51,7 +51,11 @@ def canonicalize_url(url: Column | str) -> Column:
     path = F.regexp_replace(
         F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1), r"/+$", ""
     )
-    qs = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # Strip the fragment BEFORE extracting the query: a '?' whose first
+    # appearance is inside the fragment (http://h/p#a?b=1) is fragment
+    # text, not a query, and must vanish with it (ADVICE r8 #2).
+    defrag = F.regexp_replace(u, r"#.*$", "")
+    qs = F.regexp_extract(defrag, r"\?(.*)$", 1)
     params = F.array_sort(
         F.filter(
             F.split(qs, "&"),

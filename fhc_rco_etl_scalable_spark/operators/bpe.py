@@ -68,7 +68,6 @@ def initial_pair_counts(word_counts: DataFrame) -> DataFrame:
     (explode + one aggregate; each subsequent iteration is the same
     shape over updated piece sequences). Pair key is 'a|b' with the
     end-of-word marker as the final piece."""
-    w = F.concat(F.col("w"), F.lit(EOW))
     # pieces of the UNMERGED word: every char, with EOW glued to a
     # trailing marker piece; adjacent pair i pairs piece i and i+1.
     n = F.length("w")  # chars of the bare word; pieces = n + 1 (EOW)
@@ -184,14 +183,14 @@ def apply_bpe(
                 )
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[doc_id],
+                    doc_id: pdf[doc_id],
                     "n_words": pd.Series(n_words, dtype="int64"),
                     "n_pieces": pd.Series(n_pieces, dtype="int64"),
                 }
             )
 
     out = docs.select(doc_id, text_col).mapInPandas(
-        seg, f"doc_id {id_type}, n_words long, n_pieces long"
+        seg, f"`{doc_id}` {id_type}, n_words long, n_pieces long"
     )
     return out.withColumn(
         "pieces_per_word",

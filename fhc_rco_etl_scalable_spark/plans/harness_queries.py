@@ -2511,12 +2511,20 @@ def _clamped_shuffle(spark: SparkSession, n: int = 4):
     @contextlib.contextmanager
     def cm():
         key = "spark.sql.shuffle.partitions"
-        prev = spark.conf.get(key)
+        # conf.get returns the session DEFAULT for an unset conf;
+        # restoring that value would leave the conf explicitly set
+        # (a leak the vanilla gate lints). SET lists only explicit
+        # confs, so unset when the session never set it.
+        explicit = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+        prev = explicit.get(key)
         spark.conf.set(key, str(n))
         try:
             yield
         finally:
-            spark.conf.set(key, prev)
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
     return cm()
 
@@ -6710,7 +6718,7 @@ canon AS (
   SELECT doc_id,
          lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest,
-         regexp_extract(url, '\\?([^#]*)', 1) AS qs
+         regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1) AS qs
   FROM urls
 ),
 parts AS (
@@ -7155,8 +7163,6 @@ def q_jdbc_window_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf; the scan itself is the surface under test. Timestamps
     round-trip exactly (Derby TIMESTAMP carries nanos; the session
     stays UTC via load_table's pinned confs)."""
-    import uuid
-
     from ..sources.jdbc import JdbcWindowScan
 
     ev = (
@@ -7169,11 +7175,18 @@ def q_jdbc_window_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("V"),
         )
     )
-    url = f"jdbc:derby:memory:sg{uuid.uuid4().hex[:12]};create=true"
+    # ONE fixed-name in-memory database per session (ADVICE r8 #3): a
+    # per-execution uuid name leaked a seeded Derby heap per bench
+    # repeat / recertification run, and the scan below is LAZY (the
+    # caller collects after we return), so drop-in-finally would pull
+    # the database out from under the returned frame. Overwrite-mode
+    # seeding makes repeats idempotent; the leak is bounded at one.
+    url = "jdbc:derby:memory:sg_jdbc_harness;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     (
         ev.coalesce(1)  # single-connection seed: plumbing, not the surface
         .write.format("jdbc")
+        .mode("overwrite")
         .option("url", url)
         .option("dbtable", "events")
         .options(**props)

@@ -381,7 +381,10 @@ _url_strategy = st.lists(
             max_size=4,
             unique=True,
         ),
-        st.sampled_from(["", "#frag"]),
+        # Fragments may themselves contain '?': the FIRST '?' of the
+        # URL can sit inside the fragment, and canonicalization must
+        # not mistake fragment text for a query (ADVICE r8 #2).
+        st.sampled_from(["", "#frag", "#a?b=1", "#?utm_source=s"]),
     ),
     min_size=1,
     max_size=15,

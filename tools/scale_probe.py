@@ -341,11 +341,18 @@ def run_semdedup(spark, emb) -> dict:
     )
     n = emb.count()
     all_pairs = n * (n - 1) / 2
+    # Degenerate runs (every cluster a singleton → tot 0; n < 2 →
+    # all_pairs 0) must still emit a summary line, not crash
+    # (ADVICE r8 #5).
+    tot = int(sizes["tot"] or 0)
+    mx = int(sizes["mx"] or 0)
     return {
         "kept": kept,
-        "candidates": int(sizes["tot"]),
-        "candidate_frac_of_allpairs": round(sizes["tot"] / all_pairs, 4),
-        "max_cluster_share": round(sizes["mx"] / sizes["tot"], 4),
+        "candidates": tot,
+        "candidate_frac_of_allpairs": (
+            round(tot / all_pairs, 4) if all_pairs else 0.0
+        ),
+        "max_cluster_share": round(mx / tot, 4) if tot else 0.0,
     }
 
 
