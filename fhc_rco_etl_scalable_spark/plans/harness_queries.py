@@ -2694,7 +2694,14 @@ def _run_sessionize_stream(spark: SparkSession, sf_dir: str) -> str:
     from ..streaming.sessionize_stream import streaming_sessionize
 
     co = _harness_co_feed(spark, sf_dir)
-    n_batches = 4
+    # 2 data micro-batches = 1 cross-batch state carry under the hash
+    # gate — the time-sliced cut lands mid-session for many of the
+    # 1451 LINE groups, so carried python-state is exercised broadly,
+    # not just at one boundary. Each extra batch costs ~1.0 s of pure
+    # per-group state-protocol fixed cost (addBatch ~0.9 s at 16
+    # partitions, r9 probe); r7 ran 4 batches, r9 runs the minimum
+    # that still proves the carry.
+    n_batches = 2
     chk = tempfile.mkdtemp(prefix="sg-sess-chk-")
     # 16, not the JVM-stateful default 4: applyInPandasWithState cost
     # is per-group python state protocol, which parallelizes (see
@@ -3156,7 +3163,8 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize_stream import streaming_runtime_per_day
 
     feed = harness_downtime_log(spark, sf_dir).select("LINE", "START_TIME", "UPTIME")
-    n_batches = 4
+    n_batches = 2  # 1 cross-batch window-state carry (r9 floor grid:
+    # 3b 2.1 s -> 2b 1.55 s; boundary windows still span the batch cut)
     with _clamped_shuffle(spark), _staged_file_stream(
         feed, n_batches, ["START_TIME", "LINE"], "sg-tumb",
         cache_key=sf_dir,
@@ -3902,7 +3910,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "ts", F.col("ts").cast("date").alias("Date")
         )
     )
-    n_batches = 4
+    n_batches = 2  # 1 cross-batch dedup-state carry (r9 floor work)
     with _clamped_shuffle(spark), _staged_file_stream(
         feed, n_batches, ["ts", "user_id"], "sg-dedup",
         cache_key=sf_dir,
@@ -4134,8 +4142,14 @@ def q_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "user_id", "event_id", "ts", "event_type"
     )
-    n_batches = 3
-    with _clamped_shuffle(spark), _staged_file_stream(
+    # 2 data micro-batches (1 carry: batch-1 view state joins batch-2
+    # purchases) at 2 partitions: the stream-stream join keeps FOUR
+    # state stores per partition, so store count — not parallelism —
+    # dominates at harness scale (r9 grid: 3b/4p 4.3 s, 2b/2p 3.0 s;
+    # state commit is CPU-side serialization, tmpfs checkpoints were
+    # measured flat).
+    n_batches = 2
+    with _clamped_shuffle(spark, 2), _staged_file_stream(
         ev, n_batches, ["ts", "event_id"], "sg-ssj", cache_key=sf_dir
     ) as src:
         feed = (
@@ -5423,7 +5437,7 @@ def q_streaming_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    n_batches = 4
+    n_batches = 2  # stateless: 2 batches still prove per-batch re-join
     with _clamped_shuffle(spark), _staged_file_stream(
         ev, n_batches, ["ts", "event_id"], "sg-enrich",
         cache_key=sf_dir,
