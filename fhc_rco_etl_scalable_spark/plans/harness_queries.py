@@ -7758,3 +7758,174 @@ def q_rest_hierarchy_dim_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Round 9: S6 (site/line config read) promoted from test-only to oracle
+# evidence — the last gradable §2 row without a driver-graded entry.
+# The SharePoint-Graph-shaped payloads (one nested JSON object per
+# list: value[] of items each carrying metadata noise plus a fields
+# struct) go through the engine's real ingestion path
+# (sources/config.py: spark.read.json -> explode_records ->
+# flatten_structs -> declared column map with typed casts), the line
+# config broadcast-joins its site row — the exact consumption shape
+# of App/rco_main.py:121-188 + run_rco_analysis — and the normalized
+# projection is hashed against a DuckDB literal transcription of what
+# the two lists declare.
+# ---------------------------------------------------------------------------
+
+_CONFIG_READ_ORACLE = """
+SELECT MDC_Line_Name, Department, Constraint_Machine_String, System,
+       Line_Configuration, Server, MDC_Site_Name,
+       CAST(co_trigger_param AS DOUBLE) AS co_trigger_param,
+       Run_First_Stop_After_CO_Analysis, Run_Multi_Constraint_Analysis
+FROM (VALUES
+  ('L101', 'Packing',   'Conveyor A', 'MDC',     'Single', 'CABSRV',  'Cabuyao',       30.0, 'Yes', 'No'),
+  ('L102', 'Packing',   NULL,         'MDC',     'Multi',  'CABSRV',  'Cabuyao',       30.0, 'Yes', 'No'),
+  ('L201', 'Liquids',   'Filler 2',   'MDC-OSI', 'Single', 'GEBSRV',  'Gebze DL',      45.0, 'No',  'Yes'),
+  ('L301', 'Maple',     'Capper',     'MDC',     'Single', 'STLSRV',  'StLouis Maple', 25.5, 'Yes', 'No'),
+  ('L302', 'Maple',     'Labeler 1',  'MDC',     'Multi',  'STLSRV',  'StLouis Maple', 25.5, 'Yes', 'No'),
+  ('L401', 'Takasaki',  'Mixer',      'Legacy',  'Single', 'TAKSRV',  'Takasaki LIQ',  40.0, 'No',  'No')
+) AS t(MDC_Line_Name, Department, Constraint_Machine_String, System,
+       Line_Configuration, Server, MDC_Site_Name, co_trigger_param,
+       Run_First_Stop_After_CO_Analysis, Run_Multi_Constraint_Analysis)
+"""
+
+
+@query("config_read_harness", _CONFIG_READ_ORACLE)
+def q_config_read_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 driver-graded (reference App/rco_main.py:121-188 — SharePoint
+    Graph site/line config lists -> json_normalize -> column filter +
+    rename): two Graph-shaped payloads (value[] items with '@odata'
+    etags, ids, LinkTitle/Edit metadata AND the fields struct) are
+    staged as files and read through sources/config.py — the declared
+    column maps must drop every metadata column and type the numeric
+    config knobs — then the line config broadcast-joins its site row on
+    SiteNameLookupId, the exact lookup run_rco_analysis performs per
+    line. The payloads are literal config (config IS literal data; the
+    surface under test is the ingestion/projection path), so the oracle
+    is the reference transcription of the same two lists."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..sources.config import line_config_frame, site_config_frame
+
+    def item(fid, fields):
+        return {
+            "@odata.etag": f'"{fid}-etag"',
+            "id": str(fid),
+            "createdDateTime": "2024-01-01T00:00:00Z",
+            "fields": {"@odata.etag": f'"{fid}"', "id": str(fid),
+                       "LinkTitle": fields.get("Title"), "Edit": "",
+                       **fields},
+        }
+
+    sites = [
+        item(1, {"Title": "CABSRV", "SiteName": "Cabuyao",
+                 "CO_Trigger_Parameter": 30.0,
+                 "Run_Machine_Level_Analysis": "Yes",
+                 "Run_First_Stop_After_CO_Analysis": "Yes",
+                 "Run_Multi_Constraint_Analysis": "No",
+                 "Split_COs_based_on_Cause_Model": "No",
+                 "SUD_specific_RCO_script": "No",
+                 "changeover_query_single_line": "C2 LIKE '%Changeover%'",
+                 "changeover_query_multi_line": None}),
+        item(2, {"Title": "GEBSRV", "SiteName": "Gebze DL",
+                 "CO_Trigger_Parameter": 45.0,
+                 "Run_Machine_Level_Analysis": "No",
+                 "Run_First_Stop_After_CO_Analysis": "No",
+                 "Run_Multi_Constraint_Analysis": "Yes",
+                 "Split_COs_based_on_Cause_Model": "Yes",
+                 "SUD_specific_RCO_script": "No",
+                 "changeover_query_single_line": "C2 LIKE '%DEGISIM%'",
+                 "changeover_query_multi_line": "C2 LIKE '%DEGISIM%'"}),
+        item(3, {"Title": "STLSRV", "SiteName": "StLouis Maple",
+                 # SharePoint renders numbers inconsistently: this one
+                 # arrives as a STRING and must cast on read.
+                 "CO_Trigger_Parameter": "25.5",
+                 "Run_Machine_Level_Analysis": "Yes",
+                 "Run_First_Stop_After_CO_Analysis": "Yes",
+                 "Run_Multi_Constraint_Analysis": "No",
+                 "Split_COs_based_on_Cause_Model": "No",
+                 "SUD_specific_RCO_script": "No",
+                 "changeover_query_single_line": "C1 = 'Planned Downtime'",
+                 "changeover_query_multi_line": None}),
+        item(4, {"Title": "TAKSRV", "SiteName": "Takasaki LIQ",
+                 "CO_Trigger_Parameter": 40.0,
+                 "Run_Machine_Level_Analysis": "No",
+                 "Run_First_Stop_After_CO_Analysis": "No",
+                 "Run_Multi_Constraint_Analysis": "No",
+                 "Split_COs_based_on_Cause_Model": "No",
+                 "SUD_specific_RCO_script": "Yes",
+                 "changeover_query_single_line": "C1 = 'Changeover'",
+                 "changeover_query_multi_line": None}),
+    ]
+    lines = [
+        item(11, {"Title": "L101", "Department": "Packing",
+                  "Constraint_Machine_String": "Conveyor A",
+                  "SiteNameLookupId": 1, "System": "MDC",
+                  "Line_Configuration": "Single"}),
+        item(12, {"Title": "L102", "Department": "Packing",
+                  "Constraint_Machine_String": None,
+                  "SiteNameLookupId": 1, "System": "MDC",
+                  "Line_Configuration": "Multi"}),
+        item(13, {"Title": "L201", "Department": "Liquids",
+                  "Constraint_Machine_String": "Filler 2",
+                  "SiteNameLookupId": 2, "System": "MDC-OSI",
+                  "Line_Configuration": "Single"}),
+        item(14, {"Title": "L301", "Department": "Maple",
+                  "Constraint_Machine_String": "Capper",
+                  "SiteNameLookupId": 3, "System": "MDC",
+                  "Line_Configuration": "Single"}),
+        item(15, {"Title": "L302", "Department": "Maple",
+                  "Constraint_Machine_String": "Labeler 1",
+                  "SiteNameLookupId": 3, "System": "MDC",
+                  "Line_Configuration": "Multi"}),
+        item(16, {"Title": "L401", "Department": "Takasaki",
+                  "Constraint_Machine_String": "Mixer",
+                  "SiteNameLookupId": 4, "System": "Legacy",
+                  "Line_Configuration": "Single"}),
+    ]
+
+    tmp = _tempfile.mkdtemp(prefix="sg-config-")
+    try:
+        for fname, payload in (("site.json", sites), ("line.json", lines)):
+            with open(_os.path.join(tmp, fname), "w") as f:
+                _json.dump({"value": payload}, f)
+        site_raw = spark.read.option("multiLine", "true").json(
+            _os.path.join(tmp, "site.json")
+        )
+        line_raw = spark.read.option("multiLine", "true").json(
+            _os.path.join(tmp, "line.json")
+        )
+        site_cfg = site_config_frame(site_raw, item_id=True)
+        line_cfg = line_config_frame(line_raw)
+        out = (
+            line_cfg.join(
+                F.broadcast(
+                    site_cfg.select(
+                        # SiteNameLookupId points at the site list's
+                        # Graph item id — the real SharePoint lookup key.
+                        F.col("list_item_id").alias("__site_id"),
+                        "Server", "MDC_Site_Name",
+                        F.col("CO_Trigger_Parameter").alias("co_trigger_param"),
+                        "Run_First_Stop_After_CO_Analysis",
+                        "Run_Multi_Constraint_Analysis",
+                    )
+                ),
+                F.col("SiteNameLookupId") == F.col("__site_id"),
+            )
+            .select(
+                "MDC_Line_Name", "Department", "Constraint_Machine_String",
+                "System", "Line_Configuration", "Server", "MDC_Site_Name",
+                "co_trigger_param", "Run_First_Stop_After_CO_Analysis",
+                "Run_Multi_Constraint_Analysis",
+            )
+        )
+        rows = out.collect()  # bounded: config tables are tens of rows
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)

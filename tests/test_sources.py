@@ -599,3 +599,43 @@ def test_paged_rest_all_partitions_pruned_returns_zero_rows(spark):
         .filter(F.col("site") == "S3")
     )
     assert df.count() == 0
+
+
+def test_sharepoint_config_frames_drop_metadata_and_type(spark, tmp_path):
+    """S6 (sources/config.py): Graph-list payloads project to exactly
+    the declared columns — metadata ('@odata.etag', LinkTitle, ids,
+    createdDateTime) dropped, numerics typed even when the list
+    renders them as strings, and the optional list_item_id retained
+    for LookupId joins."""
+    import json
+
+    payload = {"value": [
+        {"@odata.etag": '"7"', "id": "7",
+         "createdDateTime": "2024-01-01T00:00:00Z",
+         "fields": {"@odata.etag": '"7"', "id": "7", "LinkTitle": "S",
+                    "Edit": "", "Title": "SRV1", "SiteName": "SiteA",
+                    "CO_Trigger_Parameter": "12.5",
+                    "Run_Machine_Level_Analysis": "Yes",
+                    "Run_First_Stop_After_CO_Analysis": "No",
+                    "Run_Multi_Constraint_Analysis": "No",
+                    "Split_COs_based_on_Cause_Model": "No",
+                    "SUD_specific_RCO_script": "No",
+                    "changeover_query_single_line": "q",
+                    "changeover_query_multi_line": None}},
+    ]}
+    p = tmp_path / "site.json"
+    p.write_text(json.dumps(payload))
+
+    from fhc_rco_etl_scalable_spark.sources.config import (
+        SITE_CONFIG_COLUMNS,
+        site_config_frame,
+    )
+
+    raw = spark.read.option("multiLine", "true").json(str(p))
+    cfg = site_config_frame(raw, item_id=True)
+    assert cfg.columns == ["list_item_id"] + list(SITE_CONFIG_COLUMNS.values())
+    row = cfg.first()
+    assert row.list_item_id == 7
+    assert row.Server == "SRV1"
+    assert row.CO_Trigger_Parameter == 12.5  # string in the payload
+    assert dict(cfg.dtypes)["CO_Trigger_Parameter"] == "double"
