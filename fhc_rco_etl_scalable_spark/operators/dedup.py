@@ -964,6 +964,108 @@ def span_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Corpus-wide exact repeated-substring removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    every substring of >= N tokens that occurs more than once in the
+    corpus — their ExactSubstr, built there on a suffix array).
+
+    The Spark shape replaces the suffix array with sliding
+    ``min_tokens``-gram anchors at EVERY token position, which is
+    EXACT for this removal rule, not an approximation: a repeated
+    substring of length >= N contains only repeated N-windows, and
+    every repeated N-window IS a repeated substring of length N — so
+    the union of positions covered by duplicated N-grams equals the
+    union of positions covered by repeated >= N-token substrings.
+    (Unlike :func:`span_dedup`'s non-overlapping chunks, which miss
+    repeats that straddle a chunk boundary.)
+
+    Pipeline (one explode, three key-partitioned exchanges, no
+    all-pairs): sliding grams with positions -> groupBy gram keeps
+    only count>1 (duplicated anywhere, same-doc repeats included, as
+    in the paper) -> semi-join positions back on gram -> per-doc
+    interval merge of [pos, pos+N) windows (classic gaps-and-islands
+    over a per-doc window) -> token-indexed filter rebuilds the
+    cleaned text. Output: one row per input doc —
+    (id, n_tokens, n_removed, n_spans, cleaned_text).
+
+    Scale: the gram aggregate and the gram semi-join shuffle on the
+    gram itself (hot boilerplate grams skew a partition, but each
+    group reduces to a count — map-side partial aggregation bounds
+    it); the interval merge shuffles on the doc id. At 100 TB the
+    gram key-space dominates the shuffle exactly like the paper's
+    suffix-array build dominates theirs; nothing is quadratic.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    grams = base.filter(n >= min_tokens).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - min_tokens),
+                lambda i: F.array_join(
+                    F.slice("__toks", i + 1, min_tokens), " "
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("gram")
+    )
+    cov = grams.join(dup, "gram").select(
+        id_col, "pos", (F.col("pos") + min_tokens).alias("__end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        cov.withColumn(
+            "__new",
+            (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn("__island", F.sum("__new").over(w))
+        .groupBy(id_col, "__island")
+        .agg(F.min("pos").alias("__s"), F.max("__end").alias("__e"))
+    )
+    spans = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("__e") - F.col("__s")).cast("long").alias("n_removed"),
+        F.collect_list(F.struct("__s", "__e")).alias("__ivs"),
+    )
+    joined = base.join(spans, id_col, "left")
+    kept = F.when(F.col("__ivs").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.col("__toks"),
+            lambda _, i: ~F.exists(
+                F.col("__ivs"),
+                lambda iv: (i >= iv["__s"]) & (i < iv["__e"]),
+            ),
+        )
+    )
+    return joined.select(
+        id_col,
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def domain_mixture(
     df: DataFrame,
     domain_col: str,

@@ -7929,3 +7929,109 @@ def q_config_read_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         import shutil as _shutil
 
         _shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: corpus-wide exact repeated-substring removal (Lee et al.
+# 2022 ExactSubstr — VERDICT r8 #7, the one notable LLM-dedup recipe
+# not yet first-class). Sliding-anchor formulation is exact for the
+# >=N-token removal rule (see operators/dedup.substring_dedup). The
+# fixture guarantees both directions: doc_id%3==0 documents share an
+# injected 12-token boilerplate tail (MUST be removed — including the
+# junction grams where it overlaps repeated document text), all other
+# text is removed only where the corpus naturally repeats (the oracle
+# computes the identical rule, so natural repeats stay in the hash).
+# ---------------------------------------------------------------------------
+
+_BOILER = (
+    "subscribe to our newsletter today for weekly updates and"
+    " exclusive offers everyone"
+)
+
+_SUBSTRING_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' {_BOILER}' ELSE '' END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM t
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+  FROM tok, unnest(range(0, greatest(len(toks) - 7, 0))) AS r(i)
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+cov AS (
+  SELECT doc_id, pos, pos + 8 AS e FROM g
+  WHERE gram IN (SELECT gram FROM dup)
+),
+m AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS st
+  FROM cov
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM m
+),
+sp AS (
+  SELECT doc_id, island, min(pos) AS s, max(e) AS e FROM isl GROUP BY 1, 2
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s) AS BIGINT) AS n_removed
+  FROM sp GROUP BY 1
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS tok
+  FROM tok, unnest(range(0, len(toks))) AS r(i)
+),
+keep AS (
+  SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+  WHERE NOT EXISTS (SELECT 1 FROM sp
+                    WHERE sp.doc_id = tp.doc_id
+                      AND tp.pos >= sp.s AND tp.pos < sp.e)
+),
+ct AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+  FROM keep GROUP BY doc_id
+)
+SELECT tok.doc_id, CAST(len(tok.toks) AS BIGINT) AS n_tokens,
+       coalesce(stats.n_removed, 0) AS n_removed,
+       coalesce(stats.n_spans, 0) AS n_spans,
+       coalesce(ct.cleaned_text, '') AS cleaned_text
+FROM tok
+LEFT JOIN stats USING (doc_id)
+LEFT JOIN ct USING (doc_id)
+"""
+
+
+@query("substring_dedup", _SUBSTRING_DEDUP_ORACLE)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022) over the documents table
+    with an injected shared boilerplate tail on doc_id%3==0 — the
+    sliding-anchor Spark shape (operators/dedup.substring_dedup): one
+    posexplode, a gram-keyed duplicate aggregate + semi-join, a
+    per-doc gaps-and-islands interval merge, and a token-indexed
+    rebuild of the cleaned text. No all-pairs path anywhere; the
+    oracle transcribes the identical rule."""
+    from ..operators.dedup import substring_dedup
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + _BOILER)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return substring_dedup(docs, "doc_id", "text", min_tokens=8)

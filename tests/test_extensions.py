@@ -1112,3 +1112,37 @@ def test_bpe_learns_and_segments_like_reference(spark):
     assert out[0].n_words == 9
     assert out[0].n_pieces < 9 * 6  # merges compress vs raw chars
     assert out[0].pieces_per_word == out[1].pieces_per_word
+
+
+def test_substring_dedup_exactsubstr_semantics(spark):
+    """ExactSubstr (Lee et al. 2022): any >=8-token substring occurring
+    more than once in the corpus is removed from EVERY occurrence —
+    cross-doc, within-doc (adjacent occurrences merge to one span),
+    and straddling positions a fixed-chunk scheme would miss; short
+    docs and unique text survive untouched."""
+    from fhc_rco_etl_scalable_spark.operators.dedup import substring_dedup
+
+    shared = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [
+            (1, f"x1 x2 x3 {shared} x4"),           # shared run mid-doc
+            (2, f"y1 {shared} y2 y3"),              # shared run, other offset
+            (3, "p q r s t u v w p q r s t u v w"),  # within-doc repeat
+            (4, "too short to matter"),              # < 8 tokens
+            (5, "entirely unique text with plenty of tokens but no repeats"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in substring_dedup(docs, "doc_id", "text").collect()}
+    assert out[1].cleaned_text == "x1 x2 x3 x4"
+    assert (out[1].n_removed, out[1].n_spans) == (8, 1)
+    assert out[2].cleaned_text == "y1 y2 y3"
+    assert (out[2].n_removed, out[2].n_spans) == (8, 1)
+    # the two adjacent within-doc occurrences merge into ONE span
+    # covering the whole doc
+    assert out[3].cleaned_text == ""
+    assert (out[3].n_removed, out[3].n_spans) == (16, 1)
+    assert out[4].cleaned_text == "too short to matter"
+    assert (out[4].n_removed, out[4].n_spans) == (0, 0)
+    assert out[5].n_removed == 0
+    assert out[5].n_tokens == 10

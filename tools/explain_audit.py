@@ -405,6 +405,22 @@ def main() -> int:
     n_ex = len(re.findall(r"Exchange hashpartitioning", p))
     check("single_shuffle(bpe_top_pairs)", n_ex <= 1, detail=f"{n_ex} exchanges")
 
+    # 29. Round-9: ExactSubstr (Lee et al. 2022) must stay key-
+    #     partitioned end-to-end — the dup-gram reduction and semi-
+    #     join shuffle on the gram, the interval merge on the doc id;
+    #     no all-pairs path may appear (a cartesian/BNLJ here means
+    #     the token-index rebuild regressed to a cross product).
+    p = plan_of(hq.q_substring_dedup(spark, sf_dir))
+    check(
+        "no_cartesian(substring_dedup)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check(
+        "bounded_shuffle(substring_dedup)", n_ex <= 3, detail=f"{n_ex} exchanges"
+    )
+    check("no_python(substring_dedup)", "Python" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
