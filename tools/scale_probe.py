@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -385,6 +385,74 @@ def scaled_embeddings_all(spark, sf_dir: str, n: int):
     return out
 
 
+def run_ngram(spark, docs) -> dict:
+    """bigram LM + DSIR on suffix-replicated docs (disjoint doc ids,
+    near-identical vocabulary — a bigger crawl of the same language,
+    VERDICT r8 #4). Claims under test: wall grows ~linearly (the
+    corpus side pays one explode + broadcast joins + a per-doc
+    aggregate, never a corpus-keyed pre-aggregation shuffle), and the
+    broadcast MODEL stays bounded — vocabulary saturates and
+    min_bigram_count prunes the tail, so model rows must stay ~O(1)
+    while the corpus grows O(n). DSIR's bucket table is <= n_buckets
+    rows by construction; the probe records it to prove the cap is
+    honored, not assumed."""
+    from fhc_rco_etl_scalable_spark.operators.lm import (
+        _bigrams,
+        _tokens,
+        bigram_logprob_score,
+        dsir_logratio_score,
+    )
+
+    scored = bigram_logprob_score(docs).count()
+    # Model accounting — the same definitions the scorer aggregates
+    # (train slice doc_id%10==0; bigrams pruned at count>=2).
+    train = docs.filter(F.col("doc_id") % 10 == 0).select(
+        _tokens(F.col("text")).alias("toks")
+    )
+    uni_rows = train.select(F.explode("toks").alias("w")).distinct().count()
+    bi_rows = (
+        train.select(F.explode(_bigrams(F.col("toks"))).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    dsir_rows = (
+        dsir_logratio_score(docs, target=F.col("doc_id") % 3 == 0)
+        .count()
+    )
+    return {
+        "scored_docs": scored,
+        "dsir_scored_docs": dsir_rows,
+        "model_unigrams": uni_rows,
+        "model_bigrams_pruned": bi_rows,
+        "dsir_bucket_cap": 1024,
+    }
+
+
+def run_bpe(spark, docs) -> dict:
+    """BPE corpus pass (word_type_counts) on suffix-replicated docs.
+    Claim: the driver-side merge-loop input stays bounded — word TYPES
+    saturate as the corpus replicates (only the per-replica shard
+    token adds new types), and the min_count/max_word_types caps bound
+    the table regardless, so the driver loop's input must stay ~O(1)
+    while corpus tokens grow O(n)."""
+    from fhc_rco_etl_scalable_spark.operators.bpe import word_type_counts
+
+    wt = word_type_counts(docs.select("doc_id", "text"))
+    n_types = wt.count()
+    total_tokens = docs.select(
+        F.sum(
+            F.size(F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != ""))
+        ).alias("n")
+    ).first()["n"]
+    return {
+        "word_types_driver_table": n_types,
+        "corpus_tokens": int(total_tokens),
+        "max_word_types_cap": 50_000,
+    }
+
+
 RUNNERS = {
     "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
     "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
@@ -394,6 +462,8 @@ RUNNERS = {
     "fuzzy": run_fuzzy,
     "funnel": lambda spark, data, sf_dir: run_funnel(spark, data),
     "semdedup": lambda spark, data, sf_dir: run_semdedup(spark, data),
+    "ngram": lambda spark, data, sf_dir: run_ngram(spark, data),
+    "bpe": lambda spark, data, sf_dir: run_bpe(spark, data),
 }
 
 
@@ -445,6 +515,10 @@ def main() -> None:
             data = scaled_events(spark, sf_dir, eff)
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
+        elif probe in ("ngram", "bpe"):
+            # suffix mode: disjoint doc ids, near-identical vocabulary
+            # — the growth axis where a broadcast model must saturate.
+            data = scaled_documents(spark, sf_dir, eff, mode="suffix")
         else:
             raise SystemExit(f"unknown probe {probe}")
         if materialize:
