@@ -8035,3 +8035,79 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return substring_dedup(docs, "doc_id", "text", min_tokens=8)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: link-analysis centrality (PageRank) — the web-corpus
+# quality-weighting staple (Common Crawl publishes harmonic/PageRank
+# host rankings; pipelines sample crawls by them). Integer-scaled
+# arithmetic makes the iterative result bit-exact on both engines
+# (float PageRank hash-diverges on partition summation order alone);
+# the oracle unrolls the same three iterations as CTEs. The iterative
+# Spark shape under test: driver loop over lazy plans with
+# lineage-truncating localCheckpoint per round (operators/graph.py).
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+WITH e AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+nodes AS (SELECT DISTINCT src AS node FROM e
+          UNION SELECT DISTINCT dst FROM e),
+od AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(10000000 AS BIGINT) AS rank FROM nodes),
+i1 AS (
+  SELECT e.dst AS node, CAST(sum(r0.rank // od.d) AS BIGINT) AS m
+  FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node,
+         CAST(1500000 + (85 * coalesce(i1.m, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN i1 ON n.node = i1.node
+),
+i2 AS (
+  SELECT e.dst AS node, CAST(sum(r1.rank // od.d) AS BIGINT) AS m
+  FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node,
+         CAST(1500000 + (85 * coalesce(i2.m, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN i2 ON n.node = i2.node
+),
+i3 AS (
+  SELECT e.dst AS node, CAST(sum(r2.rank // od.d) AS BIGINT) AS m
+  FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+  GROUP BY e.dst
+),
+r3 AS (
+  SELECT n.node,
+         CAST(1500000 + (85 * coalesce(i3.m, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN i3 ON n.node = i3.node
+)
+SELECT CAST(node AS BIGINT) AS node, rank FROM r3
+"""
+
+
+@query("pagerank_centrality", _PAGERANK_ORACLE)
+def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over a deterministic ~997-node multigraph
+    derived from lineitem (duplicate edges weight, dangling mass
+    leaks — both part of the operator contract the oracle
+    transcribes). Three iterations; every per-iteration plan is one
+    src-keyed join + one dst-keyed aggregate + one node left-join,
+    with localCheckpoint truncating lineage so the composed plan depth
+    stays O(1) in iterations."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    return pagerank(edges, "src", "dst", iterations=3)

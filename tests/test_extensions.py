@@ -1146,3 +1146,19 @@ def test_substring_dedup_exactsubstr_semantics(spark):
     assert (out[4].n_removed, out[4].n_spans) == (0, 0)
     assert out[5].n_removed == 0
     assert out[5].n_tokens == 10
+
+
+def test_pagerank_integer_exact_tiny_graph(spark):
+    """Integer-scaled PageRank on a hand-computable 3-node graph:
+    A->B, A->C, B->A (C dangling — its mass leaks by contract).
+    Two iterations, every value exact by integer arithmetic."""
+    from fhc_rco_etl_scalable_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1)], "src long, dst long"
+    )
+    r = {row.node: row.rank for row in pagerank(edges, iterations=2).collect()}
+    # iter1: mass A=10e6 (from B), B=C=5e6 (A's rank split 2 ways)
+    #   r1 = {A: 10_000_000, B: 5_750_000, C: 5_750_000}
+    # iter2: mass A=5_750_000, B=C=5_000_000
+    assert r == {1: 6_387_500, 2: 5_750_000, 3: 5_750_000}
