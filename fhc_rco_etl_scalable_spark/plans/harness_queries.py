@@ -8111,3 +8111,139 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pagerank(edges, "src", "dst", iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: LEFT-OUTER stream-stream interval join — the missing outer
+# variant of the §2.11 join family. Outer results are the part inner
+# joins never exercise: an unmatched left row may only emit once the
+# watermark PROVES no match can still arrive, so result completeness
+# on a bounded replay requires pushing event time past every match
+# window — done here with one max+30d sentinel row per side (the
+# view sentinel 2h later than the purchase one, outside the lookback,
+# so the sentinels cannot join each other; both filtered from the
+# output). The final availableNow batch then evicts all state and
+# drains every unmatched purchase.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join_outer",
+    """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join: every purchase emits —
+    matched ones eagerly with their in-window views, unmatched ones
+    with NULL view columns once the watermark passes their match
+    window. Certified against the batch LEFT JOIN; the sentinel trick
+    (module doc of streaming/join_stream.py) is what makes the outer
+    side deterministic on a bounded replay."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid
+
+    from ..streaming.join_stream import stream_stream_interval_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    n_batches = 2
+    with _clamped_shuffle(spark, 2), _staged_file_stream(
+        ev, n_batches, ["ts", "event_id"], "sg-ssjo", cache_key=sf_dir
+    ) as src:
+        # TWO sentinel GENERATIONS as separate trailing files (each its
+        # own micro-batch): watermarks apply one batch AFTER the rows
+        # that advance them, and availableNow is not guaranteed a
+        # trailing no-data batch — so generation 2's batch is what
+        # applies generation 1's watermark (real-max + 30d - delay) and
+        # drains every real unmatched purchase. Idempotent against the
+        # staged-source cache (fixed file names, skip when present).
+        schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
+        data_mtime = max(
+            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
+        )
+        for gen in (1, 2):
+            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
+            if not _os.path.exists(target):
+                pair = spark.createDataFrame(
+                    [
+                        (-1, -1, max_ts + _dt.timedelta(days=30 * gen), "purchase"),
+                        (
+                            -1,
+                            -2,
+                            max_ts + _dt.timedelta(days=30 * gen, hours=2),
+                            "view",
+                        ),
+                    ],
+                    schema_txt,
+                )
+                tmpd = _tempfile.mkdtemp(prefix="sg-ssjo-sent-")
+                try:
+                    pair.coalesce(1).write.mode("overwrite").parquet(
+                        _os.path.join(tmpd, "out")
+                    )
+                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
+                    _shutil.move(part, target)
+                finally:
+                    _shutil.rmtree(tmpd, ignore_errors=True)
+            # strictly increasing mtimes after every data slice, stable
+            # across cache re-use
+            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+        feed = (
+            spark.readStream.schema(schema_txt)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        purchases = feed.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        views = feed.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        joined = stream_stream_interval_join(
+            purchases, views, key="user_id",
+            left_time="p_ts", right_time="v_ts", lookback="1 hour",
+            delay="1 minute", how="left_outer",
+        )
+        # The sentinel filter must stay OUT of the streaming query:
+        # user_id >= 0 is a predicate on the equi-join KEY, so Catalyst
+        # legally pushes it through the join into BOTH source scans —
+        # which prunes the sentinel rows before the watermark operator
+        # ever sees them, and the watermark (computed post-scan) never
+        # passes the real data. Found the hard way: offsets advanced,
+        # srcIn=0, one unmatched purchase never drained. Filter on the
+        # SINK table instead (a batch query, outside the stream).
+        out = joined.select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.p_id").alias("purchase_id"),
+            F.col("r.v_id").alias("view_id"),
+            (F.unix_micros("l.p_ts") - F.unix_micros("r.v_ts")).alias("gap_us"),
+        )
+        name = f"ssjo_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "outer stream-stream join timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        # 2 data slices + 2 sentinel generations, each its own batch
+        assert n_microbatches >= n_batches + 2
+        return spark.table(name).filter(F.col("user_id") >= 0)

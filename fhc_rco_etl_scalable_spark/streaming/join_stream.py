@@ -28,13 +28,23 @@ def stream_stream_interval_join(
     right_time: str,
     lookback: str = "1 hour",
     delay: str = "7 days",
+    how: str = "inner",
 ) -> DataFrame:
     """Join right-side events to left-side events with the same ``key``
     whose time lies in ``[left_time - lookback, left_time]``.
 
     Both inputs get watermarks (required for state cleanup on a
-    stream-stream inner join); the caller projects/renames columns so
-    the two sides share only ``key``.
+    stream-stream inner join, and for RESULT COMPLETENESS on an outer
+    one); the caller projects/renames columns so the two sides share
+    only ``key``.
+
+    ``how='left_outer'`` additionally emits unmatched left rows with
+    NULL right columns — but only once the watermark proves no match
+    can still arrive (right watermark past ``left_time``), so outer
+    results trail the watermark by construction. A replay that must
+    drain ALL outer results needs its event-time watermark pushed past
+    the last left row's match window — in a bounded harness feed, a
+    max-timestamp sentinel row per side does exactly that.
     """
     lw = left.withWatermark(left_time, delay)
     rw = right.withWatermark(right_time, delay)
@@ -46,4 +56,4 @@ def stream_stream_interval_join(
             >= F.col(f"l.{left_time}") - F.expr(f"INTERVAL {lookback}")
         )
     )
-    return lw.alias("l").join(rw.alias("r"), cond, "inner")
+    return lw.alias("l").join(rw.alias("r"), cond, how)
