@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -385,6 +385,32 @@ def scaled_embeddings_all(spark, sf_dir: str, n: int):
     return out
 
 
+def run_substr(spark, docs) -> dict:
+    """ExactSubstr (substring_dedup) on cipher-replicated docs:
+    replicas share NO grams (per-token tag), so the duplicated-gram
+    space and the covered-position space both grow ~N-fold — the
+    independent-shard growth axis. Claim: wall ~linear (gram-keyed
+    aggregate + semi-join + doc-keyed merge; no all-pairs), and the
+    removal fraction stays constant across replicas (the within-shard
+    duplicate structure is preserved exactly by the cipher)."""
+    from fhc_rco_etl_scalable_spark.operators.dedup import substring_dedup
+
+    out = substring_dedup(docs, "doc_id", "text", min_tokens=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_removed").alias("removed"),
+        F.sum("n_spans").alias("spans"),
+    ).first()
+    return {
+        "docs": int(agg["docs"]),
+        "tokens": int(agg["tokens"]),
+        "removed": int(agg["removed"]),
+        "spans": int(agg["spans"]),
+        "removed_frac": round(agg["removed"] / max(agg["tokens"], 1), 4),
+    }
+
+
 def run_ngram(spark, docs) -> dict:
     """bigram LM + DSIR on suffix-replicated docs (disjoint doc ids,
     near-identical vocabulary — a bigger crawl of the same language,
@@ -464,6 +490,7 @@ RUNNERS = {
     "semdedup": lambda spark, data, sf_dir: run_semdedup(spark, data),
     "ngram": lambda spark, data, sf_dir: run_ngram(spark, data),
     "bpe": lambda spark, data, sf_dir: run_bpe(spark, data),
+    "substr": lambda spark, data, sf_dir: run_substr(spark, data),
 }
 
 
@@ -519,6 +546,10 @@ def main() -> None:
             # suffix mode: disjoint doc ids, near-identical vocabulary
             # — the growth axis where a broadcast model must saturate.
             data = scaled_documents(spark, sf_dir, eff, mode="suffix")
+        elif probe == "substr":
+            # cipher mode: replicas share no grams, so duplicated-gram
+            # space grows ~N (independent shards), never quadratically.
+            data = scaled_documents(spark, sf_dir, eff, mode="cipher")
         else:
             raise SystemExit(f"unknown probe {probe}")
         if materialize:
