@@ -8247,3 +8247,66 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         # 2 data slices + 2 sentinel generations, each its own batch
         assert n_microbatches >= n_batches + 2
         return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: malformed-record handling — the ingestion-robustness
+# surface every production feed needs (reference REST payloads are
+# assumed well-formed; a 100 TB crawl feed is not). from_json in
+# PERMISSIVE mode yields NULL structs for corrupt rows instead of
+# failing the job; the entry certifies the valid/corrupt partition
+# and the extracted fields against DuckDB's json_valid + json_extract
+# on an identical fixture (doc_id%7==0 rows truncated mid-object, a
+# corruption both parsers agree is invalid).
+# ---------------------------------------------------------------------------
+
+_CORRUPT_JSON_ORACLE = """
+WITH j AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN substr('{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}', 1, 9)
+              ELSE '{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}'
+         END AS payload
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN json_valid(payload) THEN 'ok' ELSE 'corrupt' END AS status,
+       CASE WHEN json_valid(payload)
+            THEN json_extract_string(payload, '$.lang') END AS lang,
+       CASE WHEN json_valid(payload)
+            THEN CAST(json_extract(payload, '$.n') AS BIGINT) END AS n
+FROM j
+"""
+
+
+@query("corrupt_record_handling", _CORRUPT_JSON_ORACLE)
+def q_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE semi-structured ingestion with the corrupt-record
+    channel: malformed rows (truncated mid-object here) land in
+    ``_corrupt_record`` with NULL typed fields instead of failing the
+    scan — the quarantine pattern every production feed needs (a bare
+    null-struct check does NOT work: PERMISSIVE yields a null-FIELDED
+    struct for corrupt input, found the hard way). All native
+    expressions; the corrupt/valid split and both extracted fields
+    sit in the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.concat(
+        F.lit('{"lang":"'), F.col("lang"), F.lit('","n":'),
+        F.col("n_chars").cast("string"), F.lit("}"),
+    )
+    payload = F.when(F.col("doc_id") % 7 == 0, F.substring(payload, 1, 9)).otherwise(
+        payload
+    )
+    parsed = F.from_json(
+        payload,
+        "lang string, n long, _corrupt_record string",
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    return docs.select(
+        "doc_id",
+        F.when(parsed["_corrupt_record"].isNull(), F.lit("ok"))
+        .otherwise(F.lit("corrupt"))
+        .alias("status"),
+        parsed["lang"].alias("lang"),
+        parsed["n"].alias("n"),
+    )
