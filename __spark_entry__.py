@@ -58,6 +58,13 @@ _RECERTIFY = [
     "streaming_state_inspect",
     "url_dedup",
     "jdbc_window_scan_harness",
+    # round 9 input-scaffolding flattening: harness_downtime_log and
+    # _harness_inputs lazy-localCheckpoint once per (app, sf_dir) —
+    # the three heaviest consumers re-certify as representatives
+    # (hashes verified identical in the local gate).
+    "site_etl_full",
+    "gantt_harness",
+    "event_log_for_gantt_harness",
 ]
 
 

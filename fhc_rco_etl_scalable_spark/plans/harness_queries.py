@@ -1567,13 +1567,29 @@ def q_asof_preferenced(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Session cache of the flattened downtime log, keyed like
+#: _INPUTS_CACHE. The derivation is a pure function of sf_dir and is
+#: input SCAFFOLDING (production reads this table from the lake);
+#: without the barrier every consumer — and every localCheckpoint
+#: inside mes_etl/gantt_analysis — re-optimizes and re-executes the
+#: same derivation subtree at plan-construction time.
+_DOWNTIME_LOG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the harness event stream onto the canonical downtime-log
     schema (SURVEY §1.4): deterministic, every pipeline feature
     exercised — changeovers (signup), failures (error), blocked/starved
     propagation (view), excluded PR-Out stretches, brandcoded rows,
     constraint + non-constraint machines."""
-    return downtime_log_from_events(load_table(spark, "events", sf_dir))
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _DOWNTIME_LOG_CACHE.get(key)
+    if hit is None:
+        hit = downtime_log_from_events(
+            load_table(spark, "events", sf_dir)
+        ).localCheckpoint(eager=False)
+        _DOWNTIME_LOG_CACHE[key] = hit
+    return hit
 
 
 def downtime_log_from_events(ev: DataFrame) -> DataFrame:
@@ -2028,14 +2044,25 @@ _INPUTS_CACHE: dict[tuple[str, str], tuple] = {}
 
 def _harness_inputs(spark: SparkSession, sf_dir: str):
     """downtime log -> (variants dict, raw downtime, line_config) for
-    harness entries."""
+    harness entries.
+
+    The frames are LAZY-localCheckpointed on first build (per
+    (application, sf_dir), like the streaming harnesses'
+    ``_STAGED_SRC_CACHE``): the fixture derivation from events is a
+    pure function of sf_dir and is INPUT scaffolding — production
+    reads these tables from the lake, it does not re-derive them per
+    query. Without the barrier every entry (and every localCheckpoint
+    inside mes_etl/gantt) re-OPTIMIZES and re-executes the same deep
+    derivation subtree: measured ~10 s of pure driver-side Catalyst
+    per site_etl_full call at sf0.1, all of it plan-construction on
+    trees that a flat scan replaces."""
     from ..operators.extract import downtime_variants, with_derived_flags
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _INPUTS_CACHE.get(key)
     if hit is not None:
         return hit
-    downtime = harness_downtime_log(spark, sf_dir)
+    downtime = harness_downtime_log(spark, sf_dir).localCheckpoint(eager=False)
     line_config = (
         downtime.select("LINE")
         .distinct()
@@ -2043,8 +2070,14 @@ def _harness_inputs(spark: SparkSession, sf_dir: str):
             F.col("LINE").alias("MDC_Line_Name"),
             F.lit("CM").alias("Constraint_Machine_String"),
         )
+        .localCheckpoint(eager=False)
     )
-    variants = downtime_variants(with_derived_flags(downtime, line_config))
+    variants = {
+        name: df.localCheckpoint(eager=False)
+        for name, df in downtime_variants(
+            with_derived_flags(downtime, line_config)
+        ).items()
+    }
     _INPUTS_CACHE[key] = (variants, downtime, line_config)
     return _INPUTS_CACHE[key]
 
