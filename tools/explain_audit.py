@@ -421,6 +421,21 @@ def main() -> int:
     )
     check("no_python(substring_dedup)", "Python" not in p)
 
+    # 30. Round-9 closers. PageRank's per-iteration plan must stay
+    #     key-partitioned joins over the checkpoint-truncated rank
+    #     frame (no cartesian anywhere in the composed 3-iteration
+    #     plan); corrupt-record handling is pure native expressions
+    #     (from_json is JVM-side — a Python node here means the
+    #     quarantine path regressed to a UDF).
+    p = plan_of(hq.q_pagerank_centrality(spark, sf_dir))
+    check(
+        "no_cartesian(pagerank_centrality)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+    p = plan_of(hq.q_corrupt_record_handling(spark, sf_dir))
+    check("no_python(corrupt_record_handling)", "Python" not in p)
+    check("single_scan(corrupt_record_handling)", "Join" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
