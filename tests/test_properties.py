@@ -421,3 +421,61 @@ def test_url_canonicalization_matches_model(spark, urls):
     df = spark.createDataFrame(raw, "url string")
     got = [r.c for r in df.select(canonicalize_url("url").alias("c")).collect()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr (substring_dedup): the Spark sliding-anchor plan must
+# match a direct pure-python model of the removal rule — every
+# position covered by a >=N-token substring occurring more than once
+# in the corpus is removed, everything else survives in order.
+# ---------------------------------------------------------------------------
+
+_substr_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=14
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _substr_model(docs: list[list[str]], n: int = 4):
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - n + 1):
+            grams[tuple(toks[i : i + n])] += 1
+    out = []
+    for doc_id, toks in enumerate(docs):
+        covered = set()
+        for i in range(len(toks) - n + 1):
+            if grams[tuple(toks[i : i + n])] > 1:
+                covered.update(range(i, i + n))
+        spans = 0
+        prev = -2
+        for i in sorted(covered):
+            if i != prev + 1:
+                spans += 1
+            prev = i
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        out.append(
+            (doc_id, len(toks), len(covered), spans, " ".join(kept))
+        )
+    return sorted(out)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_substr_corpus)
+def test_substring_dedup_matches_model(spark, corpus):
+    from fhc_rco_etl_scalable_spark.operators.dedup import substring_dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.n_removed, r.n_spans, r.cleaned_text)
+        for r in substring_dedup(docs, "doc_id", "text", min_tokens=4).collect()
+    )
+    assert got == _substr_model(corpus)
