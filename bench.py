@@ -219,8 +219,20 @@ def main() -> None:
         # on whichever query runs late (observed: a 0.4 s query
         # spiking to 31 s cold). Queries are independent — release
         # eagerly between them so timings measure the query, not the
-        # backlog.
+        # backlog. EXCEPT the session-lifetime input-scaffolding
+        # checkpoints (harness_queries.PINNED_RDD_IDS): unpersisting a
+        # locally-checkpointed RDD strips its storage level, and its
+        # truncated lineage cannot recompute — the next consumer dies
+        # in Spark's local-checkpoint storage-level assertion.
+        try:
+            from fhc_rco_etl_scalable_spark.plans.harness_queries import (
+                PINNED_RDD_IDS,
+            )
+        except Exception:
+            PINNED_RDD_IDS = set()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            if rdd.id() in PINNED_RDD_IDS:
+                continue
             rdd.unpersist(False)
 
     # Mid-run interference watch: loadavg BETWEEN queries still carries

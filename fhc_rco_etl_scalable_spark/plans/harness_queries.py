@@ -1575,6 +1575,30 @@ def q_asof_preferenced(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: same derivation subtree at plan-construction time.
 _DOWNTIME_LOG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: RDD ids of the session-lifetime scaffolding checkpoints (the frames
+#: held by _DOWNTIME_LOG_CACHE/_INPUTS_CACHE). Harness runners that
+#: eagerly unpersist between independent queries (bench.py's
+#: release_checkpoints) MUST skip these: unpersisting a
+#: locally-checkpointed RDD strips its storage level and truncated
+#: lineage cannot recompute — the next consumer dies with Spark's
+#: "storage level is not appropriate for local checkpointing"
+#: assertion (found the hard way: bench crashed on the first staged
+#: write after the flattening landed, while the gate — which never
+#: unpersists — stayed green).
+PINNED_RDD_IDS: set[int] = set()
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy-localCheckpoint ``df`` for the session's lifetime and
+    record the checkpointed RDD's id (the LogicalRDD's backing RDD —
+    verified identical to the id in the persistent-RDD map)."""
+    out = df.localCheckpoint(eager=False)
+    try:
+        PINNED_RDD_IDS.add(out._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        pass  # pinning is a perf guard, never a correctness gate
+    return out
+
 
 def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the harness event stream onto the canonical downtime-log
@@ -1585,9 +1609,7 @@ def harness_downtime_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _DOWNTIME_LOG_CACHE.get(key)
     if hit is None:
-        hit = downtime_log_from_events(
-            load_table(spark, "events", sf_dir)
-        ).localCheckpoint(eager=False)
+        hit = _pin(downtime_log_from_events(load_table(spark, "events", sf_dir)))
         _DOWNTIME_LOG_CACHE[key] = hit
     return hit
 
@@ -2062,18 +2084,17 @@ def _harness_inputs(spark: SparkSession, sf_dir: str):
     hit = _INPUTS_CACHE.get(key)
     if hit is not None:
         return hit
-    downtime = harness_downtime_log(spark, sf_dir).localCheckpoint(eager=False)
-    line_config = (
+    downtime = _pin(harness_downtime_log(spark, sf_dir))
+    line_config = _pin(
         downtime.select("LINE")
         .distinct()
         .select(
             F.col("LINE").alias("MDC_Line_Name"),
             F.lit("CM").alias("Constraint_Machine_String"),
         )
-        .localCheckpoint(eager=False)
     )
     variants = {
-        name: df.localCheckpoint(eager=False)
+        name: _pin(df)
         for name, df in downtime_variants(
             with_derived_flags(downtime, line_config)
         ).items()
@@ -8343,3 +8364,90 @@ def q_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["lang"].alias("lang"),
         parsed["n"].alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: time-bucket gap-fill (hypertable time_bucket_gapfill).
+# The reference's per-day KPI tables silently DROP days with no MDC
+# rows (data_from_mdc.py:237-249 — the day grid is whatever groupBy
+# emits); this makes the dense grid + fill policy explicit. Grid is
+# generated JVM-side (sequence + explode over each key's observed
+# span), LOCF and linear interpolation are one ordered window pass
+# each — grid size is keys x span/bucket, independent of raw rows.
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH agg AS (
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS bucket,
+         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / count(value), 6) AS v
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM agg GROUP BY 1
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM bounds
+),
+dense AS (
+  SELECT g.user_id, g.bucket, a.v
+  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.bucket = g.bucket
+),
+w AS (
+  SELECT user_id, bucket, v,
+         last_value(v IGNORE NULLS) OVER wb AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL
+                         THEN CAST(epoch_us(bucket) // 1000000 AS DOUBLE)
+                    END IGNORE NULLS) OVER wb AS prev_t,
+         first_value(v IGNORE NULLS) OVER wf AS next_v,
+         first_value(CASE WHEN v IS NOT NULL
+                          THEN CAST(epoch_us(bucket) // 1000000 AS DOUBLE)
+                     END IGNORE NULLS) OVER wf AS next_t
+  FROM dense
+  WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket, v,
+       prev_v AS v_locf,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN next_v IS NOT NULL AND prev_v IS NOT NULL
+            THEN prev_v + (next_v - prev_v)
+                 * (CAST(epoch_us(bucket) // 1000000 AS DOUBLE) - prev_t)
+                 / (next_t - prev_t)
+            ELSE prev_v END AS v_interp
+FROM w
+"""
+
+
+@query("gapfill_interpolate", _GAPFILL_ORACLE)
+def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-user KPI grid with explicit gap rows and two fill
+    policies (NULL-preserving ``v``, ``v_locf``, ``v_interp``).
+
+    ``v_interp`` ships UNROUNDED, deliberately: the interpolation runs
+    on identical inputs in both engines (integer epoch seconds + the
+    exact-decimal-rounded aggregate) with identical IEEE op order, so
+    the raw doubles are bit-identical — while ROUNDING them diverges
+    (DuckDB rounds via scaled multiply, so x*1e6 landing on a .5
+    boundary after fp error half-ups where Spark's exact BigDecimal
+    HALF_UP rounds down; observed at 79.1483334999...)."""
+    from ..operators.timeseries import gapfill
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 30)
+    out = gapfill(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        bucket_seconds=86_400,
+        agg=F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("value"),
+            6,
+        ),
+        value_name="v",
+    )
+    return out

@@ -436,6 +436,23 @@ def main() -> int:
     check("no_python(corrupt_record_handling)", "Python" not in p)
     check("single_scan(corrupt_record_handling)", "Join" not in p)
 
+    # 31. Gap-fill: the dense grid must be generated JVM-side from the
+    #     pre-aggregated frame (sequence+explode — no Python, no
+    #     cartesian), and the whole plan pays bounded exchanges: the
+    #     (key,bucket) aggregate, the (key) bounds aggregate, the
+    #     grid join, and the fill window's (key) partitioning.
+    p = plan_of(hq.q_gapfill_interpolate(spark, sf_dir))
+    check("no_python(gapfill_interpolate)", "Python" not in p)
+    check(
+        "no_cartesian(gapfill_interpolate)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+    check("grid_explode(gapfill_interpolate)", "Generate" in p and "sequence" in p)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check(
+        "bounded_shuffle(gapfill_interpolate)", n_ex <= 4, detail=f"{n_ex} exchanges"
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
