@@ -46,3 +46,44 @@ def profile(df: DataFrame, numeric_cols: Sequence[str]) -> DataFrame:
         ),
         F.col("__n").alias("n_rows"),
     ).select("column", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+def robust_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD outlier flagging per key group (the robust z-score:
+    a point is an outlier when ``|x - median| > k * 1.4826 * MAD``).
+
+    Mean/stddev outlier rules break on the very anomalies they hunt —
+    one 1e9 spike drags the mean past every real outlier. Median and
+    MAD have a 50% breakdown point, so the fences hold under heavy
+    contamination; 1.4826 rescales MAD to sigma-equivalence under
+    normality (Hampel's constant).
+
+    Exactness: both statistics are Spark ``percentile`` (exact
+    interpolated), matching DuckDB ``quantile_cont`` bit-for-bit —
+    that is what makes the fence hashable by an oracle. At 100 TB
+    swap both for ``approx_percentile``: the fences become
+    sketch-approximate but the plan shape is unchanged.
+
+    Shape: two (keys)-grouped aggregates with the per-row frame joined
+    back each time. The group-stat frames are tiny (one row per key) —
+    both joins broadcast, so the raw rows never shuffle.
+    """
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(*keys).agg(F.percentile(v, F.lit(0.5)).alias("__med"))
+    dev = df.join(F.broadcast(med), on=keys).withColumn(
+        "__absdev", F.abs(v - F.col("__med"))
+    )
+    mad = dev.groupBy(*keys).agg(
+        F.percentile(F.col("__absdev"), F.lit(0.5)).alias("__mad")
+    )
+    fenced = dev.join(F.broadcast(mad), on=keys)
+    return fenced.withColumn(
+        "is_outlier",
+        F.col("__absdev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+    )

@@ -8451,3 +8451,60 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_name="v",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round 9: robust outlier detection (median/MAD fences). Mean/stddev
+# rules break on the anomalies they hunt (one huge spike drags the
+# mean past every real outlier); median and MAD hold a 50% breakdown
+# point. Both statistics are exact interpolated percentiles here —
+# identical to DuckDB quantile_cont bit-for-bit — and every shipped
+# double is the raw IEEE value (rounding is what diverges across
+# engines, see gapfill_interpolate).
+# ---------------------------------------------------------------------------
+
+_MAD_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.m) AS d, m.m
+  FROM events e JOIN med m USING (event_type)
+),
+md AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS v_mad
+  FROM dev GROUP BY 1
+)
+SELECT dev.event_type,
+       count(*) AS n,
+       CAST(sum(CASE WHEN dev.d > 3.0 * 1.4826 * md.v_mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       min(dev.m) AS med,
+       min(md.v_mad) AS mad_v,
+       max(CASE WHEN dev.d > 3.0 * 1.4826 * md.v_mad THEN dev.d END)
+           AS max_outlier_dev
+FROM dev JOIN md USING (event_type)
+GROUP BY 1
+"""
+
+
+@query("mad_outliers", _MAD_OUTLIERS_ORACLE)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier fences per event_type, summarized
+    per group: row count, outlier count, both robust statistics, and
+    the largest outlying deviation. The raw rows never shuffle — both
+    group-stat frames broadcast back onto the scan."""
+    from ..functions.dq import robust_outliers
+
+    ev = load_table(spark, "events", sf_dir)
+    flagged = robust_outliers(ev, ["event_type"], "value", k=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.min("__med").alias("med"),
+        F.min("__mad").alias("mad_v"),
+        F.max(F.when(F.col("is_outlier"), F.col("__absdev"))).alias(
+            "max_outlier_dev"
+        ),
+    )

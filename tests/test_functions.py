@@ -175,3 +175,30 @@ def test_chunk_documents_tokenizer_not_reevaluated_per_chunk(spark):
     n = df.select(F.explode(chunk_documents("text", size=100, overlap=20)).alias("c")).count()
     assert n == 64 * 25
     assert time.time() - t0 < 20
+
+
+def test_robust_outliers_median_mad_fence(spark):
+    from fhc_rco_etl_scalable_spark.functions.dq import robust_outliers
+
+    # g: values 1..7 plus a 1e6 spike. median=4.5, MAD on absdevs
+    # {3.5,2.5,1.5,.5,.5,1.5,2.5,999995.5} = 2.0; fence 3*1.4826*2 =
+    # 8.8956 — only the spike crosses it. A mean/stddev rule would
+    # swallow the spike into sigma and flag nothing.
+    rows = [("g", float(x)) for x in range(1, 8)] + [("g", 1_000_000.0)]
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = robust_outliers(df, ["k"], "x", k=3.0).collect()
+    flagged = {r["x"] for r in out if r["is_outlier"]}
+    assert flagged == {1_000_000.0}
+    assert all(r["__med"] == 4.5 and r["__mad"] == 2.0 for r in out)
+
+
+def test_robust_outliers_survives_heavy_contamination(spark):
+    from fhc_rco_etl_scalable_spark.functions.dq import robust_outliers
+
+    # 30% contamination at 1e6: median/MAD fences still isolate the
+    # contaminated points (breakdown point 50%).
+    rows = [("g", float(x)) for x in range(1, 8)] + [("g", 1_000_000.0)] * 3
+    df = spark.createDataFrame(rows, "k string, x double")
+    out = robust_outliers(df, ["k"], "x", k=3.0).collect()
+    assert {r["x"] for r in out if r["is_outlier"]} == {1_000_000.0}
+    assert sum(r["is_outlier"] for r in out) == 3

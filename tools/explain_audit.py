@@ -453,6 +453,14 @@ def main() -> int:
         "bounded_shuffle(gapfill_interpolate)", n_ex <= 4, detail=f"{n_ex} exchanges"
     )
 
+    # 32. Robust outliers: both group-stat frames (median, MAD) must
+    #     broadcast back onto the event scan — the raw rows never
+    #     shuffle for a join (an SMJ here means a tiny one-row-per-key
+    #     frame got sort-merge treatment).
+    p = plan_of(hq.q_mad_outliers(spark, sf_dir))
+    check("broadcast_stats(mad_outliers)", "BroadcastHashJoin" in p)
+    check("no_smj(mad_outliers)", "SortMergeJoin" not in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
