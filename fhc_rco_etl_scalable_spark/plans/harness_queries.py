@@ -8508,3 +8508,91 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_outlier_dev"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: time-RANGE window frames — the moving-aggregate surface
+# (rows-frame running sums exist as cumulative_sums; this is the
+# RANGE BETWEEN INTERVAL twin, the shape per-day KPI smoothing needs).
+# Exactness: the windowed sum runs over DECIMAL (order-independent),
+# the average is one double division of identical operands — float
+# window sums would hash-diverge on frame iteration order.
+# ---------------------------------------------------------------------------
+
+_ROLLING_AVG_ORACLE = """
+SELECT user_id, event_id, ts,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+           / count(value) OVER w AS avg_7d,
+       CAST(count(value) OVER w AS BIGINT) AS n_7d
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("rolling_time_average", _ROLLING_AVG_ORACLE)
+def q_rolling_time_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing average per user over an event-time RANGE frame
+    (``rangeBetween`` on integer microseconds — Spark's RANGE frames
+    take long offsets, so the order key is ``unix_micros``, exactly
+    the oracle's ``epoch_us``). One (user_id) exchange; the frame scan
+    is sorted-run local to each partition."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    dec = F.col("value").cast("decimal(18,4)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.sum(dec).over(w).cast("double") / F.count("value").over(w)).alias(
+            "avg_7d"
+        ),
+        F.count("value").over(w).cast("long").alias("n_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: ntile binning (quantile-bucket feature engineering). The
+# order key carries a unique tiebreak (event_id) on BOTH engines —
+# ntile over a non-unique order is nondeterministic for tied rows,
+# which is a correctness bug in any binning pipeline, not just a
+# hash-parity problem.
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS q
+  FROM events
+)
+SELECT event_type, q,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS lo,
+       max(value) AS hi
+FROM b GROUP BY 1, 2
+"""
+
+
+@query("ntile_binning", _NTILE_ORACLE)
+def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quartile bins with bucket counts and exact value
+    bounds — ntile's equal-fill rule (remainder rows land in the
+    leading buckets) is identical across engines once the order is
+    made total."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("q", F.ntile(4).over(w))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
