@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|gapfill] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -479,6 +479,35 @@ def run_bpe(spark, docs) -> dict:
     }
 
 
+def run_gapfill(spark, ev) -> dict[str, int]:
+    """gapfill (daily buckets, per-user) on replicated users. The
+    claim under test: grid rows grow ~N (disjoint replica users add
+    grid rows proportionally), gap rows stay a constant FRACTION
+    (replicas preserve each user's observation pattern), and wall
+    grows ~linearly — the grid generation is sequence+explode over the
+    pre-aggregated frame, so nothing scales with raw rows except the
+    first aggregate."""
+    from fhc_rco_etl_scalable_spark.operators.timeseries import gapfill
+
+    out = gapfill(
+        ev,
+        keys=["user_id"],
+        ts_col="ts",
+        bucket_seconds=86_400,
+        agg=F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+            / F.count("value"),
+            6,
+        ),
+        value_name="v",
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("grid_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("gap_rows"),
+    ).first()
+    return {"grid_rows": int(agg["grid_rows"]), "gap_rows": int(agg["gap_rows"])}
+
+
 RUNNERS = {
     "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
     "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
@@ -491,6 +520,7 @@ RUNNERS = {
     "ngram": lambda spark, data, sf_dir: run_ngram(spark, data),
     "bpe": lambda spark, data, sf_dir: run_bpe(spark, data),
     "substr": lambda spark, data, sf_dir: run_substr(spark, data),
+    "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
 }
 
 
@@ -538,7 +568,7 @@ def main() -> None:
             data = scaled_embeddings_x(spark, sf_dir, eff)
         elif probe == "fuzzy":
             data = skewed_names(spark, eff)
-        elif probe == "funnel":
+        elif probe in ("funnel", "gapfill"):
             data = scaled_events(spark, sf_dir, eff)
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
