@@ -105,3 +105,98 @@ def gapfill(
         prev_v.alias(f"{value_name}_locf"),
         interp.alias(f"{value_name}_interp"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    n_out: int,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013)
+    per key series, bucket-parallel variant.
+
+    The published recurrence anchors each bucket's triangle on the
+    previously SELECTED point — a sequential dependency that cannot
+    distribute. This variant anchors on both NEIGHBOR BUCKET AVERAGES
+    (the standard parallel/streaming approximation), which keeps the
+    property that matters for rendering: the widest-swing point in
+    each bucket survives. First and last points of each series are
+    always kept, as in the original.
+
+    Buckets are equal-count by row position (``(rn * n_out) DIV n`` —
+    exact integer arithmetic, no float bucket boundaries). All
+    arithmetic is deterministic double over identical operands, so an
+    oracle transcription hashes bit-for-bit; ties on triangle area
+    break on ``id_col``.
+
+    Shape: one (keys) exchange for the row numbering; the bucket
+    averages are one aggregate over that same partitioning; the
+    anchor attach is a broadcast-sized join back (k rows per key).
+    """
+    keys = list(keys)
+    pts = df.select(
+        *keys,
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__t", "__id")
+    pts = pts.withColumn("__rn", F.row_number().over(w) - F.lit(1)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    pts = pts.withColumn("bucket", F.expr(f"__rn * {int(n_out)} DIV __n"))
+
+    avgs = pts.groupBy(*keys, "bucket").agg(
+        (F.sum("__t").cast("double") / F.count(F.lit(1))).alias("__at"),
+        (
+            F.sum(F.col("__v").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__av"),
+    )
+    wb = Window.partitionBy(*keys).orderBy("bucket")
+    anchors = avgs.select(
+        *keys,
+        "bucket",
+        F.lag("__at").over(wb).alias("__pt"),
+        F.lag("__av").over(wb).alias("__pv"),
+        F.lead("__at").over(wb).alias("__nt"),
+        F.lead("__av").over(wb).alias("__nv"),
+    )
+    cand = pts.join(anchors, on=[*keys, "bucket"])
+    area = F.abs(
+        (F.col("__pt") - F.col("__nt")) * (F.col("__v") - F.col("__pv"))
+        - (F.col("__pt") - F.col("__t")) * (F.col("__nv") - F.col("__pv"))
+    )
+    is_endpoint = (F.col("__rn") == 0) | (F.col("__rn") == F.col("__n") - 1)
+    interior = (
+        cand.filter(
+            (F.col("bucket") > 0)
+            & (F.col("bucket") < F.lit(int(n_out) - 1))
+            & ~is_endpoint
+        )
+        .withColumn("__area", area)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(*keys, "bucket").orderBy(
+                    F.col("__area").desc(), "__id"
+                )
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+    )
+    # First/last point of every series kept unconditionally (positional,
+    # not bucket-indexed: a series shorter than n_out never reaches
+    # bucket n_out-1).
+    endpoints = cand.filter(is_endpoint)
+    out_cols = [*keys, "bucket", "__t", "__v"]
+    sel = interior.select(*out_cols).unionByName(endpoints.select(*out_cols))
+    return sel.select(
+        *keys,
+        "bucket",
+        F.timestamp_micros(F.col("__t")).alias(ts_col),
+        F.col("__v").alias(value_col),
+    )

@@ -8596,3 +8596,72 @@ def q_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: LTTB downsampling (Steinarsson 2013) — the standard
+# visual-fidelity time-series downsampler, in its bucket-parallel
+# form (neighbor-bucket-average anchors; the published recurrence's
+# previously-selected-point anchor is sequential and cannot
+# distribute). Bucket assignment is exact integer arithmetic; every
+# shipped double is raw IEEE over identical operands.
+# ---------------------------------------------------------------------------
+
+_LTTB_ORACLE = """
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DOUBLE) AS v,
+         event_id AS id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE user_id < 40
+),
+b AS (SELECT *, (rn * 12) // n AS bucket FROM pts),
+avgs AS (
+  SELECT user_id, bucket,
+         CAST(sum(t) AS DOUBLE) / count(*) AS a_t,
+         CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS a_v
+  FROM b GROUP BY 1, 2
+),
+anch AS (
+  SELECT user_id, bucket,
+         lag(a_t)  OVER w AS pt, lag(a_v)  OVER w AS pv,
+         lead(a_t) OVER w AS nt, lead(a_v) OVER w AS nv
+  FROM avgs
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+),
+cand AS (
+  SELECT b.*, a.pt, a.pv, a.nt, a.nv
+  FROM b JOIN anch a USING (user_id, bucket)
+),
+interior AS (
+  SELECT user_id, bucket, t, v,
+         row_number() OVER (
+             PARTITION BY user_id, bucket
+             ORDER BY abs((pt - nt) * (v - pv) - (pt - t) * (nv - pv))
+                      DESC, id) AS rk
+  FROM cand
+  WHERE bucket > 0 AND bucket < 11 AND rn != 0 AND rn != n - 1
+),
+sel AS (
+  SELECT user_id, bucket, t, v FROM interior WHERE rk = 1
+  UNION ALL
+  SELECT user_id, bucket, t, v FROM cand WHERE rn = 0 OR rn = n - 1
+)
+SELECT user_id, bucket, make_timestamp(t) AS ts, v AS value FROM sel
+"""
+
+
+@query("lttb_downsample", _LTTB_ORACLE)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 12-point LTTB sketch of the event series: endpoints
+    kept positionally, each interior bucket contributes its
+    largest-triangle point against the neighbor-bucket-average
+    anchors."""
+    from ..operators.timeseries import lttb_downsample
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+    return lttb_downsample(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        id_col="event_id", n_out=12,
+    )

@@ -74,3 +74,46 @@ def test_gap_rows_locf_and_linear_interp(spark):
 def test_single_observation_key_has_no_gap_rows(spark):
     got = _fill(spark)
     assert got[("k2", 3)] == (7.0, 7.0, 7.0)
+
+
+def _series(spark, vals):
+    from datetime import timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("k", t0 + timedelta(seconds=i), float(v), i) for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "k string, ts timestamp, x double, id long")
+
+
+def test_lttb_keeps_endpoints_and_widest_swing(spark):
+    from fhc_rco_etl_scalable_spark.operators.timeseries import lttb_downsample
+
+    # 9 points, 3 buckets (rn*3 DIV 9): {0,1,2} {3,4,5} {6,7,8}.
+    # Flat except a spike at rn=4 — the interior bucket must pick it
+    # (area = |at0 - at2| * v against flat zero anchors).
+    df = _series(spark, [0, 0, 0, 1, 100, 2, 0, 0, 0])
+    out = lttb_downsample(df, ["k"], "ts", "x", "id", n_out=3)
+    got = sorted((r["bucket"], r["ts"].second, r["x"]) for r in out.collect())
+    assert got == [(0, 0, 0.0), (1, 4, 100.0), (2, 8, 0.0)]
+
+
+def test_lttb_short_series_keeps_both_endpoints(spark):
+    from fhc_rco_etl_scalable_spark.operators.timeseries import lttb_downsample
+
+    # A series shorter than n_out never reaches bucket n_out-1:
+    # endpoint retention is positional, not bucket-indexed.
+    df = _series(spark, [5, 7])
+    out = lttb_downsample(df, ["k"], "ts", "x", "id", n_out=12)
+    assert sorted(r["x"] for r in out.collect()) == [5.0, 7.0]
+
+
+def test_lttb_downsamples_to_n_out(spark):
+    from fhc_rco_etl_scalable_spark.operators.timeseries import lttb_downsample
+
+    df = _series(spark, list(range(100)))
+    out = lttb_downsample(df, ["k"], "ts", "x", "id", n_out=10)
+    rows = out.collect()
+    assert len(rows) == 10
+    xs = {r["x"] for r in rows}
+    assert {0.0, 99.0} <= xs  # endpoints survive

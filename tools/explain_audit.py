@@ -461,6 +461,16 @@ def main() -> int:
     check("broadcast_stats(mad_outliers)", "BroadcastHashJoin" in p)
     check("no_smj(mad_outliers)", "SortMergeJoin" not in p)
 
+    # 33. LTTB downsampling: the anchor frame is n_out rows per key —
+    #     its join back onto the points must hash-join (no cartesian),
+    #     and the whole plan is native expressions.
+    p = plan_of(hq.q_lttb_downsample(spark, sf_dir))
+    check("no_python(lttb_downsample)", "Python" not in p)
+    check(
+        "no_cartesian(lttb_downsample)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
