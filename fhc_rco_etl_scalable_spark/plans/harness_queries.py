@@ -8665,3 +8665,69 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, keys=["user_id"], ts_col="ts", value_col="value",
         id_col="event_id", n_out=12,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: per-group OLS trend + Pearson r from EXACT moments. Spark's
+# corr/covar and regr_* aggregates stream Welford-style updates, so
+# their float result depends on row visit order — unusable for an
+# oracle hash AND irreproducible across runs at scale. Computing the
+# five moments (n, Sx, Sy, Sxx, Sxy, Syy) as DECIMAL sums makes the
+# statistics order-independent and bit-reproducible: x is integer
+# epoch-days (exact), y is DECIMAL(18,4), and the closed forms run on
+# identical doubles in both engines.
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH m AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(epoch_us(ts) // 86400000000) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(sum((epoch_us(ts) // 86400000000)
+                  * (epoch_us(ts) // 86400000000)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) AS DECIMAL(28,4))
+                  * (epoch_us(ts) // 86400000000)) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(value AS DECIMAL(18,4))
+                  * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS syy
+  FROM events GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+           AS intercept,
+       (n * sxy - sx * sy)
+           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+FROM m
+"""
+
+
+@query("trend_fit", _TREND_ORACLE)
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time (slope per day,
+    intercept, Pearson r) via exact decimal moments — the
+    order-independent form of regr_slope/regr_intercept/corr."""
+    ev = load_table(spark, "events", sf_dir)
+    x = F.expr("unix_micros(ts) DIV 86400000000")  # exact epoch days
+    y = F.col("value").cast("decimal(18,4)")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y.cast("decimal(28,4)") * x).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n0").cast("double")
+    sx, sy, sxx, sxy, syy = (F.col(c) for c in ("sx", "sy", "sxx", "sxy", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        F.col("n0").cast("long").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r"),
+    )
