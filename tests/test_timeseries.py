@@ -117,3 +117,100 @@ def test_lttb_downsamples_to_n_out(spark):
     assert len(rows) == 10
     xs = {r["x"] for r in rows}
     assert {0.0, 99.0} <= xs  # endpoints survive
+
+
+# --- property: gapfill vs a pure-python model -------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DAY_US = 86_400_000_000
+
+_gap_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=29),  # day index
+        st.integers(min_value=0, max_value=86_399),  # second in day
+        st.integers(min_value=-1000, max_value=1000),  # value*100
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_gapfill(rows):
+    """Pure-python model of gapfill (daily buckets, avg agg)."""
+    from collections import defaultdict
+
+    obs = defaultdict(list)
+    for k, day, _sec, v in rows:
+        obs[(k, day)].append(v / 100.0)
+
+    def _round6(x: float) -> float:
+        # Spark ROUND: BigDecimal.valueOf(double) (= shortest repr),
+        # HALF_UP — python's round() is banker's and would diverge on
+        # exact .5 boundaries at the 6th decimal.
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    agg = {kd: _round6(sum(vs) / len(vs)) for kd, vs in obs.items()}
+    out = {}
+    for key in {k for k, _ in agg}:
+        days = sorted(d for kk, d in agg if kk == key)
+        lo, hi = days[0], days[-1]
+        prev = None
+        grid = list(range(lo, hi + 1))
+        vals = {d: agg.get((key, d)) for d in grid}
+        for d in grid:
+            v = vals[d]
+            if v is not None:
+                prev = (d, v)
+                out[(key, d)] = (v, v, v)
+            else:
+                nxt = next(
+                    ((d2, vals[d2]) for d2 in range(d + 1, hi + 1)
+                     if vals[d2] is not None),
+                    None,
+                )
+                interp = prev[1] + (nxt[1] - prev[1]) * (d - prev[0]) / (
+                    nxt[0] - prev[0]
+                )
+                out[(key, d)] = (None, prev[1], interp)
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_gap_rows)
+def test_gapfill_matches_python_model(spark, rows):
+    from datetime import timedelta
+
+    from fhc_rco_etl_scalable_spark.operators.timeseries import gapfill
+
+    t0 = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (k, t0 + timedelta(days=day, seconds=sec), v / 100.0)
+            for k, day, sec, v in rows
+        ],
+        "k string, ts timestamp, x double",
+    )
+    out = gapfill(
+        df, keys=["k"], ts_col="ts", bucket_seconds=86_400,
+        agg=F.round(F.avg("x"), 6), value_name="x",
+    )
+    got = {
+        (r["k"], (r["bucket"] - t0).days): (r["x"], r["x_locf"], r["x_interp"])
+        for r in out.collect()
+    }
+    want = _py_gapfill(rows)
+    assert set(got) == set(want)
+    for kd, (v, locf, interp) in want.items():
+        gv, gl, gi = got[kd]
+        assert gv == v or (v is not None and abs(gv - v) < 1e-9)
+        assert abs(gl - locf) < 1e-9
+        assert abs(gi - interp) < 1e-9
