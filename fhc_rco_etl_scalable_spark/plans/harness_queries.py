@@ -8731,3 +8731,69 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: EWMA smoothing. The recurrence y = a*x + (1-a)*y_prev is
+# sequential, but for power-of-two decay it has an EXACT parallel
+# form (every multiply a 2^k scaling — exponent arithmetic, no
+# rounding; the running sum folds in deterministic order), so the
+# native plan is bit-reproducible and oracle-hashable. The
+# general-alpha applyInPandas twin is pinned to this form in pytest.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS i
+  FROM events WHERE user_id < 40
+),
+l AS (
+  SELECT user_id, list(x ORDER BY i) AS xs FROM o GROUP BY 1
+)
+SELECT o.user_id, o.event_id, o.ts,
+       list_reduce(list_slice(l.xs, 1, o.i + 1),
+                   (a, b) -> 0.5 * b + 0.5 * a) AS ewma
+FROM o JOIN l USING (user_id)
+"""
+
+
+@query("ewma_smooth", _EWMA_ORACLE)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha = 1/2) of the event value series, paired
+    as an EXPLICIT LEFT FOLD on both engines (Spark ``F.aggregate``
+    over a per-row prefix slice vs DuckDB ``list_reduce`` — identical
+    association order, bit-identical doubles, no sink rounding). The
+    per-row prefix fold is quadratic in series length — deliberately,
+    as the oracle-exact config; the linear scale paths are
+    :func:`operators.timeseries.ewma` (Arrow fold, any alpha) and
+    :func:`operators.timeseries.ewma_pow2` (native, power-of-two
+    decay), both pinned to this recurrence in pytest. Cross-engine
+    window SUM association differs (DuckDB segment tree, ~1 ulp), so
+    a window-sum formulation cannot hash — measured, not assumed."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 40)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("value").cast("double").alias("__x"),
+    ).withColumn(
+        "__i",
+        F.row_number().over(
+            Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+        )
+        - F.lit(1),
+    )
+    xs = pts.groupBy("user_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__i", "__x"))), lambda s: s["__x"]
+        ).alias("__xs")
+    )
+    merged = pts.join(F.broadcast(xs), on="user_id")
+    fold = F.aggregate(
+        F.slice("__xs", 2, F.col("__i")),
+        F.element_at("__xs", 1),
+        lambda acc, v: F.lit(0.5) * v + F.lit(0.5) * acc,
+    )
+    return merged.select("user_id", "event_id", "ts", fold.alias("ewma"))

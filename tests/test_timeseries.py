@@ -214,3 +214,39 @@ def test_gapfill_matches_python_model(spark, rows):
         assert gv == v or (v is not None and abs(gv - v) < 1e-9)
         assert abs(gl - locf) < 1e-9
         assert abs(gi - interp) < 1e-9
+
+
+# --- EWMA: three forms pinned to one recurrence ------------------------------
+
+
+def _py_ewma(xs, alpha):
+    y, out = None, []
+    for x in xs:
+        y = x if y is None else alpha * x + (1.0 - alpha) * y
+        out.append(y)
+    return out
+
+
+def test_ewma_applyinpandas_matches_recurrence_exactly(spark):
+    from fhc_rco_etl_scalable_spark.operators.timeseries import ewma
+
+    vals = [float(((i * 37) % 101) - 50) / 7.0 for i in range(60)]
+    df = _series(spark, vals)
+    out = ewma(df, ["k"], "ts", "x", "id", alpha=0.3)
+    by_id = {r["id"]: r["ewma"] for r in out.collect()}
+    want = _py_ewma(vals, 0.3)
+    # identical float ops in identical order -> exact equality
+    assert [by_id[i] for i in range(60)] == want
+
+
+def test_ewma_pow2_matches_recurrence_within_ulps(spark):
+    from fhc_rco_etl_scalable_spark.operators.timeseries import ewma_pow2
+
+    vals = [float(((i * 53) % 97) - 48) / 3.0 for i in range(60)]
+    df = _series(spark, vals)
+    out = ewma_pow2(df, ["k"], "ts", "x", "id", m=1)
+    by_id = {r["id"]: r["ewma"] for r in out.collect()}
+    want = _py_ewma(vals, 0.5)
+    # the exact-scaling form reassociates the sum: equal to ~1 ulp
+    for i in range(60):
+        assert by_id[i] == pytest.approx(want[i], rel=1e-12)

@@ -471,6 +471,13 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
     )
 
+    # 34. EWMA oracle entry: the per-key series arrays broadcast back
+    #     onto the row stream (one row per key — tiny), and the fold
+    #     itself is a native higher-order expression, not Python.
+    p = plan_of(hq.q_ewma_smooth(spark, sf_dir))
+    check("no_python(ewma_smooth)", "Python" not in p)
+    check("broadcast_series(ewma_smooth)", "BroadcastHashJoin" in p)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
