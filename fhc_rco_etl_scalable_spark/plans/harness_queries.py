@@ -8797,3 +8797,40 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: F.lit(0.5) * v + F.lit(0.5) * acc,
     )
     return merged.select("user_id", "event_id", "ts", fold.alias("ewma"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: ranking-function surface (rank / dense_rank / percent_rank
+# / cume_dist) — the remaining window functions without an oracle
+# entry. Ordered on (value, event_id): rank-family outputs over a
+# non-unique order are well-defined (ties share ranks) but the
+# per-ROW attribution of tied rows is not, so the unique tiebreak is
+# what makes the row-level frame hashable; percent_rank/cume_dist are
+# single divisions of identical integers.
+# ---------------------------------------------------------------------------
+
+_RANK_ORACLE = """
+SELECT event_type, event_id,
+       rank()         OVER w AS rnk,
+       dense_rank()   OVER w AS drnk,
+       percent_rank() OVER w AS prnk,
+       cume_dist()    OVER w AS cd
+FROM events
+WHERE user_id < 10
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+@query("rank_stats", _RANK_ORACLE)
+def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ranking statistics with a total order."""
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 10)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cd"),
+    )
