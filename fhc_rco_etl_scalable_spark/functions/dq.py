@@ -72,6 +72,12 @@ def robust_outliers(
     Shape: two (keys)-grouped aggregates with the per-row frame joined
     back each time. The group-stat frames are tiny (one row per key) —
     both joins broadcast, so the raw rows never shuffle.
+
+    NULL semantics (explicit, not accidental): rows with a NULL key
+    are DROPPED (the stat joins are equi-joins; a NULL group has no
+    meaningful fence — pre-fill keys if those rows must survive), and
+    a NULL value is flagged ``is_outlier = false``, never NULL, so
+    ``filter(~is_outlier)`` keeps rather than silently discards it.
     """
     keys = list(keys)
     v = F.col(value_col).cast("double")
@@ -85,5 +91,8 @@ def robust_outliers(
     fenced = dev.join(F.broadcast(mad), on=keys)
     return fenced.withColumn(
         "is_outlier",
-        F.col("__absdev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+        F.coalesce(
+            F.col("__absdev") > F.lit(k) * F.lit(1.4826) * F.col("__mad"),
+            F.lit(False),
+        ),
     )

@@ -147,10 +147,20 @@ def lttb_downsample(
     pts = pts.withColumn("__rn", F.row_number().over(w) - F.lit(1)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
-    pts = pts.withColumn("bucket", F.expr(f"__rn * {int(n_out)} DIV __n"))
+    # BIGINT bucket arithmetic (row_number yields int32; int multiply
+    # would wrap at ~1.8e8 rows/key) and DECIMAL(38) time sums (epoch
+    # micros ~1.7e15 overflow an int64 sum at ~5,400 rows per bucket —
+    # a trivial series length at scale; DuckDB's HUGEINT sum is exact,
+    # so a wrapped Spark sum would also diverge from the oracle).
+    pts = pts.withColumn(
+        "bucket", F.expr(f"CAST(__rn AS BIGINT) * {int(n_out)} DIV __n")
+    )
 
     avgs = pts.groupBy(*keys, "bucket").agg(
-        (F.sum("__t").cast("double") / F.count(F.lit(1))).alias("__at"),
+        (
+            F.sum(F.col("__t").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__at"),
         (
             F.sum(F.col("__v").cast("decimal(18,4)")).cast("double")
             / F.count(F.lit(1))
@@ -235,9 +245,10 @@ def ewma_pow2(
     """
     keys = list(keys)
     w = Window.partitionBy(*keys).orderBy(F.unix_micros(F.col(ts_col)), id_col)
-    run = Window.partitionBy(*keys).orderBy("__i").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # Same ordering keys as w (NOT "orderBy(__i)", which is the same
+    # row order but would make Catalyst insert a second per-partition
+    # sort it cannot prove redundant).
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     alpha = 1.0 - 2.0 ** (-m)
     pts = df.select(
         *keys,

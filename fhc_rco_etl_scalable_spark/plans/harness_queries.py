@@ -1595,8 +1595,13 @@ def _pin(df: DataFrame) -> DataFrame:
     out = df.localCheckpoint(eager=False)
     try:
         PINNED_RDD_IDS.add(out._jdf.queryExecution().analyzed().rdd().id())
-    except Exception:
-        pass  # pinning is a perf guard, never a correctness gate
+    except Exception as exc:  # pragma: no cover - Spark-internals drift
+        # A silently failed pin would reintroduce the exact bench
+        # crash the pin prevents (release_checkpoints unpersisting the
+        # scaffolding) — warn so an eventual crash is attributable.
+        import sys
+
+        print(f"WARN _pin: could not record pinned RDD id: {exc}", file=sys.stderr)
     return out
 
 
@@ -8380,8 +8385,8 @@ _GAPFILL_ORACLE = """
 WITH agg AS (
   SELECT user_id,
          make_timestamp((epoch_us(ts) // 86400000000) * 86400000000) AS bucket,
-         round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-               / count(value), 6) AS v
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             / count(value) AS v
   FROM events WHERE user_id < 30 GROUP BY 1, 2
 ),
 bounds AS (
@@ -8443,11 +8448,13 @@ def q_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["user_id"],
         ts_col="ts",
         bucket_seconds=86_400,
-        agg=F.round(
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
-            / F.count("value"),
-            6,
-        ),
+        # No sink rounding anywhere in this entry: the decimal-sum /
+        # count doubles are already bit-identical across engines, and
+        # round() itself is the only thing that can diverge (the
+        # scaled-multiply vs BigDecimal .5-boundary mode documented
+        # below for v_interp applies equally to v).
+        agg=F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+        / F.count("value"),
         value_name="v",
     )
     return out
@@ -8693,11 +8700,11 @@ WITH m AS (
   FROM events GROUP BY 1
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-       (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+       (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope,
+       (sy - ((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0)) * sx) / n
            AS intercept,
        (n * sxy - sx * sy)
-           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+           / NULLIF(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0) AS r
 FROM m
 """
 
@@ -8720,7 +8727,11 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n0").cast("double")
     sx, sy, sxx, sxy, syy = (F.col(c) for c in ("sx", "sy", "sxx", "sxy", "syy"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # NULLIF guards on both sides: a single-row group (or one whose
+    # events share an epoch-day) makes the denominator exactly 0.0 —
+    # Spark's non-ANSI Divide would yield NULL while DuckDB's IEEE
+    # float division yields inf/NaN, a cross-engine parity break.
+    slope = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     return m.select(
         "event_type",
         F.col("n0").cast("long").alias("n"),
@@ -8728,7 +8739,9 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - slope * sx) / n).alias("intercept"),
         (
             (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            / F.nullif(
+                F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+            )
         ).alias("r"),
     )
 
