@@ -244,16 +244,19 @@ def ewma_pow2(
     no length limit and is pinned to this form in tests.
     """
     keys = list(keys)
-    w = Window.partitionBy(*keys).orderBy(F.unix_micros(F.col(ts_col)), id_col)
-    # Same ordering keys as w (NOT "orderBy(__i)", which is the same
-    # row order but would make Catalyst insert a second per-partition
-    # sort it cannot prove redundant).
+    # Order both windows by the MATERIALIZED column __t, not the
+    # expression unix_micros(ts): expression-keyed orderings do not
+    # propagate through the intermediate projection, so Catalyst would
+    # insert a second per-partition sort it cannot prove redundant
+    # (measured: 2 Sort nodes with the expression, 1 with the column).
+    w = Window.partitionBy(*keys).orderBy("__t", id_col)
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     alpha = 1.0 - 2.0 ** (-m)
     pts = df.select(
         *keys,
         F.col(id_col),
         F.col(ts_col),
+        F.unix_micros(F.col(ts_col)).alias("__t"),
         F.col(value_col).cast("double").alias("__x"),
     ).withColumn("__i", F.row_number().over(w) - F.lit(1))
     scaled = pts.withColumn(
