@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|gapfill] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|gapfill|lttb|ewma] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -508,6 +508,35 @@ def run_gapfill(spark, ev) -> dict[str, int]:
     return {"grid_rows": int(agg["grid_rows"]), "gap_rows": int(agg["gap_rows"])}
 
 
+def run_lttb(spark, ev) -> dict[str, int]:
+    """lttb_downsample (12 points/user) on replicated users. The claim
+    under test: output rows grow exactly N-fold (12 per key), the
+    bucket-average/anchor frames stay n_out rows per key, and wall
+    grows ~linearly — nothing in the plan is quadratic in points or
+    keys."""
+    from fhc_rco_etl_scalable_spark.operators.timeseries import lttb_downsample
+
+    out = lttb_downsample(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        id_col="event_id", n_out=12,
+    )
+    return {"points": out.count()}
+
+
+def run_ewma(spark, ev) -> dict[str, int]:
+    """ewma_pow2 on replicated users: one exchange + one sort per key
+    partition; per-row work is O(1), so wall grows ~linearly with
+    rows. (The fold-form oracle config is quadratic BY DESIGN and is
+    not the scale path — this probe measures the production form.)"""
+    from fhc_rco_etl_scalable_spark.operators.timeseries import ewma_pow2
+
+    out = ewma_pow2(
+        ev, keys=["user_id"], ts_col="ts", value_col="value",
+        id_col="event_id", m=1,
+    )
+    return {"rows": out.count()}
+
+
 RUNNERS = {
     "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
     "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
@@ -521,6 +550,8 @@ RUNNERS = {
     "bpe": lambda spark, data, sf_dir: run_bpe(spark, data),
     "substr": lambda spark, data, sf_dir: run_substr(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
+    "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
+    "ewma": lambda spark, data, sf_dir: run_ewma(spark, data),
 }
 
 
@@ -568,7 +599,7 @@ def main() -> None:
             data = scaled_embeddings_x(spark, sf_dir, eff)
         elif probe == "fuzzy":
             data = skewed_names(spark, eff)
-        elif probe in ("funnel", "gapfill"):
+        elif probe in ("funnel", "gapfill", "lttb", "ewma"):
             data = scaled_events(spark, sf_dir, eff)
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
