@@ -124,7 +124,6 @@ def test_lttb_downsamples_to_n_out(spark):
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-_DAY_US = 86_400_000_000
 
 _gap_rows = st.lists(
     st.tuples(
