@@ -249,3 +249,63 @@ def test_ewma_pow2_matches_recurrence_within_ulps(spark):
     # the exact-scaling form reassociates the sum: equal to ~1 ulp
     for i in range(60):
         assert by_id[i] == pytest.approx(want[i], rel=1e-12)
+
+
+# --- property: LTTB vs a pure-python model -----------------------------------
+
+_lttb_series = st.lists(
+    st.integers(min_value=-10_000, max_value=10_000),  # value*100
+    min_size=1,
+    max_size=50,
+)
+
+
+def _py_lttb(vals, n_out):
+    """Pure-python model of the bucket-parallel LTTB variant."""
+    n = len(vals)
+    pts = [(float(i), v / 100.0, i) for i, v in enumerate(vals)]  # (t, v, id)
+    buckets = {}
+    for t, v, i in pts:
+        b = (i * n_out) // n
+        buckets.setdefault(b, []).append((t, v, i))
+    avgs = {
+        b: (
+            sum(p[0] for p in ps) / len(ps),
+            sum(p[1] for p in ps) / len(ps),
+        )
+        for b, ps in buckets.items()
+    }
+    order = sorted(avgs)
+    prev = {order[j]: avgs[order[j - 1]] if j > 0 else None for j in range(len(order))}
+    nxt = {
+        order[j]: avgs[order[j + 1]] if j + 1 < len(order) else None
+        for j in range(len(order))
+    }
+    sel = set()
+    for b, ps in buckets.items():
+        interior = [
+            p for p in ps if 0 < b < n_out - 1 and p[2] != 0 and p[2] != n - 1
+        ]
+        if not interior or prev[b] is None or nxt[b] is None:
+            continue
+        (pt, pv), (nt, nv) = prev[b], nxt[b]
+        best = max(
+            interior,
+            key=lambda p: (abs((pt - nt) * (p[1] - pv) - (pt - p[0]) * (nv - pv)), -p[2]),
+        )
+        sel.add(best[2])
+    sel.add(0)
+    sel.add(n - 1)
+    return sel
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_lttb_series)
+def test_lttb_matches_python_model(spark, vals):
+    from fhc_rco_etl_scalable_spark.operators.timeseries import lttb_downsample
+
+    df = _series(spark, [v / 100.0 for v in vals])
+    out = lttb_downsample(df, ["k"], "ts", "x", "id", n_out=6)
+    got = {r["ts"].second + 60 * r["ts"].minute for r in out.collect()}
+    want = _py_lttb(vals, 6)
+    assert got == want
