@@ -8847,3 +8847,73 @@ def q_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("prnk"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: streaming EWMA — numeric per-key state (one double) via
+# applyInPandasWithState, the continuous-feature-engineering shape
+# the streaming family lacked (sessions, dedup, windows, and joins
+# exist; scalar smoothing state did not). Two time-sliced batches =
+# one state carry; the carried fold is the SAME float ops in the SAME
+# order as one batch fold, so the streamed values hash bit-for-bit
+# against the batch recurrence oracle (same fold SQL as ewma_smooth).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_ewma_harness",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1 AS i
+  FROM events WHERE user_id < 40
+),
+l AS (
+  SELECT user_id, list(x ORDER BY i) AS xs FROM o GROUP BY 1
+)
+SELECT o.user_id, o.event_id, o.ts,
+       list_reduce(list_slice(l.xs, 1, o.i + 1),
+                   (a, b) -> 0.5 * b + 0.5 * a) AS ewma
+FROM o JOIN l USING (user_id)
+""",
+)
+def q_streaming_ewma_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user streaming EWMA (alpha = 1/2) over two event-time
+    sliced micro-batches, state carried across the slice; per-row
+    values hashed unrounded against the batch fold."""
+    import uuid
+
+    from ..streaming.ewma_stream import streaming_ewma
+
+    feed = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 40)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    n_batches = 2  # 1 cross-batch numeric-state carry
+    with _clamped_shuffle(spark), _staged_file_stream(
+        feed, n_batches, ["ts", "event_id"], "sg-ewma",
+        cache_key=sf_dir,
+    ) as src:
+        stream = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        smoothed = streaming_ewma(stream, alpha=0.5)
+        name = f"ewma_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            smoothed.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming ewma harness timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches, (
+            f"expected >= {n_batches} micro-batches, got {n_microbatches}"
+        )
+        return spark.table(name)

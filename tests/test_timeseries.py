@@ -309,3 +309,28 @@ def test_lttb_matches_python_model(spark, vals):
     got = {r["ts"].second + 60 * r["ts"].minute for r in out.collect()}
     want = _py_lttb(vals, 6)
     assert got == want
+
+
+def test_streaming_ewma_fold_carry_equals_single_fold():
+    """The streaming fold carried across micro-batches must be the
+    SAME float ops as one batch fold — split at every boundary."""
+    import pandas as pd
+
+    from fhc_rco_etl_scalable_spark.streaming.ewma_stream import ewma_fold_rows
+
+    vals = [(i, float(((i * 31) % 89) - 44) / 7.0) for i in range(25)]
+
+    def pdf(chunk):
+        return pd.DataFrame(
+            {
+                "event_id": [i for i, _ in chunk],
+                "ts": pd.to_datetime([1_700_000_000 + i for i, _ in chunk], unit="s"),
+                "value": [v for _, v in chunk],
+            }
+        )
+
+    whole, _ = ewma_fold_rows(7, iter([pdf(vals)]), None, 0.3)
+    for cut in range(1, len(vals)):
+        a, y = ewma_fold_rows(7, iter([pdf(vals[:cut])]), None, 0.3)
+        b, _ = ewma_fold_rows(7, iter([pdf(vals[cut:])]), y, 0.3)
+        assert a + b == whole  # bit-exact, including the carried y
