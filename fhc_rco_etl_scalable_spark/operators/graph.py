@@ -93,3 +93,46 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Exact triangle count of the undirected simple graph induced by
+    ``edges`` (self-loops dropped, duplicates collapsed, direction
+    ignored). Returns ONE row: (n_nodes, n_edges, n_triangles).
+
+    The canonical two-join formulation: orient every edge low->high
+    (a < b), then a triangle a<b<c is exactly one (a,b)x(b,c) wedge
+    closed by (a,c) — each triangle counted once, no post-division.
+    Both joins are equi-joins on edge endpoints (hash-partitionable;
+    no cartesian). At 100 TB orient edges from the LOWER-degree
+    endpoint instead of the lower id (the standard compact-forward
+    trick): wedge counts per node drop from O(deg^2) on hubs to
+    O(m^{1/2}) amortized, while the join shape is unchanged.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a").alias("x"))
+        .unionByName(e.select(F.col("b").alias("x")))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.lit(1).alias("one"))
+    )
+    return (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )

@@ -8917,3 +8917,49 @@ def q_streaming_ewma_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"expected >= {n_batches} micro-batches, got {n_microbatches}"
         )
         return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: exact triangle count — the graph family's third member
+# (PageRank ranks nodes, connected components clusters them, triangle
+# count measures local clustering). Canonical low->high orientation,
+# two equi-joins, each triangle counted exactly once.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count",
+    """
+WITH raw AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+)
+SELECT
+  CAST((SELECT count(*) FROM (SELECT a AS x FROM e
+                              UNION SELECT b FROM e)) AS BIGINT) AS n_nodes,
+  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+  CAST((SELECT count(*)
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) AS n_triangles
+""",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the same deterministic ~997-node graph the
+    PageRank entry uses (lineitem-derived multigraph, here collapsed
+    to a simple undirected graph)."""
+    from ..operators.graph import triangle_count
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    return triangle_count(edges, "src", "dst")

@@ -1162,3 +1162,26 @@ def test_pagerank_integer_exact_tiny_graph(spark):
     #   r1 = {A: 10_000_000, B: 5_750_000, C: 5_750_000}
     # iter2: mass A=5_750_000, B=C=5_000_000
     assert r == {1: 6_387_500, 2: 5_750_000, 3: 5_750_000}
+
+
+def test_triangle_count_hand_computed(spark):
+    from fhc_rco_etl_scalable_spark.operators.graph import triangle_count
+
+    # Triangle 1-2-3 plus pendant 3-4; duplicates, reversals and a
+    # self-loop must all collapse away.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (3, 4), (4, 4)],
+        "src long, dst long",
+    )
+    row = triangle_count(edges, "src", "dst").first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 4, 1)
+
+
+def test_triangle_count_counts_each_triangle_once(spark):
+    from fhc_rco_etl_scalable_spark.operators.graph import triangle_count
+
+    # K4 has exactly 4 triangles.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4, "src long, dst long")
+    row = triangle_count(edges, "src", "dst").first()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)

@@ -471,6 +471,15 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
     )
 
+    # 33b. Triangle count: the wedge joins are equi-joins on edge
+    #     endpoints — a CartesianProduct here means the orientation
+    #     predicate leaked out of the join keys. (The three 1-row
+    #     aggregate crossJoins ride BroadcastNestedLoop, like BM25's
+    #     scalar constants — allowed.)
+    p = plan_of(hq.q_triangle_count(spark, sf_dir))
+    check("no_cartesian(triangle_count)", "CartesianProduct" not in p)
+    check("no_python(triangle_count)", "Python" not in p)
+
     # 34. EWMA oracle entry: the per-key series arrays broadcast back
     #     onto the row stream (one row per key — tiny), and the fold
     #     itself is a native higher-order expression, not Python.
