@@ -31,6 +31,8 @@ the (much smaller) rank frame.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -136,3 +138,42 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    sources: Sequence[int],
+    max_hops: int,
+) -> DataFrame:
+    """Bounded multi-source BFS: (node, hops) for every node reachable
+    from ``sources`` within ``max_hops`` directed hops (hops = the
+    MINIMUM hop count, i.e. unweighted shortest path).
+
+    The loop is O(max_hops) rounds of frontier-join + anti-join — each
+    round one equi-join on the edge key and one left-anti against the
+    settled set, both hash-partitionable; the frontier localCheckpoints
+    per round so the composed plan stays O(1) deep in hops (same
+    discipline as :func:`pagerank`). At 100 TB the settled set is the
+    state to watch: it grows monotonically, so long-horizon BFS wants
+    it partitioned on node and checkpointed to storage, not memory.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, hops long"
+    )
+    frontier = dist.select("node")
+    for h in range(1, int(max_hops) + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist

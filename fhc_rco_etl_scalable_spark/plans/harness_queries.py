@@ -8963,3 +8963,46 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return triangle_count(edges, "src", "dst")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: bounded BFS (unweighted shortest hops) — graph family #4.
+# The Spark side is an O(max_hops) frontier-join loop; the oracle is
+# a DuckDB recursive CTE bounded by the same hop limit with min(d)
+# collapsing walk multiplicity to shortest-path distance (the
+# anti-join settles each node at its FIRST discovery — same minimum).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bfs_reachability",
+    """
+WITH RECURSIVE raw AS (
+  SELECT DISTINCT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION ALL
+  SELECT raw.dst, walk.d + 1
+  FROM walk JOIN raw ON raw.src = walk.node
+  WHERE walk.d < 3
+)
+SELECT node, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY node
+""",
+)
+def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS from node 0 over the same deterministic lineitem
+    graph as pagerank/triangle_count."""
+    from ..operators.graph import bfs_levels
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    return bfs_levels(edges, "src", "dst", sources=[0], max_hops=3)

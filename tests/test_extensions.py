@@ -1185,3 +1185,28 @@ def test_triangle_count_counts_each_triangle_once(spark):
     edges = spark.createDataFrame(k4, "src long, dst long")
     row = triangle_count(edges, "src", "dst").first()
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
+
+
+def test_bfs_levels_shortest_hops(spark):
+    from fhc_rco_etl_scalable_spark.operators.graph import bfs_levels
+
+    # 0->1->2->3->4 chain plus a 0->2 shortcut: node 2 settles at hop 1,
+    # node 3 at 2, node 4 at 3; node 9 unreachable; 5->0 ignored
+    # (directed). max_hops=3 excludes nothing here but bounds the loop.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 2), (5, 0)],
+        "src long, dst long",
+    )
+    got = {r.node: r.hops for r in bfs_levels(edges, "src", "dst", [0], 3).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_levels_multi_source_min(spark):
+    from fhc_rco_etl_scalable_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (7, 2)], "src long, dst long")
+    got = {
+        r.node: r.hops for r in bfs_levels(edges, "src", "dst", [0, 7], 2).collect()
+    }
+    # node 2 is 2 hops from 0 but 1 hop from 7 — min wins.
+    assert got == {0: 0, 7: 0, 1: 1, 2: 1}

@@ -479,6 +479,11 @@ def main() -> int:
     p = plan_of(hq.q_triangle_count(spark, sf_dir))
     check("no_cartesian(triangle_count)", "CartesianProduct" not in p)
     check("no_python(triangle_count)", "Python" not in p)
+    p = plan_of(hq.q_bfs_reachability(spark, sf_dir))
+    check(
+        "no_cartesian(bfs_reachability)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
 
     # 34. EWMA oracle entry: the per-key series arrays broadcast back
     #     onto the row stream (one row per key — tiny), and the fold
