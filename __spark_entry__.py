@@ -38,33 +38,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of the JSON history + _RECERTIFY, so it never drifts from what
 # the driver actually recorded.
 _RECERTIFY = [
-    # round 9: rest_scan_harness now self-provisions
-    # spark.sql.python.filterPushdown.enabled (set/restore inside the
-    # entry) — the r8 official red was a session-conf dependence, not
-    # operator semantics. (It is also never-green so it sorts first
-    # regardless; listed for the record.)
+    # round 10 (ADVICE r9): corrupt_record_handling coalesces NULL
+    # payloads to the same invalid literal on both engines;
+    # substring_dedup pins the tokenizer delimiter class to
+    # [ \t\n\f\r]+ in BOTH the Spark split and the DuckDB oracle
+    # (Java \s includes \x0B, RE2's does not); streaming_ewma_harness
+    # concatenates all Arrow chunks before the per-batch sort (global
+    # event-time fold order for large groups); bfs_reachability
+    # dedupes duplicate source ids in the seed frame.
+    "corrupt_record_handling",
+    "substring_dedup",
+    "streaming_ewma_harness",
+    "bfs_reachability",
+    # round 10 (VERDICT r9 #2): triangle_count now defaults to
+    # degree-ordered orientation (the hub guard its docstring
+    # promised); census identical by construction, plan re-audited.
+    "triangle_count",
+    # round 10 scaffolding refactor: rest_scan_harness's loopback
+    # server + pushdown-conf set/restore factored into shared helpers
+    # (_start_paged_rest_server, _python_pushdown_enabled) also used
+    # by the new S4 entry; behavior identical, re-certify the mover.
     "rest_scan_harness",
-    # round 9 streaming-floor retune (VERDICT r8 #3): micro-batch
-    # counts cut to the minimum that still proves cross-batch state
-    # carry, and the stream-stream join re-gridded to 2 partitions.
-    # url_dedup: fragment now stripped before query extraction
-    # (ADVICE r8 #2, oracle transcribed identically).
-    # jdbc_window_scan_harness: fixed-name Derby db + overwrite seed.
-    "streaming_sessionize_harness",
-    "streaming_tumbling_harness",
-    "streaming_dedup",
-    "streaming_interval_join",
-    "streaming_enrich_join",
-    "streaming_state_inspect",
-    "url_dedup",
-    "jdbc_window_scan_harness",
-    # round 9 input-scaffolding flattening: harness_downtime_log and
-    # _harness_inputs lazy-localCheckpoint once per (app, sf_dir) —
-    # the three heaviest consumers re-certify as representatives
-    # (hashes verified identical in the local gate).
-    "site_etl_full",
-    "gantt_harness",
-    "event_log_for_gantt_harness",
 ]
 
 

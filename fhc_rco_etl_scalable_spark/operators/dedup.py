@@ -1003,8 +1003,11 @@ def substring_dedup(
     """
     from pyspark.sql.window import Window
 
+    # Explicit delimiter class, NOT \s+: Java's \s includes vertical
+    # tab (\x0B) while RE2's (the DuckDB oracle) does not — \x0B text
+    # would tokenize differently across engines.
     toks = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"[ \t\n\f\r]+"),
         lambda x: x != "",
     )
     base = df.select(F.col(id_col), toks.alias("__toks"))

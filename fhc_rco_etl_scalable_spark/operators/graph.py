@@ -97,21 +97,33 @@ def pagerank(
     return ranks
 
 
-def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, src: str, dst: str, orient: str = "degree"
+) -> DataFrame:
     """Exact triangle count of the undirected simple graph induced by
     ``edges`` (self-loops dropped, duplicates collapsed, direction
     ignored). Returns ONE row: (n_nodes, n_edges, n_triangles).
 
-    The canonical two-join formulation: orient every edge low->high
-    (a < b), then a triangle a<b<c is exactly one (a,b)x(b,c) wedge
-    closed by (a,c) — each triangle counted once, no post-division.
-    Both joins are equi-joins on edge endpoints (hash-partitionable;
-    no cartesian). At 100 TB orient edges from the LOWER-degree
-    endpoint instead of the lower id (the standard compact-forward
-    trick): wedge counts per node drop from O(deg^2) on hubs to
-    O(m^{1/2}) amortized, while the join shape is unchanged.
+    The canonical two-join formulation: impose a TOTAL ORDER on the
+    nodes, orient every edge low->high under it, and close wedges —
+    a triangle a<b<c is exactly one (a,b)x(b,c) wedge closed by
+    (a,c), each triangle counted once, no post-division. Both joins
+    are equi-joins on edge endpoints (hash-partitionable; no
+    cartesian). The triangle count is the same under ANY total order;
+    only the wedge count (join fan-out) differs.
+
+    ``orient`` picks the order:
+
+    - ``"degree"`` (default) — order by (degree, id), the standard
+      compact-forward / degree-ordering trick: every node's
+      out-degree in the oriented graph is O(sqrt(m)), so wedge
+      counts drop from O(deg^2) on hubs to O(m^{3/2}) total — the
+      100 TB-safe choice on power-law graphs, at the cost of one
+      degree aggregate + one join to attach orders to endpoints.
+    - ``"id"`` — order by node id directly (no degree pass; fine
+      when the graph is near-regular or tiny).
     """
-    e = (
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -119,11 +131,62 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if orient == "degree":
+        # degree of each node in the undirected simple graph, then
+        # re-orient each edge from the (degree, id)-smaller endpoint.
+        deg = (
+            und.select(F.col("a").alias("x"))
+            .unionByName(und.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        e = (
+            und.join(
+                deg.select(
+                    F.col("x").alias("a"), F.col("d").alias("__da")
+                ),
+                "a",
+            )
+            .join(
+                deg.select(
+                    F.col("x").alias("b"), F.col("d").alias("__db")
+                ),
+                "b",
+            )
+            .select(
+                F.when(
+                    (F.col("__da") < F.col("__db"))
+                    | (
+                        (F.col("__da") == F.col("__db"))
+                        & (F.col("a") < F.col("b"))
+                    ),
+                    F.struct(
+                        F.col("a").alias("a"), F.col("b").alias("b")
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.col("b").alias("a"), F.col("a").alias("b")
+                    )
+                )
+                .alias("__e")
+            )
+            .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+        )
+    elif orient == "id":
+        e = und
+    else:
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
     nodes = (
-        e.select(F.col("a").alias("x"))
-        .unionByName(e.select(F.col("b").alias("x")))
+        und.select(F.col("a").alias("x"))
+        .unionByName(und.select(F.col("b").alias("x")))
         .distinct()
     )
+    # Directed-path closure: a triangle x<y<z under the total order
+    # has oriented edges x->y, y->z, x->z — exactly one path
+    # (x->y)(y->z), closed by (x->z). Join fan-out is
+    # sum_y indeg(y)*outdeg(y) <= m * max-outdeg; degree ordering
+    # caps max-outdeg at O(sqrt(m)).
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))
@@ -135,7 +198,7 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     )
     return (
         nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
         .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
     )
 
@@ -161,8 +224,11 @@ def bfs_levels(
     """
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
     spark = edges.sparkSession
+    # dedupe sources: duplicate ids would seed duplicate (node, 0) rows
+    # and double-count every downstream union row for those nodes.
     dist = spark.createDataFrame(
-        [(int(s), 0) for s in sources], "node long, hops long"
+        [(s, 0) for s in sorted({int(s) for s in sources})],
+        "node long, hops long",
     )
     frontier = dist.select("node")
     for h in range(1, int(max_hops) + 1):

@@ -16,6 +16,7 @@ names + order-insensitive value hash):
 from __future__ import annotations
 
 from collections.abc import Callable
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2089,7 +2090,9 @@ def _harness_inputs(spark: SparkSession, sf_dir: str):
     hit = _INPUTS_CACHE.get(key)
     if hit is not None:
         return hit
-    downtime = _pin(harness_downtime_log(spark, sf_dir))
+    # harness_downtime_log already returns a _pin()-ed cached frame;
+    # re-pinning would persist a duplicate session-lifetime copy.
+    downtime = harness_downtime_log(spark, sf_dir)
     line_config = _pin(
         downtime.select("LINE")
         .distinct()
@@ -7308,37 +7311,20 @@ FROM src GROUP BY 1, 2
 """
 
 
-@query("rest_scan_harness", _REST_SCAN_ORACLE)
-def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 driver-graded (reference RCO_Maple_orchestrator.R:96-140 —
-    serial per-site page loops): the paged_rest DataSource walks three
-    sites' page chains partition-parallel against a real local HTTP
-    server (pages of 250 items, `_links.next` protocol — the same
-    handler shape the pytest uses), and the per-(site, event_type)
-    aggregate is hashed against the parquet truth. Bounded by
-    construction: the served subset is <=3000 rows collected once to
-    seed the server (harness scaffolding — production servers already
-    hold the data), and the result is collected before the server
-    shuts down so the returned frame outlives it."""
+def _start_paged_rest_server(
+    by_site: dict[str, list[dict]],
+    page_size: int,
+    seen_sites: set[str] | None = None,
+):
+    """Loopback ThreadingHTTPServer speaking the paged-REST protocol
+    (`items` + `_links.next`) over a per-site item dict — the shared
+    scaffolding behind the S1/S4 scan entries. Returns the started
+    server; callers own shutdown()/server_close(). ``seen_sites``
+    (optional) records every site a request ever asked for — the
+    wire-level proof that partition pruning pruned."""
     import http.server
     import json as _json
     import threading
-
-    from ..sources.rest_datasource import PagedRestDataSource
-
-    ev = (
-        load_table(spark, "events", sf_dir)
-        .filter(F.col("event_id") < 3000)
-        .select("event_id", "user_id", "event_type", "value")
-    )
-    by_site: dict[str, list[dict]] = {}
-    for r in ev.collect():  # bounded: <=3000 rows, seed data only
-        by_site.setdefault(f"S{r.user_id % 3}", []).append(
-            {"id": r.event_id, "etype": r.event_type, "value": r.value}
-        )
-    for items in by_site.values():
-        items.sort(key=lambda d: d["id"])
-    page_size = 250
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def do_GET(self):
@@ -7346,6 +7332,8 @@ def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             q = parse_qs(urlparse(self.path).query)
             site = q.get("site", [""])[0]
+            if seen_sites is not None and site:
+                seen_sites.add(site)
             page = int(q.get("page", ["1"])[0])
             items = by_site.get(site, [])
             chunk = items[(page - 1) * page_size : page * page_size]
@@ -7369,50 +7357,88 @@ def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
-    # Self-provision the Python-DataSource pushdown conf: the driver
-    # grades on a VANILLA session where it defaults to false, and
-    # PagedRestReader implements pushFilters(), so reader init raises
-    # DATA_SOURCE_PUSHDOWN_DISABLED without it (the r8 official red).
-    # Runtime-settable; restored in the finally so the entry leaves the
-    # session exactly as it found it.
-    _PD_CONF = "spark.sql.python.filterPushdown.enabled"
-    # `conf.get` returns the session DEFAULT for an unset conf, so use
-    # SET (explicitly-set confs only) to decide between restore/unset.
-    _explicit = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
-    prior_pd = _explicit.get(_PD_CONF)
+    return srv
+
+
+@_contextmanager
+def _python_pushdown_enabled(spark: SparkSession):
+    """Self-provision spark.sql.python.filterPushdown.enabled around a
+    Python-DataSource read: the driver grades on a VANILLA session
+    where it defaults to false, and a reader implementing
+    pushFilters() raises DATA_SOURCE_PUSHDOWN_DISABLED without it
+    (the r8 official red). Runtime-settable; restored on exit so the
+    entry leaves the session exactly as it found it. `conf.get`
+    returns the session DEFAULT for an unset conf, so use SET
+    (explicitly-set confs only) to decide between restore/unset."""
+    conf = "spark.sql.python.filterPushdown.enabled"
+    explicit = {r["key"]: r["value"] for r in spark.sql("SET").collect()}
+    prior = explicit.get(conf)
+    spark.conf.set(conf, "true")
     try:
-        spark.conf.set(_PD_CONF, "true")
-        spark.dataSource.register(PagedRestDataSource)
-        df = (
-            spark.read.format("paged_rest")
-            .schema("id long, site string, etype string, value double")
-            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
-            .option("entity", "events")
-            .option("sites", ",".join(sorted(by_site)))
-            .option("start_date", "2024-01-01")
-            .load()
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)
+
+
+@query("rest_scan_harness", _REST_SCAN_ORACLE)
+def q_rest_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 driver-graded (reference RCO_Maple_orchestrator.R:96-140 —
+    serial per-site page loops): the paged_rest DataSource walks three
+    sites' page chains partition-parallel against a real local HTTP
+    server (pages of 250 items, `_links.next` protocol — the same
+    handler shape the pytest uses), and the per-(site, event_type)
+    aggregate is hashed against the parquet truth. Bounded by
+    construction: the served subset is <=3000 rows collected once to
+    seed the server (harness scaffolding — production servers already
+    hold the data), and the result is collected before the server
+    shuts down so the returned frame outlives it."""
+    from ..sources.rest_datasource import PagedRestDataSource
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    by_site: dict[str, list[dict]] = {}
+    for r in ev.collect():  # bounded: <=3000 rows, seed data only
+        by_site.setdefault(f"S{r.user_id % 3}", []).append(
+            {"id": r.event_id, "etype": r.event_type, "value": r.value}
         )
-        agg = df.groupBy(
-            "site", F.col("etype").alias("event_type")
-        ).agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum(F.col("value").cast(_MONEY)), 2)
-            .cast("double")
-            .alias("total_value"),
-            F.min("id").alias("min_id"),
-            F.max("id").alias("max_id"),
-        )
-        rows = agg.collect()  # must materialize while the server lives
+    for items in by_site.values():
+        items.sort(key=lambda d: d["id"])
+    srv = _start_paged_rest_server(by_site, page_size=250)
+    try:
+        with _python_pushdown_enabled(spark):
+            spark.dataSource.register(PagedRestDataSource)
+            df = (
+                spark.read.format("paged_rest")
+                .schema("id long, site string, etype string, value double")
+                .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+                .option("entity", "events")
+                .option("sites", ",".join(sorted(by_site)))
+                .option("start_date", "2024-01-01")
+                .load()
+            )
+            agg = df.groupBy(
+                "site", F.col("etype").alias("event_type")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+                .cast("double")
+                .alias("total_value"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            )
+            rows = agg.collect()  # must materialize while the server lives
         return spark.createDataFrame(
             rows,
             "site string, event_type string, n long, total_value double,"
             " min_id long, max_id long",
         )
     finally:
-        if prior_pd is None:
-            spark.conf.unset(_PD_CONF)
-        else:
-            spark.conf.set(_PD_CONF, prior_pd)
         srv.shutdown()
         srv.server_close()
 
@@ -8014,8 +8040,10 @@ WITH t AS (
   FROM documents
 ),
 tok AS (
+  -- delimiter class pinned to match the Spark side exactly (Java \\s
+  -- includes \\x0B, RE2's does not)
   SELECT doc_id,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         list_filter(string_split_regex(text, '[ \t\n\f\r]+'), x -> x <> '') AS toks
   FROM t
 ),
 g AS (
@@ -8325,8 +8353,15 @@ WITH j AS (
          CASE WHEN doc_id % 7 = 0
               THEN substr('{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}', 1, 9)
               ELSE '{"lang":"' || lang || '","n":' || CAST(n_chars AS VARCHAR) || '}'
-         END AS payload
+         END AS raw_payload
   FROM documents
+),
+j2 AS (
+  -- NULL source columns make the concatenation NULL; the engines
+  -- disagree on NULL (Spark from_json(NULL) -> 'ok', DuckDB
+  -- json_valid(NULL) -> NULL -> 'corrupt'). Coalesce to a non-empty
+  -- invalid literal so both sides classify it 'corrupt'.
+  SELECT doc_id, COALESCE(raw_payload, '{') AS payload FROM j
 )
 SELECT doc_id,
        CASE WHEN json_valid(payload) THEN 'ok' ELSE 'corrupt' END AS status,
@@ -8334,7 +8369,7 @@ SELECT doc_id,
             THEN json_extract_string(payload, '$.lang') END AS lang,
        CASE WHEN json_valid(payload)
             THEN CAST(json_extract(payload, '$.n') AS BIGINT) END AS n
-FROM j
+FROM j2
 """
 
 
@@ -8356,6 +8391,10 @@ def q_corrupt_record_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.when(F.col("doc_id") % 7 == 0, F.substring(payload, 1, 9)).otherwise(
         payload
     )
+    # NULL lang/n_chars nulls the concat; from_json(NULL) would yield a
+    # NULL _corrupt_record -> 'ok' while the oracle says 'corrupt'.
+    # Coalesce to the same non-empty invalid literal as the oracle.
+    payload = F.coalesce(payload, F.lit("{"))
     parsed = F.from_json(
         payload,
         "lang string, n long, _corrupt_record string",
@@ -9006,3 +9045,86 @@ def q_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return bfs_levels(edges, "src", "dst", sources=[0], max_hops=3)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: S4 (explicit column lists / pruning) promoted to oracle
+# evidence — the last gradable SURVEY §2 row that had plan-audit-only
+# coverage (reference ref/RCO_ProficyiODS_orchestrator.R:52-55, an
+# explicit SELECT column list). The paged_rest DataSource is read
+# with (a) a PROJECTED schema (etype served by the API but never
+# requested — the reader materializes only schema columns) and (b) a
+# site IN-filter that pushFilters consumes into partition pruning.
+# The entry asserts AT THE WIRE that the pruned site's page chain was
+# never fetched, then hashes the projection's aggregate vs DuckDB.
+# ---------------------------------------------------------------------------
+
+_REST_PRUNED_ORACLE = """
+WITH src AS (
+  SELECT event_id, 'S' || CAST(user_id % 3 AS VARCHAR) AS site, value
+  FROM events WHERE event_id < 3000
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM src WHERE site IN ('S0', 'S2')
+"""
+
+
+@query("rest_pruned_scan_harness", _REST_PRUNED_ORACLE)
+def q_rest_pruned_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 driver-graded: explicit column list + pushed partition
+    pruning over the paged REST protocol. The served items carry an
+    `etype` field the schema never requests (projection: only id,
+    site, value cross the extraction), and `site IN ('S0','S2')` is
+    consumed by pushFilters — proven at the WIRE level by asserting
+    the server recorded requests for exactly {S0, S2}; S1's whole
+    page chain (a third of the network) was pruned before any HTTP.
+    The aggregate of what ARRIVED is hashed against parquet truth."""
+    from ..sources.rest_datasource import PagedRestDataSource
+
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    by_site: dict[str, list[dict]] = {}
+    for r in ev.collect():  # bounded: <=3000 rows, seed data only
+        by_site.setdefault(f"S{r.user_id % 3}", []).append(
+            {"id": r.event_id, "etype": r.event_type, "value": r.value}
+        )
+    for items in by_site.values():
+        items.sort(key=lambda d: d["id"])
+    seen: set[str] = set()
+    srv = _start_paged_rest_server(by_site, page_size=250, seen_sites=seen)
+    try:
+        with _python_pushdown_enabled(spark):
+            spark.dataSource.register(PagedRestDataSource)
+            df = (
+                spark.read.format("paged_rest")
+                .schema("id long, site string, value double")  # no etype
+                .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}")
+                .option("entity", "events")
+                .option("sites", ",".join(sorted(by_site)))
+                .option("start_date", "2024-01-01")
+                .load()
+                .filter(F.col("site").isin("S0", "S2"))
+            )
+            agg = df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.sum(F.col("value").cast(_MONEY)), 2)
+                .cast("double")
+                .alias("total_value"),
+                F.min("id").alias("min_id"),
+                F.max("id").alias("max_id"),
+            )
+            rows = agg.collect()  # must materialize while the server lives
+        assert seen == {"S0", "S2"}, (
+            f"partition pruning leaked to the wire: sites fetched = {seen}"
+        )
+        return spark.createDataFrame(
+            rows, "n long, total_value double, min_id long, max_id long"
+        )
+    finally:
+        srv.shutdown()
+        srv.server_close()

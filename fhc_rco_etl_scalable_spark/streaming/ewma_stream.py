@@ -45,12 +45,18 @@ def ewma_fold_rows(
     batch recurrence so stream == batch bit-for-bit."""
     y = prior
     out: list[tuple] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for row in pdf.itertuples(index=False):
-            x = float(row.value)
-            y = x if y is None else alpha * x + (1.0 - alpha) * y
-            out.append((key, int(row.event_id), row.ts, y))
+    # A key's rows in one micro-batch can span multiple Arrow chunks
+    # (arrow.maxRecordsPerBatch); fold order must be GLOBAL event-time
+    # order, so concatenate every chunk before the single sort.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return out, y
+    batch = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    batch = batch.sort_values(["ts", "event_id"])
+    for row in batch.itertuples(index=False):
+        x = float(row.value)
+        y = x if y is None else alpha * x + (1.0 - alpha) * y
+        out.append((key, int(row.event_id), row.ts, y))
     return out, y
 
 

@@ -1187,6 +1187,29 @@ def test_triangle_count_counts_each_triangle_once(spark):
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (4, 6, 4)
 
 
+def test_triangle_count_orientations_agree(spark):
+    """The triangle census is invariant under the orientation order;
+    degree (default) and id orientations must agree, including on a
+    hub-heavy graph where the orders genuinely differ."""
+    import random
+
+    from fhc_rco_etl_scalable_spark.operators.graph import triangle_count
+
+    rng = random.Random(42)
+    # star hub 0 connected to everyone, plus random chords -> many
+    # triangles through the hub, degrees far from id order.
+    pairs = {(0, v) for v in range(1, 30)}
+    while len(pairs) < 80:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    by_deg = triangle_count(edges, "src", "dst", orient="degree").first()
+    by_id = triangle_count(edges, "src", "dst", orient="id").first()
+    assert by_deg == by_id
+    assert by_deg.n_triangles > 0
+
+
 def test_bfs_levels_shortest_hops(spark):
     from fhc_rco_etl_scalable_spark.operators.graph import bfs_levels
 

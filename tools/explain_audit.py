@@ -492,6 +492,88 @@ def main() -> int:
     check("no_python(ewma_smooth)", "Python" not in p)
     check("broadcast_series(ewma_smooth)", "BroadcastHashJoin" in p)
 
+    # 35. Bounded-global-window invariant (r9 verdict #8): a Window
+    #     with NO partition spec is a total order — legal ONLY over a
+    #     provably bounded input. For every entry known to carry one
+    #     (global rank over a fused/aggregated candidate set), find
+    #     each unpartitioned Window in the OPTIMIZED plan and assert a
+    #     bounding node (GlobalLimit/Limit/Aggregate/Filter) sits
+    #     immediately beneath it — the precondition that makes the
+    #     pattern safe to keep and unsafe to copy onto unbounded data.
+    #     Detection: in a windowspecdefinition the partition exprs
+    #     precede the sort exprs, so a spec whose FIRST argument
+    #     already carries an ASC/DESC marker has an empty partition.
+    _unpart = re.compile(
+        r"windowspecdefinition\([^,()]*(?:ASC|DESC) NULLS"
+    )
+    _bounding = re.compile(r"GlobalLimit|LocalLimit|Limit \d|Aggregate|Filter")
+
+    def global_windows_bounded(df) -> tuple[int, int]:
+        """(n_global_windows, n_bounded) over the optimized plan."""
+        lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
+        total = bounded = 0
+        for i, line in enumerate(lines):
+            if "Window [" in line and _unpart.search(line):
+                total += 1
+                if any(_bounding.search(nxt) for nxt in lines[i + 1 : i + 6]):
+                    bounded += 1
+        return total, bounded
+
+    for entry in (
+        "exact_quantiles",
+        "build_vocab",
+        "hybrid_rrf_search",
+        "bpe_top_pairs",
+        "bm25_search",
+    ):
+        n_gw, n_ok = global_windows_bounded(hq.QUERIES[entry](spark, sf_dir))
+        check(
+            f"bounded_global_window({entry})",
+            n_gw == n_ok,
+            detail=f"{n_ok}/{n_gw} global windows bounded",
+        )
+
+    # 36. S4 pruned REST scan, in-plan: the site IN-filter must be
+    #     CONSUMED by pushFilters (no post-scan Filter survives) and
+    #     the BatchScan's output must be exactly the 3 requested
+    #     columns (etype exists server-side but is never extracted).
+    #     Plan-only — the reader plans without any HTTP; the live
+    #     wire-level twin is the rest_pruned_scan_harness assertion.
+    from fhc_rco_etl_scalable_spark.sources.rest_datasource import (
+        PagedRestDataSource,
+    )
+
+    _pd_conf = "spark.sql.python.filterPushdown.enabled"
+    _prior_pd = {r["key"]: r["value"] for r in spark.sql("SET").collect()}.get(
+        _pd_conf
+    )
+    try:
+        spark.conf.set(_pd_conf, "true")
+        spark.dataSource.register(PagedRestDataSource)
+        scan = (
+            spark.read.format("paged_rest")
+            .schema("id long, site string, value double")
+            .option("base_url", "http://127.0.0.1:1/api")
+            .option("entity", "events")
+            .option("sites", "S0,S1,S2")
+            .load()
+            .filter(F.col("site").isin("S0", "S2"))
+        )
+        p = scan._jdf.queryExecution().executedPlan().toString()
+        check("pushdown_consumed(rest_pruned_scan)", "Filter" not in p, detail="")
+        m = re.search(r"BatchScan paged_rest\[([^\]]*)\]", p)
+        cols = [c.split("#")[0] for c in m.group(1).split(", ")] if m else []
+        check(
+            "projection(rest_pruned_scan)",
+            cols == ["id", "site", "value"],
+            detail=f"scan cols {cols}",
+        )
+    finally:
+        if _prior_pd is None:
+            spark.conf.unset(_pd_conf)
+        else:
+            spark.conf.set(_pd_conf, _prior_pd)
+
     print(f"\n{len(failures)} hard failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
