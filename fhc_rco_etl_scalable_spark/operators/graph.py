@@ -97,6 +97,51 @@ def pagerank(
     return ranks
 
 
+def undirected_simple_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Collapse a directed multigraph edge list to the undirected
+    simple graph: self-loops dropped, duplicates and reversals
+    collapsed, endpoints normalized to (a, b) with a < b."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def orient_edges(und: DataFrame, orient: str = "degree") -> DataFrame:
+    """Orient normalized undirected edges (a, b) low->high under a
+    total node order: ``"degree"`` orders by (degree, id) — the
+    compact-forward trick that caps oriented out-degree at O(sqrt(m))
+    — ``"id"`` keeps the id order (``und`` is already id-oriented)."""
+    if orient == "id":
+        return und
+    if orient != "degree":
+        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionByName(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return (
+        und.join(deg.select(F.col("x").alias("a"), F.col("d").alias("__da")), "a")
+        .join(deg.select(F.col("x").alias("b"), F.col("d").alias("__db")), "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+            )
+            .otherwise(F.struct(F.col("b").alias("a"), F.col("a").alias("b")))
+            .alias("__e")
+        )
+        .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
+    )
+
+
 def triangle_count(
     edges: DataFrame, src: str, dst: str, orient: str = "degree"
 ) -> DataFrame:
@@ -123,60 +168,8 @@ def triangle_count(
     - ``"id"`` — order by node id directly (no degree pass; fine
       when the graph is near-regular or tiny).
     """
-    und = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    if orient == "degree":
-        # degree of each node in the undirected simple graph, then
-        # re-orient each edge from the (degree, id)-smaller endpoint.
-        deg = (
-            und.select(F.col("a").alias("x"))
-            .unionByName(und.select(F.col("b").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).alias("d"))
-        )
-        e = (
-            und.join(
-                deg.select(
-                    F.col("x").alias("a"), F.col("d").alias("__da")
-                ),
-                "a",
-            )
-            .join(
-                deg.select(
-                    F.col("x").alias("b"), F.col("d").alias("__db")
-                ),
-                "b",
-            )
-            .select(
-                F.when(
-                    (F.col("__da") < F.col("__db"))
-                    | (
-                        (F.col("__da") == F.col("__db"))
-                        & (F.col("a") < F.col("b"))
-                    ),
-                    F.struct(
-                        F.col("a").alias("a"), F.col("b").alias("b")
-                    ),
-                )
-                .otherwise(
-                    F.struct(
-                        F.col("b").alias("a"), F.col("a").alias("b")
-                    )
-                )
-                .alias("__e")
-            )
-            .select(F.col("__e.a").alias("a"), F.col("__e.b").alias("b"))
-        )
-    elif orient == "id":
-        e = und
-    else:
-        raise ValueError(f"orient must be 'degree' or 'id', got {orient!r}")
+    und = undirected_simple_edges(edges, src, dst)
+    e = orient_edges(und, orient)
     nodes = (
         und.select(F.col("a").alias("x"))
         .unionByName(und.select(F.col("b").alias("x")))

@@ -8246,7 +8246,14 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id", "event_id", "ts", "event_type"
     )
     max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
-    n_batches = 2
+    # ONE data batch (r9 verdict #3 accounting): cross-data-batch
+    # match carry is the INNER twin's certified concern; what is
+    # outer-specific — unmatched rows may only drain once the
+    # watermark proves no match can arrive — inherently spans the
+    # data batch and the sentinel batches whatever the data batch
+    # count, so a second data slice bought a 4th micro-batch's state
+    # commits without adding covered semantics.
+    n_batches = 1
     with _clamped_shuffle(spark, 2), _staged_file_stream(
         ev, n_batches, ["ts", "event_id"], "sg-ssjo", cache_key=sf_dir
     ) as src:
@@ -8255,8 +8262,11 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         # that advance them, and availableNow is not guaranteed a
         # trailing no-data batch — so generation 2's batch is what
         # applies generation 1's watermark (real-max + 30d - delay) and
-        # drains every real unmatched purchase. Idempotent against the
-        # staged-source cache (fixed file names, skip when present).
+        # drains every real unmatched purchase. Generation 2 only needs
+        # to BE a batch, so it ships ZERO rows (schema-only parquet):
+        # its sentinel rows would just sit in join state doing nothing.
+        # Idempotent against the staged-source cache (fixed file
+        # names, skip when present).
         schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
         data_mtime = max(
             _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
@@ -8264,18 +8274,15 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         for gen in (1, 2):
             target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
             if not _os.path.exists(target):
-                pair = spark.createDataFrame(
+                rows = (
                     [
-                        (-1, -1, max_ts + _dt.timedelta(days=30 * gen), "purchase"),
-                        (
-                            -1,
-                            -2,
-                            max_ts + _dt.timedelta(days=30 * gen, hours=2),
-                            "view",
-                        ),
-                    ],
-                    schema_txt,
+                        (-1, -1, max_ts + _dt.timedelta(days=30), "purchase"),
+                        (-1, -2, max_ts + _dt.timedelta(days=30, hours=2), "view"),
+                    ]
+                    if gen == 1
+                    else []
                 )
+                pair = spark.createDataFrame(rows, schema_txt)
                 tmpd = _tempfile.mkdtemp(prefix="sg-ssjo-sent-")
                 try:
                     pair.coalesce(1).write.mode("overwrite").parquet(

@@ -560,7 +560,13 @@ def main() -> int:
             .filter(F.col("site").isin("S0", "S2"))
         )
         p = scan._jdf.queryExecution().executedPlan().toString()
-        check("pushdown_consumed(rest_pruned_scan)", "Filter" not in p, detail="")
+        # a surviving post-scan filter prints as a `Filter (...)` node;
+        # the BatchScan line's `RuntimeFilters: []` must not count.
+        check(
+            "pushdown_consumed(rest_pruned_scan)",
+            re.search(r"\bFilter \(", p) is None,
+            detail="",
+        )
         m = re.search(r"BatchScan paged_rest\[([^\]]*)\]", p)
         cols = [c.split("#")[0] for c in m.group(1).split(", ")] if m else []
         check(

@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|gapfill|lttb|ewma] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|gapfill|lttb|ewma] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -411,6 +411,143 @@ def run_substr(spark, docs) -> dict:
     }
 
 
+_SKEW_BOILER = (
+    "click here to accept cookies and continue reading this article"
+    " on our website platform"
+)
+
+
+def boilerplate_documents(spark, sf_dir: str, n: int):
+    """Cipher-replicated docs with ONE un-ciphered boilerplate sentence
+    appended to 30% of ALL docs (doc_id%10<3 in every replica): the
+    replica-shared sentence makes its 8-grams the globally hottest
+    keys, and their occurrence count grows ~N-fold — the r9 verdict's
+    hot-gram skew axis (one boilerplate string dominating a crawl)."""
+    docs = scaled_documents(spark, sf_dir, n, mode="cipher")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(F.col("text"), F.lit(" " + _SKEW_BOILER)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def run_substr_skew(spark, docs) -> dict:
+    """substring_dedup under a deliberately hot gram (30% boilerplate).
+
+    Wall is measured around the dedup itself; afterwards the probe
+    re-derives the operator's gram frame to report WHERE the skew
+    lives: top_gram_share = hottest gram's occurrences / all gram
+    occurrences (what the cov semi-join shuffles per partition if the
+    dup side ever stops broadcasting), and max_part_share = the
+    hottest hash partition's share under the session's shuffle
+    partitioning (what a gram-keyed exchange actually routes). The
+    COUNT path (groupBy gram) stays bounded regardless — map-side
+    partials emit one row per distinct gram per mapper."""
+    from fhc_rco_etl_scalable_spark.operators.dedup import substring_dedup
+
+    out = substring_dedup(docs, "doc_id", "text", min_tokens=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_removed").alias("removed"),
+    ).first()
+    # Post-wall diagnostics: rebuild the gram frame exactly as the
+    # operator tokenizes (same delimiter class, same min_tokens).
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"[ \t\n\f\r]+"),
+        lambda x: x != "",
+    )
+    base = docs.select(toks.alias("__toks"))
+    nn = F.size("__toks")
+    grams = base.filter(nn >= 8).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), nn - 8),
+                lambda i: F.array_join(F.slice("__toks", i + 1, 8), " "),
+            )
+        ).alias("gram")
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part_stats = (
+        grams.groupBy(F.pmod(F.hash("gram"), F.lit(n_part)).alias("p"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+        .first()
+    )
+    top_gram = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()["mx"]
+    )
+    tot = int(part_stats["tot"]) or 1
+    return {
+        "docs": int(agg["docs"]),
+        "removed": int(agg["removed"]),
+        "removed_frac": round(agg["removed"] / max(agg["tokens"], 1), 4),
+        "gram_occurrences": tot,
+        "top_gram_count": int(top_gram),
+        "top_gram_share": round(int(top_gram) / tot, 4),
+        "max_part_share": round(int(part_stats["mx"]) / tot, 4),
+        "shuffle_partitions": n_part,
+    }
+
+
+def hub_edges(spark, n: int):
+    """Power-law-ish graph scaled n-fold: V=2000n nodes, E=20000n
+    directed edge draws, 20% of draws attaching to a MID-ID hub so
+    its degree grows ~n while its id stays middle-of-range — the
+    adversarial case for id orientation (the hub keeps both in- and
+    out-oriented edges, so id-oriented wedge fan-out at the hub grows
+    ~deg^2; degree orientation points every hub edge INTO it, zero
+    wedges form there). Deterministic: hash-derived endpoints."""
+    V = 2000 * n
+    E = 20_000 * n
+    hub = V // 2
+    ids = spark.range(E)
+    src = F.when(F.col("id") % 5 == 0, F.lit(hub)).otherwise(
+        F.pmod(F.hash(F.col("id") * F.lit(2654435761)), F.lit(V))
+    )
+    dst = F.pmod(F.hash((F.col("id") + 7) * F.lit(40503)), F.lit(V))
+    return ids.select(
+        src.cast("long").alias("src"), dst.cast("long").alias("dst")
+    )
+
+
+def run_graph(spark, edges) -> dict:
+    """triangle_count under both orientations on the hub graph.
+
+    Walls time the wedge joins over a pre-materialized normalized
+    edge set (the shared distinct is not what differs); wedge counts
+    are the path-join fan-out sum(indeg*outdeg), and max_node_wedges
+    is the single hottest node's contribution — the partition that
+    melts on a power-law graph when edges orient by id."""
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        orient_edges,
+        triangle_count,
+        undirected_simple_edges,
+    )
+
+    und = undirected_simple_edges(edges, "src", "dst").localCheckpoint()
+    res: dict = {"edges": und.count()}
+    for orient in ("degree", "id"):
+        t0 = time.time()
+        row = triangle_count(und, "a", "b", orient=orient).first()
+        res[f"wall_{orient}"] = round(time.time() - t0, 2)
+        res["triangles"] = int(row["n_triangles"])
+        e = orient_edges(und, orient)
+        o = e.groupBy(F.col("a").alias("y")).agg(F.count(F.lit(1)).alias("od"))
+        i = e.groupBy(F.col("b").alias("y")).agg(F.count(F.lit(1)).alias("ind"))
+        w = o.join(i, "y").select((F.col("od") * F.col("ind")).alias("w"))
+        wrow = w.agg(F.sum("w").alias("s"), F.max("w").alias("m")).first()
+        res[f"wedges_{orient}"] = int(wrow["s"] or 0)
+        res[f"max_node_wedges_{orient}"] = int(wrow["m"] or 0)
+    und.unpersist()
+    return res
+
+
 def run_ngram(spark, docs) -> dict:
     """bigram LM + DSIR on suffix-replicated docs (disjoint doc ids,
     near-identical vocabulary — a bigger crawl of the same language,
@@ -549,6 +686,8 @@ RUNNERS = {
     "ngram": lambda spark, data, sf_dir: run_ngram(spark, data),
     "bpe": lambda spark, data, sf_dir: run_bpe(spark, data),
     "substr": lambda spark, data, sf_dir: run_substr(spark, data),
+    "substr_skew": lambda spark, data, sf_dir: run_substr_skew(spark, data),
+    "graph": lambda spark, data, sf_dir: run_graph(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
     "ewma": lambda spark, data, sf_dir: run_ewma(spark, data),
@@ -611,6 +750,13 @@ def main() -> None:
             # cipher mode: replicas share no grams, so duplicated-gram
             # space grows ~N (independent shards), never quadratically.
             data = scaled_documents(spark, sf_dir, eff, mode="cipher")
+        elif probe == "substr_skew":
+            # cipher replicas + ONE shared boilerplate in 30% of docs:
+            # the hot-gram axis (occurrences of the top gram grow ~N).
+            data = boilerplate_documents(spark, sf_dir, eff)
+        elif probe == "graph":
+            # synthetic hub graph; sf_dir unused (size is n-derived).
+            data = hub_edges(spark, eff)
         else:
             raise SystemExit(f"unknown probe {probe}")
         if materialize:
