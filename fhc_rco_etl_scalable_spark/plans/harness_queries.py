@@ -3257,6 +3257,63 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q_streaming_hopping_harness — §2.11's sliding-window member: a
+# 2-day window hopping every 1 day (overlapping windows, each event
+# in exactly two). Spark assigns all memberships in one Generate —
+# no self-union — and the oracle transcribes the same membership rule
+# (starts trunc_day(ts) - k for k in 0..1; day slides are
+# epoch-aligned to midnight on both engines).
+# ---------------------------------------------------------------------------
+
+_STREAMING_HOPPING_ORACLE = _HARNESS_BASE + """
+SELECT CAST(date_trunc('day', START_TIME) - k * INTERVAL 1 DAY AS DATE)
+         AS WindowStart,
+       LINE, round(sum(UPTIME), 2) AS Runtime
+FROM ds CROSS JOIN range(0, 2) AS r(k)
+GROUP BY 1, 2
+"""
+
+
+@query("streaming_hopping_harness", _STREAMING_HOPPING_ORACLE)
+def q_streaming_hopping_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.sessionize_stream import streaming_hopping_runtime
+
+    feed = harness_downtime_log(spark, sf_dir).select("LINE", "START_TIME", "UPTIME")
+    n_batches = 2  # 1 cross-batch window-state carry, same floor
+    # accounting as the tumbling twin (overlap makes boundary windows
+    # span the batch cut on BOTH sides of the hop).
+    with _clamped_shuffle(spark), _staged_file_stream(
+        feed, n_batches, ["START_TIME", "LINE"], "sg-hop",
+        cache_key=sf_dir,
+    ) as src:
+        events = (
+            spark.readStream.schema(feed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rollup = streaming_hopping_runtime(events, size_days=2, slide_days=1)
+        name = f"hop_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            rollup.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "streaming hopping harness timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches, (
+            f"expected >= {n_batches} micro-batches, got {n_microbatches}"
+        )
+        return spark.table(name).select(
+            "WindowStart", "LINE", F.round("Runtime", 2).alias("Runtime")
+        )
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing + PII scrub — remaining training-pipeline staples.
 # ---------------------------------------------------------------------------
 

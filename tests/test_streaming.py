@@ -105,6 +105,45 @@ def test_streaming_runtime_rollup(spark, tmp_path_factory):
     assert rows is not None
 
 
+def test_streaming_hopping_membership(spark, tmp_path_factory):
+    """2-day/1-day hopping windows: every event contributes to exactly
+    TWO window starts (trunc_day(ts) and the day before), so each
+    per-line daily uptime appears under both — checked in complete
+    mode so every window is in the result table."""
+    from fhc_rco_etl_scalable_spark.streaming.sessionize_stream import (
+        streaming_hopping_runtime,
+    )
+
+    src = str(tmp_path_factory.mktemp("stream_src_hop"))
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.mode("overwrite").parquet(src)
+    events = spark.readStream.schema(SCHEMA).parquet(src)
+    rollup = streaming_hopping_runtime(events, size_days=2, slide_days=1)
+    q = (
+        rollup.writeStream.outputMode("complete").format("memory")
+        .queryName("hop_out").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.WindowStart, r.LINE): r.Runtime
+        for r in spark.sql("SELECT * FROM hop_out").collect()
+    }
+    # batch truth: tumbling day sums, each day d feeding windows
+    # starting d and d-1.
+    import datetime as dt
+    from collections import defaultdict
+
+    days = defaultdict(float)
+    for row in spark.createDataFrame(ROWS, SCHEMA).collect():
+        days[(row.START_TIME.date(), row.LINE)] += row.UPTIME
+    want = defaultdict(float)
+    for (d, line), v in days.items():
+        for k in (0, 1):
+            want[(d - dt.timedelta(days=k), line)] += v
+    assert {k: round(v, 6) for k, v in got.items()} == {
+        k: round(v, 6) for k, v in want.items()
+    }
+
+
 # ---------------------------------------------------------------------------
 # transformWithStateInPandas (v2 stateful API) twin — the processor's
 # logic is a pure function shared with the v1 applyInPandasWithState
