@@ -36,6 +36,7 @@ def asof_join(
     direction: str = "backward",
     strict: bool = False,
     tie_break: Sequence[str] = (),
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Attach to each ``left`` row the ``value_cols`` of the nearest
     ``right`` row (per ``on`` keys) at or before/after its timestamp.
@@ -45,6 +46,14 @@ def asof_join(
     left_ts ('>' if strict). Ties on timestamp resolve to the LAST
     right row in ``(ts, *tie_break)`` order for backward, the FIRST
     for forward (deterministic given a unique tie_break).
+
+    ``tolerance`` (optional, an INTERVAL string like ``'1 hour'``;
+    timestamp columns only): pandas ``merge_asof``-style bound — a
+    match further than the tolerance from the left timestamp is
+    discarded (all value_cols NULL), exactly as if no right row
+    existed. Applied to the PICKED row post-window, so it adds zero
+    shuffles: the matched right timestamp rides inside the same
+    struct as the values and the bound is one projection.
 
     Implementation: union-tag + windowed last/first(ignorenulls) —
     one shuffle, linear scan per partition, whole-stage codegen. All
@@ -81,9 +90,12 @@ def asof_join(
         null_key = c if null_key is None else (null_key | c)
     right = right.filter(~null_key)
 
-    v_struct_type = T.StructType(
-        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
-    )
+    fields = [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    if tolerance is not None:
+        # the matched right timestamp rides with the values so the
+        # tolerance bound applies atomically to the picked row.
+        fields.append(T.StructField("__rts", right.schema[right_ts].dataType))
+    v_struct_type = T.StructType(fields)
     left_keep = [c for c in left.columns]
     # Left rows carry NULL markers; right rows carry only keys+values.
     l_tag = left.select(
@@ -98,7 +110,10 @@ def asof_join(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            *([F.col(right_ts).alias("__rts")] if tolerance is not None else []),
+        ).alias("__v"),
         *[F.col(c).alias(f"__tb_{c}") for c in tie_break],
     ).select(*l_tag.columns)
 
@@ -130,6 +145,14 @@ def asof_join(
     pick = F.last("__v", ignorenulls=True).over(frame)
 
     out = unioned.withColumn("__pick", pick).filter(F.col("__is_left") == 1)
+    if tolerance is not None:
+        tol = F.expr(f"INTERVAL {tolerance}")
+        gap = (
+            F.col("__ts") - F.col("__pick").getField("__rts")
+            if direction == "backward"
+            else F.col("__pick").getField("__rts") - F.col("__ts")
+        )
+        out = out.withColumn("__pick", F.when(gap <= tol, F.col("__pick")))
     return out.select(
         *[F.col(c) for c in left_keep],
         *[F.col("__pick").getField(c).alias(c) for c in value_cols],

@@ -350,6 +350,54 @@ def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOLERANCE_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_left,
+         NULL::BIGINT AS v_id, NULL::TIMESTAMP AS v_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0, event_id, ts
+  FROM events WHERE event_type = 'view'
+),
+f AS (
+  SELECT *,
+    last_value(v_id IGNORE NULLS) OVER w AS lv_id,
+    last_value(v_ts IGNORE NULLS) OVER w AS lv_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       CASE WHEN ts - lv_ts <= INTERVAL 30 MINUTE THEN lv_id END
+         AS recent_view_id
+FROM f WHERE is_left = 1
+"""
+
+
+@query("asof_tolerance", _ASOF_TOLERANCE_ORACLE)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with the pandas merge_asof TOLERANCE bound (r10): the
+    nearest preceding view counts only within 30 minutes of the
+    purchase — staler matches are discarded as if absent. The bound
+    rides the same one-shuffle union+ffill plan (the matched right
+    timestamp travels inside the picked struct; the check is one
+    post-window projection), so the tolerance costs zero exchanges."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("recent_view_id")
+    )
+    return asof_join(
+        purchases, views, on=["user_id"], left_ts="purchase_ts", right_ts="ts",
+        value_cols=["recent_view_id"],
+        direction="backward", strict=False, tie_break=["recent_view_id"],
+        tolerance="30 minutes",
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_interval_overlap — interval-overlap theta join (J7; reference
 # machine_level.py:66-73: stops intersecting [CO_start-5min,

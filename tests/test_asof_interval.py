@@ -33,6 +33,35 @@ def _right(spark):
     )
 
 
+def test_asof_tolerance_discards_stale_matches(spark):
+    """merge_asof-style tolerance: a1 at t=10 matches r1 (gap 0, kept);
+    a2 at t=30 matches r2 at t=20 (gap 10 > 5 -> discarded); k2's a3
+    has no preceding row at all (NULL either way). Forward: a3 at t=5
+    sees r3 at t=50, discarded at 5-minute tolerance."""
+    back = asof_join(
+        _left(spark), _right(spark), on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="backward", strict=False,
+        tie_break=["rid"], tolerance="5 minutes",
+    )
+    got = {r.lid: r.rid for r in back.collect()}
+    assert got == {"a1": "r1", "a2": None, "a3": None}
+    fwd = asof_join(
+        _left(spark), _right(spark), on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="forward", strict=True,
+        tie_break=["rid"], tolerance="15 minutes",
+    )
+    got = {r.lid: r.rid for r in fwd.collect()}
+    # a1 -> r2 (gap 10 <= 15); a2 has nothing later; a3 -> r3 gap 45
+    assert got == {"a1": "r2", "a2": None, "a3": None}
+    # no-tolerance behavior unchanged by the struct plumbing
+    plain = asof_join(
+        _left(spark), _right(spark), on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="backward", strict=False, tie_break=["rid"],
+    )
+    got = {r.lid: r.rid for r in plain.collect()}
+    assert got == {"a1": "r1", "a2": "r2", "a3": None}
+
+
 def test_asof_backward_nonstrict_includes_tie(spark):
     out = asof_join(
         _left(spark), _right(spark), on=["k"], left_ts="lts", right_ts="rts",

@@ -661,10 +661,14 @@ def run_lttb(spark, ev) -> dict[str, int]:
 
 
 def run_ewma(spark, ev) -> dict[str, int]:
-    """ewma_pow2 on replicated users: one exchange + one sort per key
-    partition; per-row work is O(1), so wall grows ~linearly with
-    rows. (The fold-form oracle config is quadratic BY DESIGN and is
-    not the scale path — this probe measures the production form.)"""
+    """ewma_pow2 on replicated users: since r10's segment rescaling
+    (no series-length limit) the plan is two key-partitioned window
+    passes, the per-segment summary aggregate, the per-key carry fold
+    (F.aggregate over n/512 elements), and a (key, segment) join —
+    all key-partitioned, per-row work still O(1), so wall grows
+    ~linearly with rows. (The fold-form oracle config is quadratic BY
+    DESIGN and is not the scale path — this probe measures the
+    production form.)"""
     from fhc_rco_etl_scalable_spark.operators.timeseries import ewma_pow2
 
     out = ewma_pow2(
