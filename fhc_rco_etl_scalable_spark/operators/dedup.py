@@ -809,6 +809,95 @@ def stratified_split(
     return df.withColumn("split", expr.otherwise(F.lit(None).cast("string")))
 
 
+def dense_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
+    """Distributed contiguous index: a deterministic bijection of the
+    rows onto ``0..n-1`` (column ``__i``) without a global sort.
+
+    The scalable zipWithIndex shape: bucket by ``id % buckets``,
+    within-bucket ``row_number`` (a KEY-partitioned window), then an
+    exclusive running sum over the per-bucket counts gives each
+    bucket's offset — that window is global but its input is the
+    aggregate-bounded ``buckets``-row frame (the bounded-global-window
+    pattern explain_audit section 35 checks), and the offsets
+    broadcast back. The index is deterministic and engine-portable
+    (pure modulo + rank arithmetic, no engine hash), NOT id-sorted —
+    callers that only need a bijection (negative sampling, random
+    permutation) don't pay for an order nobody reads."""
+    from pyspark.sql import Window
+
+    b = df.select(F.col(id_col), (F.col(id_col) % buckets).alias("__b"))
+    w = Window.partitionBy("__b").orderBy(id_col)
+    rn = b.withColumn("__rn", F.row_number().over(w) - 1)
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "__off", F.coalesce(F.sum("__c").over(wo), F.lit(0))
+    )
+    return rn.join(F.broadcast(offs.select("__b", "__off")), "__b").select(
+        id_col, (F.col("__off") + F.col("__rn")).cast("long").alias("__i")
+    )
+
+
+def negative_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    mult_a: int = 2654435761,
+    mult_b: int = 40503,
+    seed: int = 7,
+    buckets: int = 64,
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negatives per anchor from the
+    same corpus (contrastive-training negative sampling; the uniform
+    complement of the margin-mining hard negatives).
+
+    Negative ``t`` of the anchor at dense index ``i`` is the row at
+    index ``(i*mult_a + t*mult_b + seed) % (n-1)``, skip-self mapped
+    (``j -> j+1`` when ``j >= i``) so an anchor never draws itself —
+    a bijection of ``[0, n-2]`` onto the other ``n-1`` rows per draw.
+    Draws are WITH replacement across ``t`` (standard for uniform
+    negatives); arithmetic is plain integer multiply/mod, so a SQL
+    oracle reproduces it exactly and no engine RNG is involved.
+    Requires ``n >= 2``. At extreme corpus sizes mind the multiply:
+    ``i * mult_a`` must stay under 2^63 (shrink ``mult_a`` or reduce
+    mod-side first if n approaches 2^32).
+
+    Shape: dense index (key-partitioned window + broadcast offsets),
+    one ``sequence``+``explode`` (k rows per anchor), one equi-join
+    back on the index. Returns (id, neg_rank, neg_id)."""
+    ix = dense_index(df, id_col, buckets)
+    n = ix.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    anchors = (
+        ix.crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            "__i",
+            "__n",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+        )
+        .withColumn(
+            "__j",
+            (
+                F.col("__i") * mult_a
+                + F.col("neg_rank") * mult_b
+                + F.lit(seed)
+            )
+            % (F.col("__n") - 1),
+        )
+        .select(
+            id_col,
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.when(F.col("__j") >= F.col("__i"), F.col("__j") + 1)
+            .otherwise(F.col("__j"))
+            .alias("__t"),
+        )
+    )
+    return anchors.join(
+        ix.select(F.col(id_col).alias("neg_id"), F.col("__i").alias("__t")),
+        "__t",
+    ).select(id_col, "neg_rank", "neg_id")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

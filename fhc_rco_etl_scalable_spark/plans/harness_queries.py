@@ -9240,3 +9240,52 @@ def q_rest_pruned_scan_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Round 10: uniform negative sampling (contrastive training) — the
+# uniform complement of margin_pairs' hard negatives. The interesting
+# distributed piece is the dense 0..n-1 index built WITHOUT a global
+# sort (bucket rank + broadcast bucket offsets — the scalable
+# zipWithIndex); the draw itself is plain integer arithmetic both
+# engines reproduce bit-for-bit, with skip-self mapping.
+# ---------------------------------------------------------------------------
+
+_NEGATIVE_SAMPLE_ORACLE = """
+WITH b AS (
+  SELECT doc_id, doc_id % 64 AS bkt,
+         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) - 1 AS rn
+  FROM documents
+),
+o AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+off AS (
+  SELECT bkt, coalesce(sum(c) OVER (ORDER BY bkt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM o
+),
+ix AS (
+  SELECT b.doc_id, CAST(off.off + b.rn AS BIGINT) AS i
+  FROM b JOIN off ON b.bkt = off.bkt
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+draw AS (
+  SELECT ix.doc_id, CAST(t.t AS BIGINT) AS neg_rank, ix.i,
+         (ix.i * 2654435761 + t.t * 40503 + 7) % (nn.n - 1) AS j
+  FROM ix CROSS JOIN nn CROSS JOIN range(0, 4) AS t(t)
+)
+SELECT draw.doc_id, draw.neg_rank, tgt.doc_id AS neg_id
+FROM draw JOIN ix tgt
+  ON tgt.i = CASE WHEN draw.j >= draw.i THEN draw.j + 1 ELSE draw.j END
+"""
+
+
+@query("negative_sample", _NEGATIVE_SAMPLE_ORACLE)
+def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 uniform negatives per document (operators/dedup.py::
+    negative_sample): dense-index bijection, deterministic arithmetic
+    draw, skip-self mapping, index equi-join — every piece in the
+    hash. No engine RNG anywhere, so Spark and DuckDB agree exactly."""
+    from ..operators.dedup import negative_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return negative_sample(docs, "doc_id", k=4)

@@ -521,6 +521,28 @@ def test_pack_sequences_global_requires_opt_in(spark):
         DD.pack_sequences(docs, "doc_id", "n_tokens", budget=512)
 
 
+def test_negative_sample_skip_self_and_model(spark):
+    """dense_index is a bijection onto 0..n-1; negatives never equal
+    their anchor; the draw matches a direct python model of the same
+    arithmetic (non-contiguous ids exercise the bucket offsets)."""
+    ids = [3, 10, 64, 65, 129, 1000, 1001, 7]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ix = {
+        r["doc_id"]: r["__i"]
+        for r in DD.dense_index(docs, "doc_id").collect()
+    }
+    assert sorted(ix.values()) == list(range(len(ids)))
+    inv = {v: k for k, v in ix.items()}
+    out = DD.negative_sample(docs, "doc_id", k=3).collect()
+    assert len(out) == 3 * len(ids)
+    n = len(ids)
+    for r in out:
+        assert r.neg_id != r.doc_id
+        i = ix[r.doc_id]
+        j = (i * 2654435761 + r.neg_rank * 40503 + 7) % (n - 1)
+        assert r.neg_id == inv[j + 1 if j >= i else j]
+
+
 def test_stratified_split_validates_weights(spark):
     # ADVICE r4: empty weights previously crashed with AttributeError;
     # weights summing past 1 silently broke the NULL-holdout contract.
