@@ -533,6 +533,22 @@ def main() -> int:
             detail=f"{n_ok}/{n_gw} global windows bounded",
         )
 
+    # 35b. Round-10 batch additions. negative_sample: pure native
+    #     arithmetic (no Python, no engine RNG) and no cartesian
+    #     beyond the 1-row scalar-count broadcast (BNLJ allowed, like
+    #     BM25's constants); the dense-index offsets join and the
+    #     final index equi-join must hash/broadcast. asof_tolerance:
+    #     same one-shuffle union+ffill plan as asof_backward — the
+    #     tolerance bound may not introduce a join or a Python node.
+    p = plan_of(hq.QUERIES["negative_sample"](spark, sf_dir))
+    check("no_python(negative_sample)", "Python" not in p)
+    check("no_cartesian(negative_sample)", "CartesianProduct" not in p)
+    p = plan_of(hq.QUERIES["asof_tolerance"](spark, sf_dir))
+    check("no_python(asof_tolerance)", "Python" not in p)
+    check("no_join(asof_tolerance)", "Join" not in p)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check("single_shuffle(asof_tolerance)", n_ex <= 1, detail=f"{n_ex} exchanges")
+
     # 36. S4 pruned REST scan, in-plan: the site IN-filter must be
     #     CONSUMED by pushFilters (no post-scan Filter survives) and
     #     the BatchScan's output must be exactly the 3 requested
