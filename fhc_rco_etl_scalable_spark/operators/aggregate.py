@@ -93,3 +93,52 @@ def max_positive_per_key(
         .groupBy(*list(key_cols))
         .agg(F.max(value_col).alias(value_col))
     )
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    size_days: int,
+    slide_days: int = 1,
+    extra_group: Sequence[str] = (),
+) -> DataFrame:
+    """Exact DISTINCT count over sliding event-time windows (e.g.
+    trailing-7-day active users per day) — the rolling-uniques metric
+    every analytics stack needs and Spark cannot express as a window
+    function (there is no ``COUNT(DISTINCT) OVER``; collect_set over
+    a RANGE frame re-materializes the set per row).
+
+    The scalable shape is the hopping-window trick applied to
+    DISTINCT: each row's day belongs to ``size/slide`` windows, so
+    EXPLODE the membership (window_start = trunc_day(ts) - k*slide
+    for k in 0..size/slide-1) and run one plain
+    ``groupBy(window_start).agg(countDistinct(key))`` — a single
+    key-partitioned aggregate with map-side partial dedup, fan-out
+    bounded by size/slide (7 for a daily trailing week), nothing
+    quadratic, no per-row set state. Windows are emitted for every
+    start a row feeds, including the partial ones before the corpus
+    begins — the transcribable rule (a SQL twin reproduces it
+    exactly); trim by window_start if only complete windows matter.
+
+    Returns (``*extra_group``, window_start DATE, n_distinct).
+    """
+    if size_days % slide_days:
+        raise ValueError("size_days must be a multiple of slide_days")
+    k = size_days // slide_days
+    extra = list(extra_group)
+    memb = df.select(
+        *extra,
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__k"),
+        F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).select(
+        *extra,
+        key_col,
+        (
+            F.col("__d") - F.col("__k") * F.expr(f"INTERVAL {slide_days} DAYS")
+        ).cast("date").alias("window_start"),
+    )
+    return memb.groupBy(*extra, "window_start").agg(
+        F.countDistinct(key_col).cast("long").alias("n_distinct")
+    )

@@ -9289,3 +9289,31 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir).select("doc_id")
     return negative_sample(docs, "doc_id", k=4)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: sliding-window DISTINCT (trailing-7-day active users) —
+# the rolling-uniques metric Spark has no window function for
+# (no COUNT(DISTINCT) OVER). The scalable shape is membership-explode
+# (fan-out = size/slide) + ONE key-partitioned countDistinct
+# aggregate; the oracle transcribes the identical membership rule.
+# ---------------------------------------------------------------------------
+
+_SLIDING_DISTINCT_ORACLE = """
+SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events CROSS JOIN range(0, 7) AS r(k)
+GROUP BY 1
+"""
+
+
+@query("sliding_distinct_users", _SLIDING_DISTINCT_ORACLE)
+def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day
+    (operators/aggregate.py::sliding_distinct): hopping-membership
+    explode + one countDistinct aggregate — exact, no per-row set
+    state, fan-out bounded at 7."""
+    from ..operators.aggregate import sliding_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    return sliding_distinct(ev, "ts", "user_id", size_days=7, slide_days=1)

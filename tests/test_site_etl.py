@@ -167,6 +167,32 @@ def test_argmax_by_count_deterministic_ties(spark):
     assert got[0].attr == "a"  # tie -> attr ascending
 
 
+def test_sliding_distinct_trailing_window(spark):
+    """Trailing-3-day uniques: user u1 active day 0 and 2, u2 day 0
+    only — window starting day 2 covers days 2..4 so only u1 counts;
+    the day-0 start covers days 0..-2 i.e. just day 0 -> both."""
+    from datetime import datetime
+
+    from fhc_rco_etl_scalable_spark.operators.aggregate import sliding_distinct
+
+    d0 = datetime(2024, 3, 1, 12, 0)
+    rows = [
+        (d0, 1), (d0, 2),
+        (datetime(2024, 3, 3, 9, 0), 1),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    got = {
+        str(r.window_start): r.n_distinct
+        for r in sliding_distinct(df, "ts", "user_id", size_days=3).collect()
+    }
+    # day-0 events feed starts {3-01, 2-29, 2-28}; day-2 events feed
+    # {3-03, 3-02, 3-01}.
+    assert got == {
+        "2024-02-28": 2, "2024-02-29": 2, "2024-03-01": 2,
+        "2024-03-02": 1, "2024-03-03": 1,
+    }
+
+
 def test_gantt_outputs_nonempty(site_outputs):
     assert len(site_outputs["Gantt_Data"].collect()) > 0
     statuses = {r.Downtime_Status for r in site_outputs["Gantt_Data"].collect()}
