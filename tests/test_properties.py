@@ -479,3 +479,45 @@ def test_substring_dedup_matches_model(spark, corpus):
         for r in substring_dedup(docs, "doc_id", "text", min_tokens=4).collect()
     )
     assert got == _substr_model(corpus)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window distinct: the hopping-membership explode must equal a
+# direct per-window set model for arbitrary (day, user) multisets.
+# ---------------------------------------------------------------------------
+
+_sliding_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # day offset
+        st.integers(min_value=0, max_value=4),  # user id
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _sliding_model(events, size=3):
+    from collections import defaultdict
+
+    users = defaultdict(set)
+    for d, u in events:
+        for k in range(size):
+            users[d - k].add(u)
+    return {d: len(s) for d, s in users.items()}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_sliding_events)
+def test_sliding_distinct_matches_model(spark, events):
+    from fhc_rco_etl_scalable_spark.operators.aggregate import sliding_distinct
+
+    t0 = datetime(2024, 5, 1)
+    df = spark.createDataFrame(
+        [(t0 + timedelta(days=d, hours=3), u) for d, u in events],
+        "ts timestamp, user_id long",
+    )
+    got = {
+        (r.window_start - t0.date()).days: r.n_distinct
+        for r in sliding_distinct(df, "ts", "user_id", size_days=3).collect()
+    }
+    assert got == _sliding_model(events)
