@@ -236,3 +236,45 @@ def bfs_levels(
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist
+
+
+def kcore(
+    edges: DataFrame, src: str, dst: str, k: int, rounds: int
+) -> DataFrame:
+    """Bounded k-core peeling of the undirected simple graph: ``rounds``
+    iterations of "drop every node with degree < k, restrict edges to
+    survivors". Web-graph pipelines use the core as a spam/orphan
+    filter before centrality (low-core pages are the crawl fringe).
+    Returns (node, degree): survivors with their degree INSIDE the
+    surviving subgraph after the last round.
+
+    Fixed-round peeling is deterministic and SQL-transcribable (the
+    oracle unrolls the rounds); run it to a fixed point by looping
+    until the edge count stops changing — each round is one degree
+    aggregate + two key-partitioned semi-joins, localCheckpointed so
+    plan depth stays O(1) in rounds (the :func:`pagerank` discipline).
+    Nodes with zero surviving edges leave the edge-list representation
+    — consistent with any k >= 1.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = undirected_simple_edges(edges, src, dst)
+    for _ in range(int(rounds)):
+        deg = (
+            e.select(F.col("a").alias("x"))
+            .unionByName(e.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        e = (
+            e.join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )

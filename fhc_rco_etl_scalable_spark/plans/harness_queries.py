@@ -9317,3 +9317,60 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, "events", sf_dir)
     return sliding_distinct(ev, "ts", "user_id", size_days=7, slide_days=1)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: bounded k-core peeling — graph family #5 (pagerank ranks,
+# components cluster, triangles measure clustering, BFS measures
+# reach, the core FILTERS: low-core nodes are the crawl fringe).
+# Fixed 3-round peel at k=13 over the shared lineitem graph (its
+# degrees sit at 12-14, so the peel genuinely cascades: 997 -> 990 ->
+# 985 -> 970 survivors); the oracle unrolls the identical rounds.
+# ---------------------------------------------------------------------------
+
+_KCORE_ORACLE = """
+WITH raw AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+e0 AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+),
+d1 AS (SELECT x, count(*) AS c FROM (SELECT a AS x FROM e0
+       UNION ALL SELECT b FROM e0) GROUP BY x),
+k1 AS (SELECT x FROM d1 WHERE c >= 13),
+e1 AS (SELECT e0.a, e0.b FROM e0
+       JOIN k1 ka ON e0.a = ka.x JOIN k1 kb ON e0.b = kb.x),
+d2 AS (SELECT x, count(*) AS c FROM (SELECT a AS x FROM e1
+       UNION ALL SELECT b FROM e1) GROUP BY x),
+k2 AS (SELECT x FROM d2 WHERE c >= 13),
+e2 AS (SELECT e1.a, e1.b FROM e1
+       JOIN k2 ka ON e1.a = ka.x JOIN k2 kb ON e1.b = kb.x),
+d3 AS (SELECT x, count(*) AS c FROM (SELECT a AS x FROM e2
+       UNION ALL SELECT b FROM e2) GROUP BY x),
+k3 AS (SELECT x FROM d3 WHERE c >= 13),
+e3 AS (SELECT e2.a, e2.b FROM e2
+       JOIN k3 ka ON e2.a = ka.x JOIN k3 kb ON e2.b = kb.x)
+SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT a AS x FROM e3 UNION ALL SELECT b FROM e3) GROUP BY x
+"""
+
+
+@query("kcore_filter", _KCORE_ORACLE)
+def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round 13-core peel of the deterministic lineitem graph
+    (operators/graph.py::kcore): per round one degree aggregate + two
+    left-semi joins, localCheckpointed so the composed plan stays
+    O(1) deep — survivors with their surviving-subgraph degree."""
+    from ..operators.graph import kcore
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    return kcore(edges, "src", "dst", k=13, rounds=3)

@@ -1232,6 +1232,21 @@ def test_triangle_count_orientations_agree(spark):
     assert by_deg.n_triangles > 0
 
 
+def test_kcore_peels_pendant_and_cascades(spark):
+    """K4 + pendant chain 4-5-6: round 1 drops 6 (deg 1), round 2
+    drops 5 (its only surviving neighbor count fell to 1) — the
+    cascade a single-pass degree filter would miss. Survivors: the
+    K4, each at degree 3."""
+    from fhc_rco_etl_scalable_spark.operators.graph import kcore
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    got = {r.node: r.degree for r in kcore(edges, "src", "dst", k=2, rounds=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
 def test_bfs_levels_shortest_hops(spark):
     from fhc_rco_etl_scalable_spark.operators.graph import bfs_levels
 
