@@ -9374,3 +9374,100 @@ def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return kcore(edges, "src", "dst", k=13, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Round 10: MULTI-STATEFUL streaming pipeline — per-day unique
+# visitors as stateful dedup CHAINED INTO a watermarked window
+# aggregate in one append-mode query (chained stateful operators,
+# the Spark 3.5+ capability; streaming cannot express
+# countDistinct in an aggregate directly). Cross-batch dedup state
+# is the semantic under test: a user seen in batch 1 must not
+# recount in batch 2. Window closure uses the ssjo sentinel
+# accounting: one max+30d sentinel batch advances the watermark, a
+# ZERO-ROW trailing batch applies it.
+# ---------------------------------------------------------------------------
+
+_STREAMING_UNIQUE_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS Date,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_visitors
+FROM events GROUP BY 1
+"""
+
+
+@query("streaming_unique_visitors", _STREAMING_UNIQUE_ORACLE)
+def q_streaming_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily unique visitors, streaming: dropDuplicates((day, user))
+    state feeding a tumbling-day count in APPEND mode — two stateful
+    operators in one query, certified against the batch
+    count(DISTINCT). At harness scale plain dropDuplicates is exact
+    and its state is bounded by (days x users); at 100 TB swap in
+    dropDuplicatesWithinWatermark (eviction needs the event-time
+    column in the key set — derived day columns do not qualify),
+    trading exactness outside the lateness bound for bounded state."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts")
+    max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    n_batches = 2  # 1 cross-batch DEDUP-state carry (the point)
+    with _clamped_shuffle(spark, 2), _staged_file_stream(
+        ev, n_batches, ["ts", "event_id"], "sg-uniq", cache_key=sf_dir
+    ) as src:
+        schema_txt = "user_id long, event_id long, ts timestamp"
+        data_mtime = max(
+            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
+        )
+        for gen in (1, 2):
+            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
+            if not _os.path.exists(target):
+                rows = (
+                    [(-1, -1, max_ts + _dt.timedelta(days=30))]
+                    if gen == 1
+                    else []
+                )
+                pair = spark.createDataFrame(rows, schema_txt)
+                tmpd = _tempfile.mkdtemp(prefix="sg-uniq-sent-")
+                try:
+                    pair.coalesce(1).write.mode("overwrite").parquet(
+                        _os.path.join(tmpd, "out")
+                    )
+                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
+                    _shutil.move(part, target)
+                finally:
+                    _shutil.rmtree(tmpd, ignore_errors=True)
+            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+        feed = (
+            spark.readStream.schema(schema_txt)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        visitors = (
+            feed.withWatermark("ts", "1 minute")
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+            .dropDuplicates(["day", "user_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_visitors"))
+            .select(F.col("w.start").cast("date").alias("Date"), "n_visitors")
+        )
+        name = f"uniq_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            visitors.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "unique-visitors stream timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches + 2
+        # the sentinel's own far-future window never closes, so it
+        # never reaches the sink; the bound filter is defensive only.
+        return spark.table(name).filter(
+            F.col("Date") <= F.lit(max_ts.date())
+        )
