@@ -549,6 +549,24 @@ def main() -> int:
     n_ex = len(re.findall(r"Exchange hashpartitioning", p))
     check("single_shuffle(asof_tolerance)", n_ex <= 1, detail=f"{n_ex} exchanges")
 
+    # 35c. kcore: the peel must be semi-joins (no value columns cross)
+    #     and nothing cartesian across the composed 3-round plan.
+    #     sliding_distinct: one Generate (the membership explode), no
+    #     join at all, bounded exchanges (the countDistinct pair).
+    p = plan_of(hq.QUERIES["kcore_filter"](spark, sf_dir))
+    check("no_cartesian(kcore_filter)", "CartesianProduct" not in p
+          and "BroadcastNestedLoop" not in p)
+    check("no_python(kcore_filter)", "Python" not in p)
+    p = plan_of(hq.QUERIES["sliding_distinct_users"](spark, sf_dir))
+    check("no_join(sliding_distinct_users)", "Join" not in p)
+    check("membership_explode(sliding_distinct_users)", "Generate" in p)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    check(
+        "bounded_shuffle(sliding_distinct_users)",
+        n_ex <= 2,
+        detail=f"{n_ex} exchanges",
+    )
+
     # 36. S4 pruned REST scan, in-plan: the site IN-filter must be
     #     CONSUMED by pushFilters (no post-scan Filter survives) and
     #     the BatchScan's output must be exactly the 3 requested
