@@ -177,3 +177,40 @@ class TestCertificationRotation:
 
         unknown = [n for n in entry_mod._RECERTIFY if n not in hq.QUERIES]
         assert not unknown, f"_RECERTIFY names not in catalog: {unknown}"
+
+
+class TestPartitionCountInvariance:
+    """The catalog's exactness claims (integer-scaled PageRank,
+    DECIMAL-moment OLS, explicit-fold EWMA, rank-window quantiles)
+    assert results independent of physical partitioning. Pin it: the
+    same entry under shuffle.partitions=3 and =29 must collect
+    IDENTICAL rows — any order-dependent float summation or
+    nondeterministic tie-break flips this before it can ship."""
+
+    ENTRIES = [
+        "pagerank_centrality",
+        "trend_fit",
+        "ewma_smooth",
+        "exact_quantiles",
+        "negative_sample",
+        "sliding_distinct_users",
+    ]
+
+    @staticmethod
+    def _canon(df):
+        return sorted(map(tuple, df.collect()))
+
+    @pytest.mark.parametrize("name", ENTRIES)
+    def test_partition_count_invariance(self, spark, name):
+        from fhc_rco_etl_scalable_spark.plans import harness_queries as hq
+
+        sf = "/root/testdata/sf0.001"
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = self._canon(hq.QUERIES[name](spark, sf))
+            spark.conf.set("spark.sql.shuffle.partitions", "29")
+            b = self._canon(hq.QUERIES[name](spark, sf))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
+        assert a == b
