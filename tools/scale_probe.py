@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|gapfill|lttb|ewma] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -678,6 +678,38 @@ def run_ewma(spark, ev) -> dict[str, int]:
     return {"rows": out.count()}
 
 
+def run_sliding(spark, ev) -> dict[str, int]:
+    """sliding_distinct (trailing 7d uniques) on replicated users:
+    the membership explode is a fixed 7x row fan-out feeding ONE
+    countDistinct aggregate (two-phase: partial dedup map-side), so
+    wall should grow ~linearly with rows and the output row count is
+    windows x 1 (constant in replicas — replicas add USERS to the
+    same day span, not days)."""
+    from fhc_rco_etl_scalable_spark.operators.aggregate import sliding_distinct
+
+    out = sliding_distinct(ev, "ts", "user_id", size_days=7, slide_days=1)
+    row = out.agg(
+        F.count(F.lit(1)).alias("windows"), F.sum("n_distinct").alias("total")
+    ).first()
+    return {"windows": int(row["windows"]), "total_uniques": int(row["total"])}
+
+
+def run_negsample(spark, docs) -> dict[str, int]:
+    """negative_sample on suffix-replicated docs (disjoint ids):
+    the dense index is two key-partitioned passes + a broadcast of
+    `buckets` offsets, the draw is map-side arithmetic, the final
+    equi-join shuffles k*n rows on the index — everything linear in
+    n; pairs must be exactly k x docs and self-draws zero."""
+    from fhc_rco_etl_scalable_spark.operators.dedup import negative_sample
+
+    out = negative_sample(docs, "doc_id", k=4)
+    row = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum((F.col("neg_id") == F.col("doc_id")).cast("long")).alias("selfs"),
+    ).first()
+    return {"pairs": int(row["pairs"]), "self_draws": int(row["selfs"])}
+
+
 RUNNERS = {
     "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
     "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
@@ -692,6 +724,8 @@ RUNNERS = {
     "substr": lambda spark, data, sf_dir: run_substr(spark, data),
     "substr_skew": lambda spark, data, sf_dir: run_substr_skew(spark, data),
     "graph": lambda spark, data, sf_dir: run_graph(spark, data),
+    "sliding": lambda spark, data, sf_dir: run_sliding(spark, data),
+    "negsample": lambda spark, data, sf_dir: run_negsample(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
     "ewma": lambda spark, data, sf_dir: run_ewma(spark, data),
@@ -742,10 +776,13 @@ def main() -> None:
             data = scaled_embeddings_x(spark, sf_dir, eff)
         elif probe == "fuzzy":
             data = skewed_names(spark, eff)
-        elif probe in ("funnel", "gapfill", "lttb", "ewma"):
+        elif probe in ("funnel", "gapfill", "lttb", "ewma", "sliding"):
             data = scaled_events(spark, sf_dir, eff)
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
+        elif probe == "negsample":
+            # suffix replicas: disjoint doc ids, n grows N-fold.
+            data = scaled_documents(spark, sf_dir, eff, mode="suffix")
         elif probe in ("ngram", "bpe"):
             # suffix mode: disjoint doc ids, near-identical vocabulary
             # — the growth axis where a broadcast model must saturate.
