@@ -278,3 +278,47 @@ def kcore(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    features: DataFrame,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One round of neighborhood feature aggregation over the
+    undirected simple graph — the distributed core of GNN-style
+    feature propagation / label smoothing (each node receives the
+    sum/count/mean of its neighbors' feature). Returns
+    (node, n_neighbors, nbr_sum, nbr_mean).
+
+    Shape: symmetrize the normalized edges (one union — no second
+    distinct needed, (a,b) pairs are already unique and a != b), one
+    equi-join to attach the neighbor's feature, one key-partitioned
+    aggregate. Integer/exact features keep nbr_sum engine-exact; the
+    mean is a SINGLE division of exact parts, so it is reproducible
+    wherever the sum is. Stacking rounds = repeating join+aggregate
+    with the :func:`pagerank` localCheckpoint discipline.
+    """
+    und = undirected_simple_edges(edges, src, dst)
+    sym = und.select(
+        F.col("a").alias("__node"), F.col("b").alias("__nbr")
+    ).unionByName(
+        und.select(F.col("b").alias("__node"), F.col("a").alias("__nbr"))
+    )
+    feat = features.select(
+        F.col(id_col).alias("__nbr"), F.col(value_col).alias("__v")
+    )
+    return (
+        sym.join(feat, "__nbr")
+        .groupBy(F.col("__node").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+            F.sum("__v").cast("long").alias("nbr_sum"),
+        )
+        .withColumn(
+            "nbr_mean", F.col("nbr_sum") / F.col("n_neighbors")
+        )
+    )

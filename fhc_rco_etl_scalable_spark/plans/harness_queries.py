@@ -9471,3 +9471,52 @@ def q_streaming_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(name).filter(
             F.col("Date") <= F.lit(max_ts.date())
         )
+
+
+# ---------------------------------------------------------------------------
+# Round 10: neighborhood feature aggregation (graph family #6) — one
+# GNN-propagation round: each node receives sum/count/mean of its
+# neighbors' integer feature over the shared lineitem graph. Exact:
+# integer sums, mean = one division of exact parts.
+# ---------------------------------------------------------------------------
+
+_NEIGHBOR_AGG_ORACLE = """
+WITH raw AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+),
+sym AS (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(sum(nbr % 97) AS BIGINT) AS nbr_sum,
+       CAST(sum(nbr % 97) AS DOUBLE) / count(*) AS nbr_mean
+FROM sym GROUP BY node
+"""
+
+
+@query("neighbor_feature_agg", _NEIGHBOR_AGG_ORACLE)
+def q_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One neighbor-aggregation round (operators/graph.py::
+    neighbor_agg) with feature(node) = node % 97: symmetrize + one
+    join + one aggregate; integer-exact sum, one-division mean."""
+    from ..operators.graph import neighbor_agg
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    feats = nodes.select("node", (F.col("node") % 97).alias("f"))
+    return neighbor_agg(edges, "src", "dst", feats, "node", "f")

@@ -1232,6 +1232,25 @@ def test_triangle_count_orientations_agree(spark):
     assert by_deg.n_triangles > 0
 
 
+def test_neighbor_agg_hand_computed(spark):
+    """Path 1-2-3 with features f(n)=n*10: node 2 sees {1,3} ->
+    sum 40 mean 20; endpoints see only node 2 -> 20. Reversed
+    duplicate edges must collapse first."""
+    from fhc_rco_etl_scalable_spark.operators.graph import neighbor_agg
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src long, dst long"
+    )
+    feats = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "node long, f long"
+    )
+    got = {
+        r.node: (r.n_neighbors, r.nbr_sum, r.nbr_mean)
+        for r in neighbor_agg(edges, "src", "dst", feats, "node", "f").collect()
+    }
+    assert got == {1: (1, 20, 20.0), 2: (2, 40, 20.0), 3: (1, 20, 20.0)}
+
+
 def test_kcore_peels_pendant_and_cascades(spark):
     """K4 + pendant chain 4-5-6: round 1 drops 6 (deg 1), round 2
     drops 5 (its only surviving neighbor count fell to 1) — the
