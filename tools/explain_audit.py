@@ -567,6 +567,16 @@ def main() -> int:
         detail=f"{n_ex} exchanges",
     )
 
+    # 35d. neighbor_feature_agg: symmetrize + one feature equi-join +
+    #     one aggregate — no cartesian, no Python, join count exactly
+    #     the feature attach (the union is not a join).
+    p = plan_of(hq.QUERIES["neighbor_feature_agg"](spark, sf_dir))
+    check("no_python(neighbor_feature_agg)", "Python" not in p)
+    check(
+        "no_cartesian(neighbor_feature_agg)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+
     # 36. S4 pruned REST scan, in-plan: the site IN-filter must be
     #     CONSUMED by pushFilters (no post-scan Filter survives) and
     #     the BatchScan's output must be exactly the 3 requested
