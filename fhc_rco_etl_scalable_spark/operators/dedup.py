@@ -822,7 +822,15 @@ def dense_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
     broadcast back. The index is deterministic and engine-portable
     (pure modulo + rank arithmetic, no engine hash), NOT id-sorted —
     callers that only need a bijection (negative sampling, random
-    permutation) don't pay for an order nobody reads."""
+    permutation) don't pay for an order nobody reads.
+
+    CONTRACT: ``id_col`` must be UNIQUE and NON-NULL. A duplicate id
+    makes the within-bucket ``row_number`` tie nondeterministic (the
+    "bijection" silently stops being one); a NULL id lands in a NULL
+    bucket and never joins back. The operator does not count-scan to
+    enforce this (that would double the cost of every call) — callers
+    feeding non-key columns must ``dropDuplicates``/``na.drop`` first.
+    """
     from pyspark.sql import Window
 
     b = df.select(F.col(id_col), (F.col(id_col) % buckets).alias("__b"))
@@ -836,6 +844,35 @@ def dense_index(df: DataFrame, id_col: str, buckets: int = 64) -> DataFrame:
     return rn.join(F.broadcast(offs.select("__b", "__off")), "__b").select(
         id_col, (F.col("__off") + F.col("__rn")).cast("long").alias("__i")
     )
+
+
+def _draw_index(
+    i: Column,
+    rank: Column,
+    m: Column,
+    mult_a: int,
+    mult_b: int,
+    seed: int,
+) -> Column:
+    """``(i*mult_a + rank*mult_b + seed) mod m`` without int64
+    overflow, exact for any ``0 <= i < 2^62`` and ``2 <= m < 2^62``.
+
+    Reducing mod-side first is not enough: ``(i % m) * (mult_a % m)``
+    still overflows int64 once ``m`` passes ~2^31.5. The one product
+    that can exceed 64 bits runs in DECIMAL(38,0) — both factors are
+    < 2^62, so the product is < 2^124 < 10^38 and the decimal stays
+    exact (Spark decimal multiply is exact BigDecimal, not float).
+    ``rank`` and the constants are small; their terms stay in longs.
+    Congruence: (a*b + c) mod m == (((a mod m)*(b mod m)) mod m +
+    c mod m) mod m, so a plain-int64 SQL oracle at moderate ``n``
+    computes the identical value.
+    """
+    dec = "decimal(38,0)"
+    im = (i % m).cast(dec)
+    am = (F.lit(mult_a).cast("long") % m).cast(dec)
+    prod = (im * am) % m.cast(dec)
+    rest = (rank.cast("long") * F.lit(mult_b) + F.lit(seed)) % m
+    return ((prod + rest.cast(dec)) % m.cast(dec)).cast("long")
 
 
 def negative_sample(
@@ -855,18 +892,46 @@ def negative_sample(
     index ``(i*mult_a + t*mult_b + seed) % (n-1)``, skip-self mapped
     (``j -> j+1`` when ``j >= i``) so an anchor never draws itself —
     a bijection of ``[0, n-2]`` onto the other ``n-1`` rows per draw.
-    Draws are WITH replacement across ``t`` (standard for uniform
-    negatives); arithmetic is plain integer multiply/mod, so a SQL
-    oracle reproduces it exactly and no engine RNG is involved.
-    Requires ``n >= 2``. At extreme corpus sizes mind the multiply:
-    ``i * mult_a`` must stay under 2^63 (shrink ``mult_a`` or reduce
-    mod-side first if n approaches 2^32).
+    Draws are WITH replacement across ``t``; arithmetic is plain
+    integer multiply/mod, so a SQL oracle reproduces it exactly and
+    no engine RNG is involved. The multiply is performed mod-reduced
+    in DECIMAL(38,0) (see :func:`_draw_index`), so it is exact for
+    any ``n`` up to 2^62 — no int64 overflow ceiling.
+
+    Requires ``n >= 2`` — ENFORCED in-plan: the broadcast count frame
+    raises at execution time on a smaller corpus instead of letting
+    ``% (n-1)`` mod-by-zero yield NULL joins and a silently empty
+    result (non-ANSI Spark swallows the division).
+
+    Distributional caveat (documented, deliberate): for a fixed
+    anchor the ``k`` draws form the arithmetic progression
+    ``j_t = (i*mult_a + t*mult_b + seed) mod (n-1)`` — each draw is
+    marginally uniform over the other rows, but draws are CORRELATED
+    across ``t`` (stride ``mult_b mod (n-1)``), and two anchors with
+    ``i*mult_a`` congruent mod ``n-1`` share the same negative set.
+    That trade buys exact cross-engine reproducibility (the catalog's
+    oracle contract). Training pipelines that need decorrelated
+    negatives should re-key per epoch (vary ``seed``/``mult_b``) or
+    swap in a splittable-hash permutation at the cost of the SQL twin.
 
     Shape: dense index (key-partitioned window + broadcast offsets),
     one ``sequence``+``explode`` (k rows per anchor), one equi-join
     back on the index. Returns (id, neg_rank, neg_id)."""
     ix = dense_index(df, id_col, buckets)
-    n = ix.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    n = ix.agg(F.count(F.lit(1)).cast("long").alias("__n")).select(
+        # fail-fast n >= 2: the guard lives INSIDE the __n expression
+        # so column pruning can never drop it.
+        F.when(F.col("__n") >= 2, F.col("__n"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("negative_sample requires a corpus of >= 2 rows, got "),
+                    F.col("__n").cast("string"),
+                )
+            )
+        )
+        .alias("__n")
+    )
     anchors = (
         ix.crossJoin(F.broadcast(n))
         .select(
@@ -877,12 +942,14 @@ def negative_sample(
         )
         .withColumn(
             "__j",
-            (
-                F.col("__i") * mult_a
-                + F.col("neg_rank") * mult_b
-                + F.lit(seed)
-            )
-            % (F.col("__n") - 1),
+            _draw_index(
+                F.col("__i"),
+                F.col("neg_rank"),
+                F.col("__n") - 1,
+                mult_a,
+                mult_b,
+                seed,
+            ),
         )
         .select(
             id_col,

@@ -543,6 +543,37 @@ def test_negative_sample_skip_self_and_model(spark):
         assert r.neg_id == inv[j + 1 if j >= i else j]
 
 
+def test_negative_sample_draw_exact_past_int64(spark):
+    """VERDICT r10 #5: the draw index must be exact for corpora past
+    2^31 rows, where the naive ``i * mult_a`` product overflows int64.
+    Evaluate the production expression on synthetic (i, rank, n) rows
+    with n > 2^31 (and one near 2^62) against Python big-int truth."""
+    import pyspark.sql.functions as SF
+
+    a, b, s = 2654435761, 40503, 7
+    cases = []
+    for n in (2**31 + 101, 2**40 + 7, 2**62 - 57):
+        for i in (0, 1, n // 3, n - 2, n - 1):
+            for t in (0, 3):
+                cases.append((i, t, n))
+    df = spark.createDataFrame(cases, "i long, t long, n long")
+    out = df.withColumn(
+        "j", DD._draw_index(SF.col("i"), SF.col("t"), SF.col("n") - 1, a, b, s)
+    ).collect()
+    for r in out:
+        assert r.j == (r.i * a + r.t * b + s) % (r.n - 1), (r.i, r.t, r.n)
+
+
+def test_negative_sample_rejects_tiny_corpus(spark):
+    """ADVICE r10: n < 2 used to mod-by-zero into NULLs and a silently
+    empty result; now the in-plan guard raises at execution."""
+    from pyspark.errors import PySparkException
+
+    one = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(PySparkException, match=">= 2 rows"):
+        DD.negative_sample(one, "doc_id", k=2).collect()
+
+
 def test_stratified_split_validates_weights(spark):
     # ADVICE r4: empty weights previously crashed with AttributeError;
     # weights summing past 1 silently broke the NULL-holdout contract.
