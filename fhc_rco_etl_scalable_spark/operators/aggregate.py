@@ -121,17 +121,36 @@ def sliding_distinct(
     begins — the transcribable rule (a SQL twin reproduces it
     exactly); trim by window_start if only complete windows matter.
 
-    Returns (``*extra_group``, window_start DATE, n_distinct).
+    The explode input is PRE-DEDUPED at day granularity
+    (``dropDuplicates([*extra, key, day])``): countDistinct collapses
+    duplicates anyway, so the result is unchanged, but the fan-out
+    drops from events*k to day-uniques*k — on 100-events/user/day
+    telemetry that is a ~100x cut in exploded rows for the price of
+    one narrow (key, day) exchange whose map-side partial dedup
+    already collapses most of it.
+
+    Returns (``*extra_group``, window_start DATE, window_end DATE,
+    n_distinct). ALIGNMENT: a row labels the FORWARD window
+    ``[window_start, window_end)`` with ``window_end = window_start +
+    size_days`` (exclusive). Read as a trailing metric, the trailing
+    window ENDING on day d is the row with ``window_start ==
+    d - size_days + 1`` — consumers wanting "trailing uniques as of
+    day d" should key on ``window_end - 1 day``, not window_start.
     """
     if size_days % slide_days:
         raise ValueError("size_days must be a multiple of slide_days")
     k = size_days // slide_days
     extra = list(extra_group)
-    memb = df.select(
+    days = df.select(
         *extra,
         F.col(key_col),
-        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__k"),
         F.date_trunc("day", F.col(ts_col)).alias("__d"),
+    ).dropDuplicates([*extra, key_col, "__d"])
+    memb = days.select(
+        *extra,
+        key_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__k"),
+        F.col("__d"),
     ).select(
         *extra,
         key_col,
@@ -139,6 +158,13 @@ def sliding_distinct(
             F.col("__d") - F.col("__k") * F.expr(f"INTERVAL {slide_days} DAYS")
         ).cast("date").alias("window_start"),
     )
-    return memb.groupBy(*extra, "window_start").agg(
-        F.countDistinct(key_col).cast("long").alias("n_distinct")
+    return (
+        memb.groupBy(*extra, "window_start")
+        .agg(F.countDistinct(key_col).cast("long").alias("n_distinct"))
+        .select(
+            *extra,
+            "window_start",
+            F.date_add("window_start", size_days).alias("window_end"),
+            "n_distinct",
+        )
     )

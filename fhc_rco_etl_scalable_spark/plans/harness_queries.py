@@ -9300,19 +9300,24 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SLIDING_DISTINCT_ORACLE = """
-SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE) AS window_start,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-FROM events CROSS JOIN range(0, 7) AS r(k)
-GROUP BY 1
+WITH g AS (
+  SELECT CAST(date_trunc('day', ts) - k * INTERVAL 1 DAY AS DATE) AS window_start,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+  FROM events CROSS JOIN range(0, 7) AS r(k)
+  GROUP BY 1
+)
+SELECT window_start, window_start + 7 AS window_end, n_distinct FROM g
 """
 
 
 @query("sliding_distinct_users", _SLIDING_DISTINCT_ORACLE)
 def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct active users per day
-    (operators/aggregate.py::sliding_distinct): hopping-membership
-    explode + one countDistinct aggregate — exact, no per-row set
-    state, fan-out bounded at 7."""
+    (operators/aggregate.py::sliding_distinct): day-level pre-dedup,
+    hopping-membership explode, one countDistinct aggregate — exact,
+    no per-row set state, fan-out bounded at 7 x day-uniques. Each
+    row covers [window_start, window_end) — window_end (r11) makes
+    the forward alignment explicit."""
     from ..operators.aggregate import sliding_distinct
 
     ev = load_table(spark, "events", sf_dir)

@@ -562,10 +562,25 @@ def main() -> int:
     check("membership_explode(sliding_distinct_users)", "Generate" in p)
     n_ex = len(re.findall(r"Exchange hashpartitioning", p))
     check(
+        # 3 = the (key, day) pre-dedup exchange (r11: cuts explode
+        # fan-out from events*k to day-uniques*k) + the countDistinct
+        # two-phase pair; anything more means a lost partitioning.
         "bounded_shuffle(sliding_distinct_users)",
-        n_ex <= 2,
+        n_ex <= 3,
         detail=f"{n_ex} exchanges",
     )
+    # r11: the explode's input must be the DEDUPED frame — in the
+    # physical-plan TREE (children print below parents) the Generate
+    # line must have a HashAggregate line somewhere BELOW it (the
+    # (key, day) dropDuplicates); no aggregate below the Generate
+    # would mean the explode still fans out raw events.
+    tree = p.split("\n\n", 1)[0]
+    lines = tree.splitlines()
+    gen_line = next((i for i, ln in enumerate(lines) if "Generate" in ln), -1)
+    agg_below = gen_line >= 0 and any(
+        "HashAggregate" in ln for ln in lines[gen_line + 1 :]
+    )
+    check("explode_after_dedup(sliding_distinct_users)", agg_below)
 
     # 35d. neighbor_feature_agg: symmetrize + one feature equi-join +
     #     one aggregate — no cartesian, no Python, join count exactly
