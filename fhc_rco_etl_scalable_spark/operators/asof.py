@@ -43,9 +43,14 @@ def asof_join(
 
     ``direction``: 'backward' = latest right with right_ts <= left_ts
     ('<' if strict); 'forward' = earliest right with right_ts >=
-    left_ts ('>' if strict). Ties on timestamp resolve to the LAST
-    right row in ``(ts, *tie_break)`` order for backward, the FIRST
-    for forward (deterministic given a unique tie_break).
+    left_ts ('>' if strict); 'nearest' = whichever of the backward
+    and forward candidates has the smaller ABSOLUTE timestamp
+    distance, equal distances resolving to the BACKWARD candidate
+    (the complete pandas ``merge_asof`` direction set; ``strict``
+    excludes exact-timestamp matches from both sides). Ties on
+    timestamp resolve to the LAST right row in ``(ts, *tie_break)``
+    order for backward, the FIRST for forward (deterministic given a
+    unique tie_break); 'nearest' inherits each side's rule.
 
     ``tolerance`` (optional, an INTERVAL string like ``'1 hour'``;
     timestamp columns only): pandas ``merge_asof``-style bound — a
@@ -61,8 +66,12 @@ def asof_join(
     atomically: a genuinely-NULL field of that row stays NULL instead
     of an older row's value leaking through, and multiple value
     columns can never be picked from different right rows.
+    'nearest' runs BOTH directional scans over the SAME partitioning
+    (one Exchange, two in-partition Sorts) and resolves the winner in
+    a projection — still zero extra shuffles over the one-directional
+    plan.
     """
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(direction)
     on = list(on)
     value_cols = list(value_cols)
@@ -90,10 +99,12 @@ def asof_join(
         null_key = c if null_key is None else (null_key | c)
     right = right.filter(~null_key)
 
+    # the matched right timestamp rides with the values so the
+    # tolerance bound / nearest-distance compare applies atomically
+    # to the picked row.
+    need_rts = tolerance is not None or direction == "nearest"
     fields = [T.StructField(c, right.schema[c].dataType) for c in value_cols]
-    if tolerance is not None:
-        # the matched right timestamp rides with the values so the
-        # tolerance bound applies atomically to the picked row.
+    if need_rts:
         fields.append(T.StructField("__rts", right.schema[right_ts].dataType))
     v_struct_type = T.StructType(fields)
     left_keep = [c for c in left.columns]
@@ -112,7 +123,7 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         F.struct(
             *[F.col(c) for c in value_cols],
-            *([F.col(right_ts).alias("__rts")] if tolerance is not None else []),
+            *([F.col(right_ts).alias("__rts")] if need_rts else []),
         ).alias("__v"),
         *[F.col(c).alias(f"__tb_{c}") for c in tie_break],
     ).select(*l_tag.columns)
@@ -130,29 +141,63 @@ def asof_join(
     # rows per row — O(n²) per partition, a hung stage on a hot key at
     # scale. Forward is expressed as backward over the REVERSED sort
     # (every key inverted), which selects the identical row.
-    right_first = (direction == "backward") != strict
-    backward = direction == "backward"
+    def _frame(backward: bool):
+        right_first = backward != strict
 
-    def _dir(c: Column, asc: bool) -> Column:
-        return c.asc() if asc == backward else c.desc()
+        def _dir(c: Column, asc: bool) -> Column:
+            return c.asc() if asc == backward else c.desc()
 
-    order = [_dir(F.col("__ts"), True)]
-    order.append(_dir(F.col("__is_left"), right_first))
-    order += [_dir(F.col(f"__tb_{c}"), True) for c in tie_break]
+        order = [_dir(F.col("__ts"), True)]
+        order.append(_dir(F.col("__is_left"), right_first))
+        order += [_dir(F.col(f"__tb_{c}"), True) for c in tie_break]
+        w = Window.partitionBy(*on).orderBy(*order)
+        return w.rowsBetween(Window.unboundedPreceding, 0)
 
-    w = Window.partitionBy(*on).orderBy(*order)
-    frame = w.rowsBetween(Window.unboundedPreceding, 0)
-    pick = F.last("__v", ignorenulls=True).over(frame)
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
 
-    out = unioned.withColumn("__pick", pick).filter(F.col("__is_left") == 1)
-    if tolerance is not None:
-        tol = F.expr(f"INTERVAL {tolerance}")
-        gap = (
-            F.col("__ts") - F.col("__pick").getField("__rts")
-            if direction == "backward"
-            else F.col("__pick").getField("__rts") - F.col("__ts")
+    def _gap(pick: Column, backward: bool) -> Column:
+        return (
+            F.col("__ts") - pick.getField("__rts")
+            if backward
+            else pick.getField("__rts") - F.col("__ts")
         )
-        out = out.withColumn("__pick", F.when(gap <= tol, F.col("__pick")))
+
+    if direction == "nearest":
+        # Both directional scans share the partitioning: ONE Exchange,
+        # two in-partition Sorts (the second order is the first fully
+        # reversed), winner resolved in a projection.
+        pb = F.last("__v", ignorenulls=True).over(_frame(True))
+        pf = F.last("__v", ignorenulls=True).over(_frame(False))
+        out = (
+            unioned.withColumn("__pb", pb)
+            .withColumn("__pf", pf)
+            .filter(F.col("__is_left") == 1)
+        )
+        if tol is not None:
+            out = out.withColumn(
+                "__pb", F.when(_gap(F.col("__pb"), True) <= tol, F.col("__pb"))
+            ).withColumn(
+                "__pf", F.when(_gap(F.col("__pf"), False) <= tol, F.col("__pf"))
+            )
+        out = out.withColumn(
+            "__pick",
+            F.when(F.col("__pb").isNull(), F.col("__pf"))
+            .when(F.col("__pf").isNull(), F.col("__pb"))
+            .when(
+                _gap(F.col("__pf"), False) < _gap(F.col("__pb"), True),
+                F.col("__pf"),
+            )
+            .otherwise(F.col("__pb")),  # equal distance -> backward
+        )
+    else:
+        backward = direction == "backward"
+        pick = F.last("__v", ignorenulls=True).over(_frame(backward))
+        out = unioned.withColumn("__pick", pick).filter(F.col("__is_left") == 1)
+        if tol is not None:
+            out = out.withColumn(
+                "__pick",
+                F.when(_gap(F.col("__pick"), backward) <= tol, F.col("__pick")),
+            )
     return out.select(
         *[F.col(c) for c in left_keep],
         *[F.col("__pick").getField(c).alias(c) for c in value_cols],

@@ -398,6 +398,64 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_NEAREST_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS is_left,
+         NULL::BIGINT AS v_id, NULL::TIMESTAMP AS v_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0, event_id, ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT *,
+    last_value(v_id IGNORE NULLS) OVER wb AS b_id,
+    last_value(v_ts IGNORE NULLS) OVER wb AS b_ts,
+    first_value(v_id IGNORE NULLS) OVER wf AS f_id,
+    first_value(v_ts IGNORE NULLS) OVER wf AS f_ts
+  FROM tagged
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY ts, is_left, v_id
+           ROWS UNBOUNDED PRECEDING),
+    wf AS (PARTITION BY user_id ORDER BY ts, is_left DESC, v_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       CASE WHEN b_id IS NULL THEN f_id
+            WHEN f_id IS NULL THEN b_id
+            WHEN (f_ts - ts) < (ts - b_ts) THEN f_id
+            ELSE b_id END AS nearest_view_id
+FROM p WHERE is_left = 1
+"""
+
+
+@query("asof_nearest", _ASOF_NEAREST_ORACLE)
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/J6 completed (r11): pandas merge_asof direction='nearest' —
+    the view with the least ABSOLUTE timestamp distance from each
+    purchase, equal distances resolving to the backward candidate.
+    Same one-Exchange union+ffill plan as backward/forward: the two
+    directional scans are two in-partition Sorts over the SAME
+    partitioning (the second order is the first reversed), and the
+    winner is one projection comparing the ridden-along matched
+    timestamps. The oracle computes both directional picks with two
+    windows and transcribes the identical least-abs-distance /
+    backward-tie rule."""
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("nearest_view_id")
+    )
+    return asof_join(
+        purchases, views, on=["user_id"], left_ts="purchase_ts", right_ts="ts",
+        value_cols=["nearest_view_id"],
+        direction="nearest", strict=False, tie_break=["nearest_view_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # q_interval_overlap — interval-overlap theta join (J7; reference
 # machine_level.py:66-73: stops intersecting [CO_start-5min,

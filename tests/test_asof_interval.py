@@ -98,6 +98,47 @@ def test_asof_forward_nonstrict_includes_tie(spark):
     assert got == {"a1": "r1", "a2": None, "a3": "r3"}
 
 
+def test_asof_nearest_min_abs_distance(spark):
+    """direction='nearest' (r11, VERDICT r10 #6): a1 at t=10 ties r1
+    exactly (gap 0 both ways -> backward candidate r1); a2 at t=30 has
+    backward r2 (gap 10) and nothing forward -> r2; a3 at t=5 has only
+    forward r3 (gap 45) -> r3."""
+    out = asof_join(
+        _left(spark), _right(spark), on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="nearest", strict=False, tie_break=["rid"],
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {"a1": "r1", "a2": "r2", "a3": "r3"}
+
+
+def test_asof_nearest_tie_goes_backward(spark):
+    """Equal absolute distance: t=15 sits exactly between r1 (t=10)
+    and r2 (t=20) — the backward candidate wins, matching the
+    documented deterministic tie rule."""
+    left = spark.createDataFrame(
+        [("k1", _ts(15), "mid")], "k string, lts timestamp, lid string"
+    )
+    out = asof_join(
+        left, _right(spark), on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="nearest", strict=False, tie_break=["rid"],
+    )
+    assert out.collect()[0].rid == "r1"
+
+
+def test_asof_nearest_strict_and_tolerance(spark):
+    """strict excludes the exact-timestamp match on BOTH sides (a1 at
+    t=10 skips r1, nearest of r0/r2 at gap 10 each -> backward r0);
+    tolerance bounds each side before the compare (a3's only
+    candidate r3 at gap 45 dies under a 10-minute tolerance)."""
+    out = asof_join(
+        _left(spark), _right(spark), on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="nearest", strict=True, tie_break=["rid"],
+        tolerance="10 minutes",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {"a1": "r0", "a2": "r2", "a3": None}
+
+
 def test_asof_range_with_preference(spark):
     # Reference J5: last event in (lower, upper], preferring flagged rows
     # (mes_etl.py:198-207 prefers START_TIME_of_Uptime < CO start).

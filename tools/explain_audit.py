@@ -28,6 +28,20 @@ def plan_of(df) -> str:
     return buf.getvalue()
 
 
+def n_shuffles(p: str, keys: str = "") -> int:
+    """Count hash-partitioned Exchange nodes in a FORMATTED plan,
+    optionally anchored on the leading partition key.
+
+    r11 (ADVICE r10 vacuity class): the old ``Exchange
+    hashpartitioning`` regex matched only the simple-mode rendering
+    and NEVER matched formatted output — every shuffle-count check
+    passed vacuously at 0. Formatted mode renders an exchange as
+    ``(n) Exchange`` with a separate ``Arguments:
+    hashpartitioning(...)`` line, exactly once per exchange node.
+    """
+    return len(re.findall(r"Arguments: hashpartitioning\(" + keys, p))
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -258,7 +272,7 @@ def main() -> int:
     p = plan_of(hq.q_margin_pairs(spark, sf_dir))
     check("arrow_matmul(margin_pairs)", "MapInPandas" in p)
     check("no_join(margin_pairs)", "SortMergeJoin" not in p and "Cartesian" not in p)
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check("window_exchanges(margin_pairs)", n_ex <= 4, detail=f"{n_ex} exchanges")
 
     # 21. Domain mixture: the fact-side selection join must broadcast
@@ -329,7 +343,7 @@ def main() -> int:
     #     user exchange and pays only distinct + rollup on top.
     p = plan_of(hq.q_funnel_conversion(spark, sf_dir))
     check("no_join(funnel_conversion)", "Join" not in p)
-    n_ex = len(re.findall(r"Exchange hashpartitioning\(user_id", p))
+    n_ex = n_shuffles(p, "user_id")
     check(
         "one_user_shuffle(funnel_conversion)",
         n_ex <= 1,
@@ -398,11 +412,11 @@ def main() -> int:
     check("broadcast_model(dsir_weights)", "BroadcastHashJoin" in p)
     check("no_smj(dsir_weights)", "SortMergeJoin" not in p)
     p = plan_of(hq.q_exact_quantiles(spark, sf_dir))
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check("bounded_shuffle(exact_quantiles)", n_ex <= 2, detail=f"{n_ex} exchanges")
     check("no_join(exact_quantiles)", "Join" not in p)
     p = plan_of(hq.q_bpe_top_pairs(spark, sf_dir))
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check("single_shuffle(bpe_top_pairs)", n_ex <= 1, detail=f"{n_ex} exchanges")
 
     # 29. Round-9: ExactSubstr (Lee et al. 2022) must stay key-
@@ -415,7 +429,7 @@ def main() -> int:
         "no_cartesian(substring_dedup)",
         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
     )
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check(
         "bounded_shuffle(substring_dedup)", n_ex <= 3, detail=f"{n_ex} exchanges"
     )
@@ -448,7 +462,7 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
     )
     check("grid_explode(gapfill_interpolate)", "Generate" in p and "sequence" in p)
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check(
         "bounded_shuffle(gapfill_interpolate)", n_ex <= 4, detail=f"{n_ex} exchanges"
     )
@@ -492,44 +506,76 @@ def main() -> int:
     check("no_python(ewma_smooth)", "Python" not in p)
     check("broadcast_series(ewma_smooth)", "BroadcastHashJoin" in p)
 
-    # 35. Bounded-global-window invariant (r9 verdict #8): a Window
-    #     with NO partition spec is a total order — legal ONLY over a
-    #     provably bounded input. For every entry known to carry one
-    #     (global rank over a fused/aggregated candidate set), find
-    #     each unpartitioned Window in the OPTIMIZED plan and assert a
-    #     bounding node (GlobalLimit/Limit/Aggregate/Filter) sits
-    #     immediately beneath it — the precondition that makes the
-    #     pattern safe to keep and unsafe to copy onto unbounded data.
-    #     Detection: in a windowspecdefinition the partition exprs
-    #     precede the sort exprs, so a spec whose FIRST argument
-    #     already carries an ASC/DESC marker has an empty partition.
-    _unpart = re.compile(
-        r"windowspecdefinition\([^,()]*(?:ASC|DESC) NULLS"
-    )
-    _bounding = re.compile(r"GlobalLimit|LocalLimit|Limit \d|Aggregate|Filter")
+    # 35. Bounded-global-window invariant (r9 verdict #8, hardened per
+    #     ADVICE r10): a Window with NO partition spec is a total
+    #     order — legal ONLY over a provably bounded input. For every
+    #     entry known to carry one (global rank over a fused or
+    #     aggregated candidate set), find each unpartitioned Window in
+    #     the OPTIMIZED plan and assert a CARDINALITY-bounding node
+    #     (GlobalLimit/Limit/Aggregate — a Filter does NOT bound
+    #     cardinality in general and is no longer accepted) sits
+    #     immediately beneath it. Detection parses the
+    #     windowspecdefinition's TOP-LEVEL arguments (partition exprs
+    #     precede sort exprs): the spec is global iff its FIRST
+    #     top-level argument carries an ASC/DESC marker — argument
+    #     splitting is paren-aware, so a first sort key like
+    #     ``cast(x as double) ASC`` is detected (the old [^,()]* regex
+    #     skipped it, letting total==bounded==0 pass vacuously; the
+    #     n_gw >= 1 floor below closes that hole for known carriers).
+    _spec = re.compile(r"windowspecdefinition\(")
+
+    def _first_arg_sorted(text: str, start: int) -> bool:
+        """True if the first top-level argument of the spec opening at
+        ``start`` (index of the char after '(') carries ASC/DESC."""
+        depth, i, a0 = 0, start, start
+        while i < len(text):
+            c = text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                break
+            i += 1
+        first = text[a0:i]
+        return " ASC" in first or " DESC" in first
+
+    _bounding = re.compile(r"GlobalLimit|LocalLimit|Limit \d|Aggregate")
 
     def global_windows_bounded(df) -> tuple[int, int]:
         """(n_global_windows, n_bounded) over the optimized plan."""
         lines = df._jdf.queryExecution().optimizedPlan().toString().splitlines()
         total = bounded = 0
         for i, line in enumerate(lines):
-            if "Window [" in line and _unpart.search(line):
+            if "Window [" not in line:
+                continue
+            if any(
+                _first_arg_sorted(line, m.end()) for m in _spec.finditer(line)
+            ):
                 total += 1
                 if any(_bounding.search(nxt) for nxt in lines[i + 1 : i + 6]):
                     bounded += 1
         return total, bounded
 
+    # Known carriers (verified by reading each optimized plan): every
+    # entry below MUST show >= 1 global window — a 0/0 result would
+    # mean the detection regressed, not that the plan got safer.
+    # exact_quantiles left the list in r11: both its windows partition
+    # by l_returnflag (it was never a carrier; under the old vacuous
+    # regex its 0/0 passed silently).
     for entry in (
-        "exact_quantiles",
         "build_vocab",
         "hybrid_rrf_search",
         "bpe_top_pairs",
         "bm25_search",
+        "negative_sample",
     ):
         n_gw, n_ok = global_windows_bounded(hq.QUERIES[entry](spark, sf_dir))
         check(
             f"bounded_global_window({entry})",
-            n_gw == n_ok,
+            n_gw >= 1 and n_gw == n_ok,
             detail=f"{n_ok}/{n_gw} global windows bounded",
         )
 
@@ -546,8 +592,17 @@ def main() -> int:
     p = plan_of(hq.QUERIES["asof_tolerance"](spark, sf_dir))
     check("no_python(asof_tolerance)", "Python" not in p)
     check("no_join(asof_tolerance)", "Join" not in p)
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check("single_shuffle(asof_tolerance)", n_ex <= 1, detail=f"{n_ex} exchanges")
+    # r11: direction='nearest' = the SAME one-Exchange union plan with
+    # two in-partition Sort+Window pairs (both directional scans) and
+    # no join — the nearest resolution is a projection.
+    p = plan_of(hq.QUERIES["asof_nearest"](spark, sf_dir))
+    check("no_join(asof_nearest)", "Join" not in p)
+    n_ex = n_shuffles(p)
+    check("single_shuffle(asof_nearest)", n_ex == 1, detail=f"{n_ex} exchanges")
+    n_w = len(re.findall(r"^\(\d+\) Window", p, re.M))
+    check("two_scans(asof_nearest)", n_w == 2, detail=f"{n_w} window nodes")
 
     # 35c. kcore: the peel must be semi-joins (no value columns cross)
     #     and nothing cartesian across the composed 3-round plan.
@@ -560,7 +615,7 @@ def main() -> int:
     p = plan_of(hq.QUERIES["sliding_distinct_users"](spark, sf_dir))
     check("no_join(sliding_distinct_users)", "Join" not in p)
     check("membership_explode(sliding_distinct_users)", "Generate" in p)
-    n_ex = len(re.findall(r"Exchange hashpartitioning", p))
+    n_ex = n_shuffles(p)
     check(
         # 3 = the (key, day) pre-dedup exchange (r11: cuts explode
         # fan-out from events*k to day-uniques*k) + the countDistinct
