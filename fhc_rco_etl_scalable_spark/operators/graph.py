@@ -249,10 +249,11 @@ def kcore(
     surviving subgraph after the last round.
 
     Fixed-round peeling is deterministic and SQL-transcribable (the
-    oracle unrolls the rounds); run it to a fixed point by looping
-    until the edge count stops changing — each round is one degree
-    aggregate + two key-partitioned semi-joins, localCheckpointed so
-    plan depth stays O(1) in rounds (the :func:`pagerank` discipline).
+    oracle unrolls the rounds); :func:`kcore_converged` is the
+    fixed-point form (loop until the edge count stops changing) —
+    each round is one degree aggregate + two key-partitioned
+    semi-joins, localCheckpointed so plan depth stays O(1) in rounds
+    (the :func:`pagerank` discipline).
     Nodes with zero surviving edges leave the edge-list representation
     — consistent with any k >= 1.
     """
@@ -277,6 +278,69 @@ def kcore(
         .unionByName(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def kcore_converged(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    k: int,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """k-core peeling run to the FIXED POINT (the true k-core), the
+    convergence form :func:`kcore`'s docstring promises: loop "drop
+    every node with degree < k" until the edge count stops changing.
+    Returns ``(survivors, rounds)`` — the (node, degree) frame of the
+    core plus the number of peel rounds executed (the last round is
+    the confirming no-op).
+
+    Each round costs one degree aggregate + two key-partitioned
+    semi-joins + ONE ``count()`` action — the convergence test is the
+    price of not knowing the cascade length up front (the fixed-round
+    form stays the choice when the round budget is known). The edge
+    count is monotonically nonincreasing, so count-unchanged ==
+    vertex-set-unchanged == fixed point; ``localCheckpoint`` per
+    round keeps the composed plan O(1) deep (the :func:`pagerank`
+    discipline) and makes each count reuse the previous round's
+    materialization instead of recomputing the whole cascade.
+
+    ``max_rounds`` caps the loop LOUDLY (RuntimeError, never a silent
+    truncation): a cascade can legitimately run O(n) rounds on
+    path-like graphs, so the cap is a budget the caller owns, not an
+    internal heuristic.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = undirected_simple_edges(edges, src, dst).localCheckpoint(eager=False)
+    prev = e.count()
+    for rounds in range(1, int(max_rounds) + 1):
+        deg = (
+            e.select(F.col("a").alias("x"))
+            .unionByName(e.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("x")
+        e = (
+            e.join(keep.withColumnRenamed("x", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("x", "b"), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        cur = e.count()
+        if cur == prev:
+            survivors = (
+                e.select(F.col("a").alias("node"))
+                .unionByName(e.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            )
+            return survivors, rounds
+        prev = cur
+    raise RuntimeError(
+        f"kcore_converged: no fixed point within max_rounds={max_rounds} "
+        f"(edge count still falling: {prev} -> {cur}); raise max_rounds "
+        "or use the fixed-round kcore()"
     )
 
 

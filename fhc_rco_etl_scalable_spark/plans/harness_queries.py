@@ -9440,6 +9440,86 @@ def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 11 (VERDICT r10 #3): k-core run to the FIXED POINT. The
+# fixture composes two node-disjoint edge families over lineitem:
+# the mod-997 family (degrees 12-14 — at k=13 it cascades ALL the way
+# to empty: probed at sf0.01 the edge count falls 7384 -> 7300 ->
+# 7242 -> 7064 -> 6546 -> 4894 -> 1496 -> 435 over 7 changing rounds,
+# round 8 confirms) and a 30-node quotient/remainder family that is
+# the complete graph K30 (degree 29 everywhere) and IS the fixed
+# point — 435 edges, so the oracle's answer is non-empty and the
+# convergence loop is genuinely exercised past the 3-round fixed-form
+# entry. The oracle unrolls 12 rounds: peeling is idempotent at the
+# fixed point, so any unroll >= the probed cascade length transcribes
+# the converged answer exactly.
+# ---------------------------------------------------------------------------
+
+
+def _kcore_converged_oracle(rounds: int, k: int) -> str:
+    head = """
+WITH raw AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+  UNION ALL
+  SELECT 10000 + l_orderkey % 30, 10000 + (l_orderkey // 30) % 30
+  FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+)"""
+    parts = []
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one three times — 12 rounds
+    # of inlining is 3^12 scan branches ("Too many open files");
+    # materialization makes the unroll linear, mirroring the Spark
+    # side's per-round localCheckpoint.
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+d{r} AS (SELECT x, count(*) AS c FROM (SELECT a AS x FROM e{r-1}
+        UNION ALL SELECT b FROM e{r-1}) GROUP BY x),
+k{r} AS MATERIALIZED (SELECT x FROM d{r} WHERE c >= {k}),
+e{r} AS MATERIALIZED (SELECT e{r-1}.a, e{r-1}.b FROM e{r-1}
+        JOIN k{r} ka ON e{r-1}.a = ka.x JOIN k{r} kb ON e{r-1}.b = kb.x)"""
+        )
+    tail = f"""
+SELECT x AS node, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT a AS x FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+GROUP BY x
+"""
+    return head + "".join(parts) + tail
+
+
+@query("kcore_converged", _kcore_converged_oracle(rounds=12, k=13))
+def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point 13-core (operators/graph.py::kcore_converged):
+    per-round degree aggregate + two semi-joins + one count action,
+    looped until the edge count stops changing (monotone, so
+    count-stable == fixed point), capped loudly at max_rounds=20.
+    The composed fixture cascades >= 7 changing rounds at sf0.01
+    before settling on the K30 core."""
+    from ..operators.graph import kcore_converged
+
+    li = load_table(spark, "lineitem", sf_dir)
+    fam_a = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    fam_b = li.select(
+        (10000 + F.col("l_orderkey") % 30).alias("src"),
+        (10000 + F.expr("l_orderkey div 30") % 30).alias("dst"),
+    )
+    survivors, _rounds = kcore_converged(
+        fam_a.unionByName(fam_b), "src", "dst", k=13, max_rounds=20
+    )
+    return survivors
+
+
+# ---------------------------------------------------------------------------
 # Round 10: MULTI-STATEFUL streaming pipeline — per-day unique
 # visitors as stateful dedup CHAINED INTO a watermarked window
 # aggregate in one append-mode query (chained stateful operators,

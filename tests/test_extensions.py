@@ -1297,6 +1297,37 @@ def test_kcore_peels_pendant_and_cascades(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
 
 
+def test_kcore_converged_reaches_fixed_point(spark):
+    """Path 1-2-3-4-5-6 + disjoint triangle at k=2: the path peels one
+    layer from each end per round (3 changing rounds), the triangle is
+    the fixed point; round 4 confirms. The fixed-round form at
+    rounds=2 would still carry path remnants — convergence is the
+    semantics under test."""
+    from fhc_rco_etl_scalable_spark.operators.graph import kcore_converged
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    surv, rounds = kcore_converged(edges, "src", "dst", k=2)
+    assert rounds == 4
+    assert {r.node: r.degree for r in surv.collect()} == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_converged_cap_raises_loudly(spark):
+    """max_rounds below the cascade length must raise, never silently
+    return the partially-peeled graph as 'the core'."""
+    import pytest as _pytest
+
+    from fhc_rco_etl_scalable_spark.operators.graph import kcore_converged
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        kcore_converged(edges, "src", "dst", k=2, max_rounds=2)
+
+
 def test_bfs_levels_shortest_hops(spark):
     from fhc_rco_etl_scalable_spark.operators.graph import bfs_levels
 

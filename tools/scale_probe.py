@@ -710,6 +710,32 @@ def run_negsample(spark, docs) -> dict[str, int]:
     return {"pairs": int(row["pairs"]), "self_draws": int(row["selfs"])}
 
 
+def run_kcore_rounds(spark, li) -> dict[str, int]:
+    """Rounds-to-convergence vs k on the harness's composed graph
+    (VERDICT r10 #3's probe): the mod-997 family peels fully at
+    k=13 (long cascade), survives untouched at k<=12, and the K30
+    family is indestructible below 30 — so the cascade length is a
+    step function of k and the count-action cost of kcore_converged
+    is exactly `rounds` extra jobs."""
+    from fhc_rco_etl_scalable_spark.operators.graph import kcore_converged
+
+    fam_a = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias("dst"),
+    )
+    fam_b = li.select(
+        (10000 + F.col("l_orderkey") % 30).alias("src"),
+        (10000 + F.expr("l_orderkey div 30") % 30).alias("dst"),
+    )
+    edges = fam_a.unionByName(fam_b)
+    out = {}
+    for k in (12, 13, 14, 29):
+        surv, rounds = kcore_converged(edges, "src", "dst", k=k, max_rounds=40)
+        out[f"k{k}_rounds"] = rounds
+        out[f"k{k}_nodes"] = surv.count()
+    return out
+
+
 def dense_events(spark, mult: int):
     """VERDICT r10 #4's fixture: dense telemetry at ~100 events per
     user per day (200*mult users x 30 days x 100 events) — the regime
@@ -790,6 +816,7 @@ RUNNERS = {
     "graph": lambda spark, data, sf_dir: run_graph(spark, data),
     "sliding": lambda spark, data, sf_dir: run_sliding(spark, data),
     "sliding_dense": lambda spark, data, sf_dir: run_sliding_dense(spark, data),
+    "kcore": lambda spark, data, sf_dir: run_kcore_rounds(spark, data),
     "negsample": lambda spark, data, sf_dir: run_negsample(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
@@ -846,6 +873,10 @@ def main() -> None:
         elif probe == "sliding_dense":
             # synthetic 100-events/user/day fixture; sf_dir unused.
             data = dense_events(spark, eff)
+        elif probe == "kcore":
+            # rounds-vs-k on the harness graph; the replica axis is
+            # unused (run with a single N, e.g. `--probe kcore 1`).
+            data = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
         elif probe == "negsample":
