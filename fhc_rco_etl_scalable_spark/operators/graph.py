@@ -363,8 +363,9 @@ def neighbor_agg(
     equi-join to attach the neighbor's feature, one key-partitioned
     aggregate. Integer/exact features keep nbr_sum engine-exact; the
     mean is a SINGLE division of exact parts, so it is reproducible
-    wherever the sum is. Stacking rounds = repeating join+aggregate
-    with the :func:`pagerank` localCheckpoint discipline.
+    wherever the sum is. :func:`neighbor_agg_rounds` stacks rounds
+    (repeating join+aggregate with the :func:`pagerank`
+    localCheckpoint discipline, integer-scaled between rounds).
     """
     und = undirected_simple_edges(edges, src, dst)
     sym = und.select(
@@ -386,3 +387,65 @@ def neighbor_agg(
             "nbr_mean", F.col("nbr_sum") / F.col("n_neighbors")
         )
     )
+
+
+def neighbor_agg_rounds(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    features: DataFrame,
+    id_col: str,
+    value_col: str,
+    rounds: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """STACKED neighborhood aggregation — :func:`neighbor_agg`'s
+    "stacking rounds = repeating join+aggregate with the pagerank
+    checkpoint discipline" claim made real (multi-hop GNN-style
+    propagation: round r sees features r hops out).
+
+    Round r+1's input feature is round r's mean INTEGER-SCALED:
+    ``(nbr_sum * scale) div n_neighbors`` — a long, so every
+    cross-round sum stays exact under any partition order and a SQL
+    oracle unrolls the rounds bit-for-bit (a float mean would
+    hash-diverge on summation order by round 2). Missing-feature
+    semantics are inner-join per round, same as the single-round
+    operator: a neighbor with no feature row contributes nothing and
+    does not count in n_neighbors.
+
+    Shape per round: one equi-join + one key-partitioned aggregate;
+    the symmetrized edge frame is built ONCE and localCheckpointed
+    (it is the reused big side — at cluster scale, pre-partition or
+    bucket it by __nbr so every round's join co-locates), and each
+    round's feature frame checkpoints so plan depth stays O(1).
+    Returns (node, n_neighbors, nbr_sum, nbr_mean) of the LAST round.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = undirected_simple_edges(edges, src, dst)
+    sym = (
+        und.select(F.col("a").alias("__node"), F.col("b").alias("__nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("__node"), F.col("a").alias("__nbr"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    feat = features.select(
+        F.col(id_col).alias("__nbr"), F.col(value_col).cast("long").alias("__v")
+    )
+    agg = None
+    for r in range(int(rounds)):
+        agg = (
+            sym.join(feat, "__nbr")
+            .groupBy(F.col("__node").alias("node"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_neighbors"),
+                F.sum("__v").cast("long").alias("nbr_sum"),
+            )
+        )
+        if r < rounds - 1:
+            feat = agg.select(
+                F.col("node").alias("__nbr"),
+                F.expr(f"(nbr_sum * {scale}L) div n_neighbors").alias("__v"),
+            ).localCheckpoint(eager=False)
+    return agg.withColumn("nbr_mean", F.col("nbr_sum") / F.col("n_neighbors"))

@@ -9663,3 +9663,72 @@ def q_neighbor_feature_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     feats = nodes.select("node", (F.col("node") % 97).alias("f"))
     return neighbor_agg(edges, "src", "dst", feats, "node", "f")
+
+
+# ---------------------------------------------------------------------------
+# Round 11 (VERDICT r10 #8): TWO stacked propagation rounds — round 2
+# aggregates each node's neighbors' round-1 means, so every output
+# value depends on the 2-hop neighborhood. The cross-round feature is
+# the INTEGER-SCALED mean (nbr_sum * 1e6 div n) — a long, so the
+# round-2 sums are partition-order-exact and the oracle unrolls both
+# rounds bit-for-bit; a float mean would hash-diverge on summation
+# order. sym is MATERIALIZED (referenced by both rounds), mirroring
+# the Spark side's one-shot localCheckpoint of the symmetrized edges.
+# ---------------------------------------------------------------------------
+
+_NEIGHBOR_AGG_2ROUND_ORACLE = """
+WITH raw AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+),
+r1 AS (
+  SELECT s.node, count(*) AS n, sum(s.nbr % 97) AS sm
+  FROM sym s GROUP BY s.node
+),
+f1 AS (
+  SELECT node AS nbr, CAST((sm * 1000000) // n AS BIGINT) AS v FROM r1
+),
+r2 AS (
+  SELECT s.node, count(*) AS n, sum(f1.v) AS sm
+  FROM sym s JOIN f1 ON s.nbr = f1.nbr
+  GROUP BY s.node
+)
+SELECT node, CAST(n AS BIGINT) AS n_neighbors,
+       CAST(sm AS BIGINT) AS nbr_sum,
+       CAST(sm AS DOUBLE) / n AS nbr_mean
+FROM r2
+"""
+
+
+@query("neighbor_feature_agg_2round", _NEIGHBOR_AGG_2ROUND_ORACLE)
+def q_neighbor_feature_agg_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round neighbor aggregation (operators/graph.py::
+    neighbor_agg_rounds) with feature(node) = node % 97: per round
+    one equi-join + one aggregate over the once-checkpointed
+    symmetrized edges; the integer-scaled cross-round mean keeps
+    round 2 engine-exact."""
+    from ..operators.graph import neighbor_agg_rounds
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    feats = nodes.select("node", (F.col("node") % 97).alias("f"))
+    return neighbor_agg_rounds(
+        edges, "src", "dst", feats, "node", "f", rounds=2, scale=1_000_000
+    )
