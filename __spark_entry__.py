@@ -38,27 +38,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of the JSON history + _RECERTIFY, so it never drifts from what
 # the driver actually recorded.
 _RECERTIFY = [
-    # round 10 (ADVICE r9): corrupt_record_handling coalesces NULL
-    # payloads to the same invalid literal on both engines;
-    # substring_dedup pins the tokenizer delimiter class to
-    # [ \t\n\f\r]+ in BOTH the Spark split and the DuckDB oracle
-    # (Java \s includes \x0B, RE2's does not); streaming_ewma_harness
-    # concatenates all Arrow chunks before the per-batch sort (global
-    # event-time fold order for large groups); bfs_reachability
-    # dedupes duplicate source ids in the seed frame.
-    "corrupt_record_handling",
-    "substring_dedup",
-    "streaming_ewma_harness",
-    "bfs_reachability",
-    # round 10 (VERDICT r9 #2): triangle_count now defaults to
-    # degree-ordered orientation (the hub guard its docstring
-    # promised); census identical by construction, plan re-audited.
-    "triangle_count",
-    # round 10 scaffolding refactor: rest_scan_harness's loopback
-    # server + pushdown-conf set/restore factored into shared helpers
-    # (_start_paged_rest_server, _python_pushdown_enabled) also used
-    # by the new S4 entry; behavior identical, re-certify the mover.
-    "rest_scan_harness",
+    # round 11 (VERDICT r10 #4 + ADVICE): sliding_distinct now
+    # pre-dedups the explode input at (key, day) granularity and
+    # emits window_end — oracle updated in lockstep (new column,
+    # same counts).
+    "sliding_distinct_users",
+    # round 11 (VERDICT r10 #5 + ADVICE): negative_sample's draw runs
+    # the one overflowable multiply in DECIMAL(38,0) (exact past
+    # n = 2^31) and enforces n >= 2 in-plan; values identical at
+    # harness scale, implementation changed.
+    "negative_sample",
+    # round 11 refactor: asof_join grew direction='nearest' — the
+    # backward/forward/tolerance paths were restructured around the
+    # shared _frame/_gap helpers (plans unchanged by construction;
+    # re-certify the movers).
+    "asof_backward",
+    "asof_forward",
+    "asof_tolerance",
 ]
 
 

@@ -326,3 +326,104 @@ def test_state_inspect_open_sessions(spark, tmp_path_factory):
     # raw reader exposes the typed store
     raw = read_state(spark, chk)
     assert {f.name for f in raw.schema} == {"key", "value", "partition_id"}
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 #2 probe: dropDuplicatesWithinWatermark keeps dedup state
+# bounded by the watermark horizon, while plain dropDuplicates on a
+# derived (day, user) key never evicts — state grows with days x users.
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_state_bounded_by_watermark(spark, tmp_path_factory):
+    """40 days x 5 users of duplicated events, replayed as 8 ts-ordered
+    file batches (5 days each). The plain variant's dedup state is the
+    full cumulative key set (200 + grows every batch); the
+    within-watermark variant holds only keys whose expiry (event ts +
+    2d) is ahead of the watermark — a sliding ~7-day x users band.
+    Both variants must EMIT the identical deduped rows: bounded state
+    changes retention, not results, inside the lateness bound."""
+    import glob
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.streaming.state_inspect import read_state
+
+    days, users, per_day, batch_days = 40, 5, 2, 5
+    t0 = datetime(2024, 3, 1, 0, 0)
+    rows = [
+        (u, t0 + timedelta(days=d, hours=3 * e))
+        for d in range(days)
+        for u in range(users)
+        for e in range(per_day)  # per_day events per (day, user) = dups
+    ]
+    schema_txt = "user_id long, ts timestamp"
+    src = str(tmp_path_factory.mktemp("dwm_src"))
+    base = 1_700_000_000
+    for b in range(days // batch_days):
+        batch = [r for r in rows if (r[1] - t0).days // batch_days == b]
+        tmpd = tempfile.mkdtemp(prefix="dwm-stage-")
+        try:
+            spark.createDataFrame(batch, schema_txt).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmpd, "out"))
+            part = glob.glob(os.path.join(tmpd, "out", "part-*.parquet"))[0]
+            target = os.path.join(src, f"b{b:02d}.parquet")
+            shutil.move(part, target)
+            os.utime(target, (base + b, base + b))
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+    def run(variant):
+        chk = str(tmp_path_factory.mktemp(f"dwm_chk_{variant}"))
+        out = str(tmp_path_factory.mktemp(f"dwm_out_{variant}"))
+        feed = (
+            spark.readStream.schema(schema_txt)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("day", F.date_trunc("day", F.col("ts")))
+        )
+        if variant == "wm":
+            dd = feed.withWatermark("ts", "2 days").dropDuplicatesWithinWatermark(
+                ["day", "user_id"]
+            )
+        else:
+            dd = feed.dropDuplicates(["day", "user_id"])
+        q = (
+            dd.writeStream.outputMode("append").format("parquet")
+            .option("path", out).option("checkpointLocation", chk)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(300)
+        last = q.lastProgress["batchId"]
+        q.stop()
+        emitted = spark.read.parquet(out)
+        state_per_batch = [
+            read_state(spark, chk, batch_id=b).count() for b in range(last + 1)
+        ]
+        return emitted, state_per_batch
+
+    plain_out, plain_state = run("plain")
+    wm_out, wm_state = run("wm")
+
+    # identical deduped output (bounded state, same answer)
+    canon = lambda df: sorted(
+        (r.user_id, r.ts) for r in df.select("user_id", "ts").collect()
+    )
+    assert canon(plain_out) == canon(wm_out)
+    assert plain_out.count() == days * users
+
+    # plain: cumulative — strictly growing, ends at days*users
+    assert plain_state[-1] == days * users
+    assert all(b > a for a, b in zip(plain_state, plain_state[1:]))
+
+    # wm: bounded by the horizon — the store never holds more than a
+    # ~(delay + wm-lag + batch-span) day band of keys (<= 9 days x
+    # users here, vs 40 x users cumulative), and it PLATEAUS: the max
+    # across the second half is no larger than across the first.
+    assert max(wm_state) <= 9 * users, wm_state
+    half = len(wm_state) // 2
+    assert max(wm_state[half:]) <= max(wm_state[:half]), wm_state
