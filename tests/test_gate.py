@@ -194,6 +194,16 @@ class TestPartitionCountInvariance:
         "exact_quantiles",
         "negative_sample",
         "sliding_distinct_users",
+        # r11 (VERDICT r10 #7): the r10/r11 exactness claimers —
+        # integer-sum graph aggregates, the oriented triangle census,
+        # the fixed-point peel, the integer-scaled 2-round
+        # propagation, and the interval-compare nearest as-of.
+        "neighbor_feature_agg",
+        "neighbor_feature_agg_2round",
+        "kcore_filter",
+        "kcore_converged",
+        "triangle_count",
+        "asof_nearest",
     ]
 
     @staticmethod

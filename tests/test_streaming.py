@@ -427,3 +427,102 @@ def test_dedup_state_bounded_by_watermark(spark, tmp_path_factory):
     assert max(wm_state) <= 9 * users, wm_state
     half = len(wm_state) // 2
     assert max(wm_state[half:]) <= max(wm_state[:half]), wm_state
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10: the outer stream-stream join's cross-batch scenario the
+# 1-data-batch harness entry no longer replays — a left row held in
+# state whose match arrives in a LATER data batch must emit matched
+# exactly once, never also as a null-padded row.
+# ---------------------------------------------------------------------------
+
+
+def test_ssjo_match_in_later_batch_suppresses_null_pad(spark, tmp_path_factory):
+    """Purchase P1 arrives in micro-batch 0; its in-window view V1 only
+    in micro-batch 1. The join must hold P1 unmatched in state across
+    the boundary, emit (P1, V1) when V1 lands, and — when the sentinel
+    watermark later proves no further match can arrive — NOT emit a
+    null-padded P1. Purchase P2 (no view anywhere) pins the contrast:
+    its null-pad MUST drain."""
+    import glob
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.streaming.join_stream import (
+        stream_stream_interval_join,
+    )
+
+    t0 = datetime(2024, 6, 1, 12, 0)
+    schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
+    far = t0 + timedelta(days=30)
+    batches = [
+        # batch 0: P1 (will match later) + P2 (never matches)
+        [(1, 100, t0 + timedelta(minutes=60), "purchase"),
+         (2, 200, t0 + timedelta(minutes=61), "purchase")],
+        # batch 1: V1 inside [P1.ts - 1h, P1.ts]
+        [(1, 101, t0 + timedelta(minutes=30), "view")],
+        # batch 2: sentinel generation 1 advances both watermarks
+        [(-1, -1, far, "purchase"), (-1, -2, far + timedelta(hours=2), "view")],
+        # batch 3: zero rows — exists only to APPLY generation 1's wm
+        [],
+    ]
+    src = str(tmp_path_factory.mktemp("ssjo_xbatch_src"))
+    base = 1_700_000_000
+    for b, rows in enumerate(batches):
+        tmpd = tempfile.mkdtemp(prefix="ssjo-xb-")
+        try:
+            spark.createDataFrame(rows, schema_txt).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(tmpd, "out"))
+            part = glob.glob(os.path.join(tmpd, "out", "part-*.parquet"))[0]
+            target = os.path.join(src, f"b{b:02d}.parquet")
+            shutil.move(part, target)
+            os.utime(target, (base + b, base + b))
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+
+    feed = (
+        spark.readStream.schema(schema_txt)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    purchases = feed.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    views = feed.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = stream_stream_interval_join(
+        purchases, views, key="user_id",
+        left_time="p_ts", right_time="v_ts", lookback="1 hour",
+        delay="1 minute", how="left_outer",
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.p_id").alias("purchase_id"),
+        F.col("r.v_id").alias("view_id"),
+    )
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("ssjo_xbatch").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(300)
+    n_microbatches = q.lastProgress["batchId"] + 1
+    q.stop()
+    assert n_microbatches >= 4  # the carry + both sentinel batches ran
+    rows = [
+        (r.purchase_id, r.view_id)
+        for r in spark.table("ssjo_xbatch").filter(F.col("user_id") >= 0).collect()
+    ]
+    # P1: exactly one row, matched across the batch boundary — and no
+    # null-padded duplicate after the watermark passes.
+    assert rows.count((100, 101)) == 1
+    assert (100, None) not in rows
+    # P2: the null-pad must drain once the sentinel watermark applies.
+    assert rows.count((200, None)) == 1
+    assert len(rows) == 2
