@@ -268,3 +268,54 @@ def asof_join_range(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__ev_ts", *[f"ev_{k}" for k in on])
     )
+
+
+def pit_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: Sequence[str] | None = None,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Effective-dated (SCD2) point-in-time dimension lookup: attach to
+    each fact the dim VERSION whose ``[valid_from, valid_to)`` validity
+    interval contains the fact's timestamp (``valid_to`` NULL = the
+    open/current version) — the read-side companion of
+    ``sinks/incremental.py::merge_scd2``'s write side, and the standard
+    "what did the dimension say when this fact happened" join every
+    warehouse replay needs.
+
+    An SCD2 chain is disjoint-per-key by construction, so at most one
+    version matches: the LEFT join preserves fact cardinality exactly
+    (facts before a key's first version, or for unknown keys, carry
+    NULL attributes). Dim columns come back ``dim_``-prefixed; pass
+    ``value_cols`` to project a subset.
+
+    Scale shape: the dim side is dimension-sized (versions-per-key is
+    small), so it BROADCASTS (default) and the fact side never
+    shuffles — the validity-range predicate rides the broadcast hash
+    join on ``key`` as a residual filter. Set ``broadcast_dim=False``
+    only when the chain genuinely outgrows executor memory; the join
+    then shuffles both sides on ``key`` (still an equi-join, never a
+    cartesian).
+    """
+    cols = value_cols if value_cols is not None else [
+        c for c in dim.columns if c != key
+    ]
+    d = dim.select(
+        F.col(key).alias("__dk"),
+        F.col(valid_from).alias("__vf"),
+        F.col(valid_to).alias("__vt"),
+        *[F.col(c).alias(f"dim_{c}") for c in cols],
+    )
+    if broadcast_dim:
+        d = F.broadcast(d)
+    cond = (
+        (facts[key] == d["__dk"])
+        & (d["__vf"] <= facts[fact_ts])
+        & (d["__vt"].isNull() | (facts[fact_ts] < d["__vt"]))
+    )
+    return facts.join(d, cond, "left").drop("__dk", "__vf", "__vt")

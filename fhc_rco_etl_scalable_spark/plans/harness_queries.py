@@ -9876,3 +9876,75 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return collocations(docs, text="text", min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: SCD2 point-in-time lookup (operators/asof.py::pit_lookup)
+# — the READ side of the scd2_merge_harness chain: every fact gets the
+# dim version valid at its timestamp ([valid_from, valid_to), NULL =
+# open), LEFT-preserved so facts before a key's first version carry
+# NULL attributes. Fact timestamps fan across Jan..Feb 2024, so both
+# chain versions and the pre-insert NULL band are exercised. The dim
+# side is the bounded SCD2 chain — broadcast; the fact side never
+# shuffles.
+# ---------------------------------------------------------------------------
+
+_SCD2_PIT_ORACLE = _SCD2_MERGE_ORACLE.rsplit("SELECT * FROM closed", 1)[0] + """,
+chain AS (
+  SELECT * FROM closed UNION ALL SELECT * FROM carried
+  UNION ALL SELECT * FROM inserted
+),
+facts AS (
+  SELECT p_partkey, p_brand AS BRANDCODE,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (p_partkey % 60) * INTERVAL 1 DAY AS fact_ts
+  FROM part
+)
+SELECT f.p_partkey, f.BRANDCODE, f.fact_ts,
+       c.n_parts AS dim_n_parts,
+       c.total_price AS dim_total_price,
+       c.is_current AS dim_is_current
+FROM facts f
+LEFT JOIN chain c
+  ON f.BRANDCODE = c.BRANDCODE
+ AND c.valid_from <= f.fact_ts
+ AND (c.valid_to IS NULL OR f.fact_ts < c.valid_to)
+"""
+
+
+@query("scd2_pit_lookup", _SCD2_PIT_ORACLE)
+def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join against the real merged SCD2 chain
+    (built through the sink exactly as scd2_merge_harness certifies,
+    read back bounded): facts = part rows at synthetic timestamps
+    spanning both chain versions; the lookup is one broadcast hash
+    join on BRANDCODE with the validity range as residual — fact
+    cardinality preserved exactly (chain disjointness)."""
+    import shutil
+    import tempfile
+
+    from ..operators.asof import pit_lookup
+
+    root = tempfile.mkdtemp(prefix="sg-scd2pit-")
+    try:
+        sink = _scd2_sink(spark, sf_dir, root)
+        rows = sink.read("dim_brand").collect()  # bounded: ~25 brands x <=2 versions
+        dim = spark.createDataFrame(
+            rows,
+            "BRANDCODE string, n_parts long, total_price double,"
+            " valid_from timestamp, valid_to timestamp, is_current boolean",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    facts = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.col("p_brand").alias("BRANDCODE"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + (p_partkey % 60) * INTERVAL 1 DAY"
+        ).alias("fact_ts"),
+    )
+    return pit_lookup(
+        facts, dim, key="BRANDCODE", fact_ts="fact_ts",
+        value_cols=["n_parts", "total_price", "is_current"],
+    )

@@ -323,3 +323,34 @@ def test_bucketed_interval_span_guard(spark):
         max_span_buckets=10,
     )
     assert out.count() == 1  # match within the capped span still found
+
+
+def test_pit_lookup_versions_and_null_band(spark):
+    """SCD2 point-in-time semantics: facts at t pick the version with
+    valid_from <= t < valid_to (NULL = open); facts before the key's
+    first version, or for unknown keys, carry NULLs; fact cardinality
+    is preserved exactly."""
+    from fhc_rco_etl_scalable_spark.operators.asof import pit_lookup
+
+    dim = spark.createDataFrame(
+        [
+            ("B1", 10, _ts(0), _ts(100), False),   # closed version
+            ("B1", 20, _ts(100), None, True),      # open version
+            ("B2", 77, _ts(50), None, True),
+        ],
+        "k string, v long, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            ("f1", "B1", _ts(99)),    # inside the closed version
+            ("f2", "B1", _ts(100)),   # boundary -> open version
+            ("f3", "B2", _ts(10)),    # before B2's first version -> NULL
+            ("f4", "B3", _ts(10)),    # unknown key -> NULL
+        ],
+        "fid string, k string, fact_ts timestamp",
+    )
+    out = pit_lookup(facts, dim, key="k", fact_ts="fact_ts", value_cols=["v"])
+    got = {r.fid: r.dim_v for r in out.collect()}
+    assert got == {"f1": 10, "f2": 20, "f3": None, "f4": None}
+    assert out.count() == 4

@@ -603,6 +603,22 @@ def main() -> int:
     check("single_shuffle(asof_nearest)", n_ex == 1, detail=f"{n_ex} exchanges")
     n_w = len(re.findall(r"^\(\d+\) Window", p, re.M))
     check("two_scans(asof_nearest)", n_w == 2, detail=f"{n_w} window nodes")
+    # r11: SCD2 point-in-time lookup — the chain broadcasts, the fact
+    # side never shuffles (zero hash exchanges), validity range rides
+    # the broadcast join as residual.
+    p = plan_of(hq.QUERIES["scd2_pit_lookup"](spark, sf_dir))
+    check("broadcast(scd2_pit_lookup)", "BroadcastHashJoin" in p)
+    n_ex = n_shuffles(p)
+    check("no_fact_shuffle(scd2_pit_lookup)", n_ex == 0, detail=f"{n_ex} exchanges")
+    # r11: collocations — ONE corpus-sized exchange (the bigram count);
+    # marginals derive from the checkpointed count frame.
+    p = plan_of(hq.QUERIES["collocations"](spark, sf_dir))
+    check("no_python(collocations)", "Python" not in p)
+    check(
+        "model_behind_barrier(collocations)",
+        "ExistingRDD" in p and "Scan parquet" not in p,
+        detail="count frame checkpointed; corpus scanned once at materialization",
+    )
 
     # 35c. kcore: the peel must be semi-joins (no value columns cross)
     #     and nothing cartesian across the composed 3-round plan.
