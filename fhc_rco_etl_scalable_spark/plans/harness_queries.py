@@ -9948,3 +9948,122 @@ def q_scd2_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         facts, dim, key="BRANDCODE", fact_ts="fact_ts",
         value_cols=["n_parts", "total_price", "is_current"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: FULL-OUTER stream-stream interval join — completes the
+# §2.11 join-mode matrix (inner r8, left-outer r9). Both unmatched
+# directions are live: an unmatched purchase drains once the VIEW
+# watermark passes its timestamp, an unmatched view once the PURCHASE
+# watermark passes the end of its match window (v_ts + lookback) —
+# the same one-data-batch + two-sentinel-generation accounting, with
+# both sentinel rows already shipped per side by the shared staging.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_interval_join_full",
+    """
+SELECT coalesce(p.user_id, v.user_id) AS user_id,
+       p.event_id AS purchase_id, v.event_id AS view_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') p
+FULL OUTER JOIN (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 1 HOUR
+""",
+)
+def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer stream-stream interval join: matches emit eagerly,
+    unmatched PURCHASES null-pad once the view watermark proves no
+    in-window view can arrive, unmatched VIEWS null-pad once the
+    purchase watermark passes v_ts + lookback — certified against the
+    batch FULL OUTER with the identical range condition. The
+    generation-1 sentinel pair (view 2h after the purchase sentinel,
+    outside the lookback so they cannot join each other) advances
+    BOTH watermarks; the zero-row generation-2 batch applies them."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid
+
+    from ..streaming.join_stream import stream_stream_interval_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    n_batches = 1  # cross-batch carry is the inner twin's concern
+    with _clamped_shuffle(spark, 2), _staged_file_stream(
+        ev, n_batches, ["ts", "event_id"], "sg-ssjf", cache_key=sf_dir
+    ) as src:
+        schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
+        data_mtime = max(
+            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
+        )
+        for gen in (1, 2):
+            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
+            if not _os.path.exists(target):
+                rows = (
+                    [
+                        (-1, -1, max_ts + _dt.timedelta(days=30), "purchase"),
+                        (-1, -2, max_ts + _dt.timedelta(days=30, hours=2), "view"),
+                    ]
+                    if gen == 1
+                    else []
+                )
+                pair = spark.createDataFrame(rows, schema_txt)
+                tmpd = _tempfile.mkdtemp(prefix="sg-ssjf-sent-")
+                try:
+                    pair.coalesce(1).write.mode("overwrite").parquet(
+                        _os.path.join(tmpd, "out")
+                    )
+                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
+                    _shutil.move(part, target)
+                finally:
+                    _shutil.rmtree(tmpd, ignore_errors=True)
+            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+        feed = (
+            spark.readStream.schema(schema_txt)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        purchases = feed.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        views = feed.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("v_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        joined = stream_stream_interval_join(
+            purchases, views, key="user_id",
+            left_time="p_ts", right_time="v_ts", lookback="1 hour",
+            delay="1 minute", how="full_outer",
+        )
+        # sentinel filter stays OUT of the stream (see the outer twin:
+        # an equi-key predicate pushes into both scans and stalls the
+        # watermark); the sink filter needs BOTH sides' user_id since
+        # either may be the null-padded one.
+        out = joined.select(
+            F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+            F.col("l.p_id").alias("purchase_id"),
+            F.col("r.v_id").alias("view_id"),
+            (F.unix_micros("l.p_ts") - F.unix_micros("r.v_ts")).alias("gap_us"),
+        )
+        name = f"ssjf_harness_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "full stream-stream join timed out"
+        n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+        q.stop()
+        assert n_microbatches >= n_batches + 2
+        return spark.table(name).filter(F.col("user_id") >= 0)
