@@ -246,9 +246,17 @@ def collocations(
     or write it, it IS the model. Marginal joins are vocabulary-sized
     (AQE broadcasts them); the scalar total rides a 1-row broadcast.
     """
-    b = docs.select(
-        F.explode(_bigrams(_tokens(F.col(text)))).alias("p")
-    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # Bind the token array to a COLUMN before _bigrams: the transform
+    # lambda references its input per element (size + element_at), and
+    # an inlined tokenization expression would re-tokenize the doc for
+    # every element — O(tokens^2) per doc, measured 8.0 s -> 0.45 s on
+    # 5k docs (the round-5 minhash inlining trap; bigram_logprob_score
+    # binds for the same reason).
+    b = (
+        docs.select(_tokens(F.col(text)).alias("__t"))
+        .select(F.explode(_bigrams(F.col("__t"))).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
     c = (
         b.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_xy"))
