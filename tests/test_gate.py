@@ -204,6 +204,7 @@ class TestPartitionCountInvariance:
         "kcore_converged",
         "triangle_count",
         "asof_nearest",
+        "collocations",
     ]
 
     @staticmethod
