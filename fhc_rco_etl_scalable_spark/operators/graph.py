@@ -449,3 +449,66 @@ def neighbor_agg_rounds(
                 F.expr(f"(nbr_sum * {scale}L) div n_neighbors").alias("__v"),
             ).localCheckpoint(eager=False)
     return agg.withColumn("nbr_mean", F.col("nbr_sum") / F.col("n_neighbors"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    rounds: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) over the
+    undirected simple graph — graph family #7 (rank/cluster/census/
+    reach/filter/propagate/COMMUNITY). Deterministic by construction,
+    unlike the classic randomized LPA: labels start as node ids, and
+    each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors, ties resolving to the SMALLEST label —
+    an exact integer argmax, so any round count is reproducible
+    bit-for-bit on any engine and partitioning (the randomized
+    variant's tie-coin is exactly what a SQL oracle cannot
+    transcribe). Returns (node, label) after ``rounds`` rounds.
+
+    Shape per round: one equi-join of the label frame onto the
+    once-checkpointed symmetrized edges + one (node, label) count
+    aggregate + one per-node window argmax — all key-partitioned;
+    labels localCheckpoint per round (the :func:`pagerank`
+    discipline). Fixed rounds are the transcribable form; loop with a
+    convergence count (the :func:`kcore_converged` pattern) when the
+    community structure, not a round budget, is the contract.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    und = undirected_simple_edges(edges, src, dst)
+    sym = (
+        und.select(F.col("a").alias("__node"), F.col("b").alias("__nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("__node"), F.col("a").alias("__nbr"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = sym.select(F.col("__node").alias("node")).distinct().select(
+        "node", F.col("node").cast("long").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(int(rounds)):
+        freq = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("__nbr"), F.col("label")
+                ),
+                "__nbr",
+            )
+            .groupBy(F.col("__node").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

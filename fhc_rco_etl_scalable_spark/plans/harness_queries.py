@@ -10067,3 +10067,75 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
         q.stop()
         assert n_microbatches >= n_batches + 2
         return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: deterministic synchronous label propagation — graph
+# family #7 (community detection). Deterministic BY CONSTRUCTION
+# (most-frequent neighbor label, ties -> smallest), which is exactly
+# what makes it oracle-able: the classic randomized LPA tie-coin
+# cannot be transcribed into SQL. Two rounds unrolled, MATERIALIZED
+# per round (the kcore_converged lesson: plain DuckDB CTEs inline and
+# the reference count grows geometrically).
+# ---------------------------------------------------------------------------
+
+_LABEL_PROP_ORACLE = """
+WITH raw AS (
+  SELECT l_orderkey % 997 AS src,
+         (l_orderkey * 31 + l_linenumber * 7) % 997 AS dst
+  FROM lineitem
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM sym),
+f1 AS (
+  SELECT s.node, l.label, count(*) AS c
+  FROM sym s JOIN l0 l ON s.nbr = l.node GROUP BY 1, 2
+),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM f1
+  ) WHERE rn = 1
+),
+f2 AS (
+  SELECT s.node, l.label, count(*) AS c
+  FROM sym s JOIN l1 l ON s.nbr = l.node GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM f2
+  ) WHERE rn = 1
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l2
+"""
+
+
+@query("label_propagation", _LABEL_PROP_ORACLE)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous label-propagation rounds over the shared
+    lineitem graph (operators/graph.py::label_propagation): per round
+    one label equi-join onto the once-checkpointed symmetrized edges,
+    one (node, label) count, one per-node window argmax with the
+    deterministic (count desc, label asc) tie rule."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    edges = li.select(
+        (F.col("l_orderkey") % 997).alias("src"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber") * 7) % 997).alias(
+            "dst"
+        ),
+    )
+    return label_propagation(edges, "src", "dst", rounds=2)

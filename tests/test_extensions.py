@@ -1379,3 +1379,28 @@ def test_collocations_contingency_and_pmi(spark):
     # min_count prunes the tail but NOT the marginals' inputs
     only = collocations(docs, min_count=2).collect()
     assert len(only) == 1 and (only[0].n_x, only[0].n_total) == (3, 5)
+
+
+def test_label_propagation_deterministic_rounds(spark):
+    """Two triangles bridged by one edge: round 1 pulls every label to
+    each node's smallest neighbor (bridge nodes see across), round 2
+    settles both triangles onto label 1 through the bridge — the
+    deterministic (count desc, label asc) tie rule makes each step
+    hand-computable."""
+    from fhc_rco_etl_scalable_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    # round 1 (all labels = ids, every neighbor-count is 1 -> min
+    # neighbor wins): 1->2, 2->1, 3->1, 4->3, 5->4, 6->4
+    one = {r.node: r.label for r in
+           label_propagation(edges, "src", "dst", rounds=1).collect()}
+    assert one == {1: 2, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
+    # round 2 over those labels: node 4's neighbors {3,5,6} carry
+    # {1,4,4} -> 4; node 3's {1,2,4} carry {2,1,3} -> tie, min 1;
+    # node 2's {1,3} carry {2,1} -> tie, min 1.
+    two = {r.node: r.label for r in
+           label_propagation(edges, "src", "dst", rounds=2).collect()}
+    assert two == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
