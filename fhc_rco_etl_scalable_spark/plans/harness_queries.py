@@ -10139,3 +10139,52 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return label_propagation(edges, "src", "dst", rounds=2)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: PIVOT — the wide-format reshape unpivot_measures is the
+# inverse of (O-family completeness). The scale point is the EXPLICIT
+# value list: pivot without one runs a whole extra distinct job over
+# the pivot column just to discover the output schema (and caps it at
+# spark.sql.pivotMaxValues); a production pipeline always knows its
+# categories. Sums run in DECIMAL(18,4) (the catalog's _MONEY
+# convention) so the per-cell totals are partition-order-exact before
+# the final rounding on both engines.
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+  CAST(round(sum(CASE WHEN event_type = 'view'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view_total,
+  CAST(round(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase_total,
+  CAST(round(sum(CASE WHEN event_type = 'click'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click_total,
+  CAST(round(sum(CASE WHEN event_type = 'error'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error_total
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("pivot_event_types", _PIVOT_ORACLE)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value totals pivoted wide by event type with an
+    EXPLICIT category list (no schema-discovery distinct job, no
+    pivotMaxValues ceiling); one shuffle — the pivot is a plain
+    grouped aggregation with per-category conditional sums. signup is
+    deliberately absent from the list: explicit values also mean
+    explicit OMISSION, transcribed identically by the oracle."""
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "purchase", "click", "error"])
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+        )
+    )
+    return out.select(
+        "user_id",
+        *[F.col(c).alias(f"{c}_total") for c in ("view", "purchase", "click", "error")],
+    )
