@@ -205,6 +205,8 @@ class TestPartitionCountInvariance:
         "triangle_count",
         "asof_nearest",
         "collocations",
+        "label_propagation",
+        "pivot_event_types",
     ]
 
     @staticmethod
