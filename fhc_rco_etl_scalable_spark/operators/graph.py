@@ -312,6 +312,8 @@ def kcore_converged(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     e = undirected_simple_edges(edges, src, dst).localCheckpoint(eager=False)
     prev = e.count()
     for rounds in range(1, int(max_rounds) + 1):
@@ -486,8 +488,10 @@ def label_propagation(
         )
         .localCheckpoint(eager=False)
     )
+    # label inherits node's type (numeric OR string ids work; the
+    # min-label tie rule is then the type's natural ordering).
     labels = sym.select(F.col("__node").alias("node")).distinct().select(
-        "node", F.col("node").cast("long").alias("label")
+        "node", F.col("node").alias("label")
     )
     from pyspark.sql import Window
 
