@@ -319,3 +319,57 @@ def pit_lookup(
         & (d["__vt"].isNull() | (facts[fact_ts] < d["__vt"]))
     )
     return facts.join(d, cond, "left").drop("__dk", "__vf", "__vt")
+
+
+def validate_scd2_chain(
+    dim: DataFrame,
+    key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2 chain integrity check — the cheap guard that makes
+    :func:`pit_lookup`'s "at most one version matches" contract
+    verifiable instead of assumed: returns one row per violation,
+    empty == sound. Violations detected per key (one window pass over
+    the dimension-sized chain, trivially cheap next to any fact join):
+
+    - ``empty_interval``: valid_to <= valid_from;
+    - ``overlap``: a version starts before its predecessor (ordered by
+      valid_from) ends — the case that silently DUPLICATES facts in a
+      point-in-time join;
+    - ``multiple_open``: more than one NULL-valid_to (current) version.
+
+    Run it after every merge in pipelines that cannot tolerate fact
+    duplication; it is a read-only probe, not a fix.
+    """
+    w = Window.partitionBy(key).orderBy(
+        F.col(valid_from).asc(), F.col(valid_to).asc_nulls_last()
+    )
+    flagged = dim.select(
+        F.col(key).alias("key"),
+        F.col(valid_from).alias("valid_from"),
+        F.col(valid_to).alias("valid_to"),
+        F.lag(valid_from).over(w).alias("__prev_from"),
+        F.lag(valid_to).over(w).alias("__prev_to"),
+        F.sum(F.col(valid_to).isNull().cast("long"))
+        .over(Window.partitionBy(key))
+        .alias("__n_open"),
+    ).withColumn(
+        "violation",
+        F.when(
+            F.col("valid_to").isNotNull()
+            & (F.col("valid_to") <= F.col("valid_from")),
+            F.lit("empty_interval"),
+        )
+        .when(
+            # a NULL predecessor end means the PREDECESSOR is open —
+            # anything after it overlaps by definition.
+            F.col("__prev_to").isNull() & F.col("__prev_from").isNotNull(),
+            F.lit("overlap"),
+        )
+        .when(F.col("valid_from") < F.col("__prev_to"), F.lit("overlap"))
+        .when(F.col("__n_open") > 1, F.lit("multiple_open")),
+    )
+    return flagged.filter(F.col("violation").isNotNull()).select(
+        "key", "valid_from", "valid_to", "violation"
+    )

@@ -273,11 +273,16 @@ def collocations(
         .select("w1", "w2", "n_xy", "n_x", "n_y", "n_total")
     )
     if with_pmi:
+        # doubles BEFORE the multiplies: n_xy * n_total in int64
+        # silently wraps once the corpus passes ~10^9 bigrams with a
+        # frequent pair (long*long overflow is unchecked outside ANSI
+        # mode); pmi is a float metric, so the double product is the
+        # right arithmetic anyway.
         out = out.withColumn(
             "pmi",
             F.log(
-                F.col("n_xy") * F.col("n_total")
-                / (F.col("n_x") * F.col("n_y"))
+                F.col("n_xy").cast("double") * F.col("n_total").cast("double")
+                / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
             ),
         )
     return out

@@ -354,3 +354,29 @@ def test_pit_lookup_versions_and_null_band(spark):
     got = {r.fid: r.dim_v for r in out.collect()}
     assert got == {"f1": 10, "f2": 20, "f3": None, "f4": None}
     assert out.count() == 4
+
+
+def test_validate_scd2_chain_flags_violations(spark):
+    """Sound chains come back empty; overlapping versions, an open
+    version with a successor, empty intervals, and double-open keys
+    are each named."""
+    from fhc_rco_etl_scalable_spark.operators.asof import validate_scd2_chain
+
+    sound = spark.createDataFrame(
+        [("A", _ts(0), _ts(10)), ("A", _ts(10), None), ("B", _ts(5), None)],
+        "k string, valid_from timestamp, valid_to timestamp",
+    )
+    assert validate_scd2_chain(sound, "k").count() == 0
+
+    bad = spark.createDataFrame(
+        [
+            ("C", _ts(0), _ts(20)), ("C", _ts(10), None),   # overlap
+            ("D", _ts(0), None), ("D", _ts(10), None),      # open w/ successor + 2 open
+            ("E", _ts(10), _ts(10)),                        # empty interval
+        ],
+        "k string, valid_from timestamp, valid_to timestamp",
+    )
+    got = {(r.key, r.violation) for r in validate_scd2_chain(bad, "k").collect()}
+    assert ("C", "overlap") in got
+    assert ("E", "empty_interval") in got
+    assert any(k == "D" for k, _ in got)
