@@ -10171,10 +10171,13 @@ GROUP BY user_id
 def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user value totals pivoted wide by event type with an
     EXPLICIT category list (no schema-discovery distinct job, no
-    pivotMaxValues ceiling); one shuffle — the pivot is a plain
-    grouped aggregation with per-category conditional sums. signup is
-    deliberately absent from the list: explicit values also mean
-    explicit OMISSION, transcribed identically by the oracle."""
+    pivotMaxValues ceiling). Spark's pivot plans as TWO aggregations
+    — partial by (group, category), then PivotFirst by group — i.e.
+    two key-partitioned exchanges (audited); the oracle's
+    conditional-sum form shows the one-shuffle rewrite available when
+    the category list is small and the API surface isn't the point.
+    signup is deliberately absent from the list: explicit values also
+    mean explicit OMISSION, transcribed identically by the oracle."""
     ev = load_table(spark, "events", sf_dir)
     out = (
         ev.groupBy("user_id")

@@ -619,6 +619,24 @@ def main() -> int:
         "ExistingRDD" in p and "Scan parquet" not in p,
         detail="count frame checkpointed; corpus scanned once at materialization",
     )
+    # r11: label_propagation — per-round label join + count + window
+    # argmax over the checkpointed symmetrized edges: key-partitioned
+    # only, no cartesian, no Python.
+    p = plan_of(hq.QUERIES["label_propagation"](spark, sf_dir))
+    check(
+        "no_cartesian(label_propagation)",
+        "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
+    )
+    check("no_python(label_propagation)", "Python" not in p)
+    # r11: pivot with an EXPLICIT value list — Spark's pivot is a
+    # two-phase aggregation (partial by (group, category), PivotFirst
+    # by group): exactly TWO key-partitioned exchanges, no
+    # Expand/Generate, and no extra job to discover pivot values (the
+    # explicit list is what removes the distinct scan).
+    p = plan_of(hq.QUERIES["pivot_event_types"](spark, sf_dir))
+    n_ex = n_shuffles(p)
+    check("two_phase_pivot(pivot_event_types)", n_ex == 2, detail=f"{n_ex} exchanges")
+    check("no_generate(pivot_event_types)", "Generate" not in p)
 
     # 35c. kcore: the peel must be semi-joins (no value columns cross)
     #     and nothing cartesian across the composed 3-round plan.
