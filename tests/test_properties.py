@@ -521,3 +521,86 @@ def test_sliding_distinct_matches_model(spark, events):
         for r in sliding_distinct(df, "ts", "user_id", size_days=3).collect()
     }
     assert got == _sliding_model(events)
+
+
+# ---------------------------------------------------------------------------
+# asof_join direction='nearest' (r11) vs a pure-python model: randomized
+# left/right timestamp sets per key, unique right ids as tie-breakers.
+# ---------------------------------------------------------------------------
+
+_asof_case = st.tuples(
+    st.lists(  # left rows: (key, minute)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 120)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right rows: (key, minute)
+        st.tuples(st.sampled_from(["k1", "k2"]), st.integers(0, 120)),
+        min_size=0, max_size=12,
+    ),
+    st.booleans(),                                  # strict
+    st.sampled_from([None, 7, 30]),                 # tolerance minutes
+)
+
+
+def _nearest_model(lefts, rights, strict, tol):
+    out = {}
+    for li, (k, lm) in enumerate(lefts):
+        def side(cands, backward):
+            # candidates obeying direction + strictness; pick nearest,
+            # ties within equal distance by the directional tie rule
+            # (backward = LAST in (ts, id) order; forward = FIRST).
+            ok = []
+            for ri, (rk, rm) in enumerate(rights):
+                if rk != k:
+                    continue
+                if backward and (rm < lm or (rm == lm and not strict)):
+                    ok.append((abs(lm - rm), rm, ri))
+                if not backward and (rm > lm or (rm == lm and not strict)):
+                    ok.append((abs(lm - rm), rm, ri))
+            if not ok:
+                return None
+            d = min(o[0] for o in ok)
+            tied = [o for o in ok if o[0] == d]
+            # right ids are unique ("r{ri}"); the engine orders by the
+            # tie_break VALUE (string), so mirror lexicographic order.
+            ids = sorted(f"r{o[2]}" for o in tied)
+            rid = ids[-1] if backward else ids[0]
+            return (d, rid)
+        b, f = side(rights, True), side(rights, False)
+        if tol is not None:
+            b = b if b and b[0] <= tol else None
+            f = f if f and f[0] <= tol else None
+        if b is None and f is None:
+            pick = None
+        elif b is None:
+            pick = f[1]
+        elif f is None:
+            pick = b[1]
+        else:
+            pick = f[1] if f[0] < b[0] else b[1]  # tie -> backward
+        out[f"l{li}"] = pick
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_asof_case)
+def test_asof_nearest_matches_model(spark, case):
+    from fhc_rco_etl_scalable_spark.operators.asof import asof_join
+
+    lefts, rights, strict, tol = case
+    ldf = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m), f"l{i}") for i, (k, m) in enumerate(lefts)],
+        "k string, lts timestamp, lid string",
+    )
+    rdf = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m), f"r{i}") for i, (k, m) in enumerate(rights)],
+        "k string, rts timestamp, rid string",
+    ) if rights else spark.createDataFrame([], "k string, rts timestamp, rid string")
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+        value_cols=["rid"], direction="nearest", strict=strict,
+        tie_break=["rid"],
+        tolerance=None if tol is None else f"{tol} minutes",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == _nearest_model(lefts, rights, strict, tol)
