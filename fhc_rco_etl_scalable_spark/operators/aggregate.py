@@ -168,3 +168,66 @@ def sliding_distinct(
             "n_distinct",
         )
     )
+
+
+def pivot_wide(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+    values: Sequence[str],
+    value_col: str,
+    agg: str = "sum",
+    suffix: str = "",
+) -> DataFrame:
+    """ONE-shuffle pivot: reshape ``value_col`` wide by the EXPLICIT
+    category list ``values`` via conditional aggregation —
+    ``agg(CASE WHEN cat = v THEN value END) AS v`` per category — in
+    a single ``groupBy(group_cols)``.
+
+    Spark's ``groupBy().pivot(cat, values)`` plans as TWO
+    aggregations (partial by (group, category), then PivotFirst by
+    group): two key-partitioned Exchanges over the fact table. The
+    conditional-sum rewrite is semantically identical for the
+    explicit-list case every production pipeline is in (categories
+    are known; ``pivot`` without a list even runs an extra distinct
+    job just to discover them) and costs exactly ONE Exchange with
+    full map-side partial aggregation — at 100x scale the saved
+    exchange on the fact table is the whole cost. The engine keeps
+    both forms: ``pivot`` when the API surface/pivotMaxValues
+    behavior is wanted, ``pivot_wide`` on the hot path.
+
+    ``agg`` ∈ sum | count | min | max | avg (the NULL-skipping
+    aggregates, so rows of other categories — CASE's implicit NULL —
+    simply don't contribute; COUNT counts matching rows). A category
+    with no rows yields NULL for sum/min/max/avg (identical to the
+    API ``pivot``) and 0 for count — standard SQL ``count(CASE...)``
+    semantics; NOTE the API ``pivot(...).agg(count(v))`` returns NULL
+    there instead (PivotFirst has no partial to lift), the one
+    deliberate divergence. Column naming: ``f"{v}{suffix}"`` per
+    category value (values must be distinct and string-renderable).
+
+    Aggregate exact types (e.g. DECIMAL per the money convention) by
+    casting ``value_col`` BEFORE calling; the operator adds no casts
+    of its own.
+    """
+    if agg not in ("sum", "count", "min", "max", "avg"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    vals = list(values)
+    if len(set(vals)) != len(vals):
+        raise ValueError("pivot values must be distinct")
+    fns = {
+        "sum": F.sum,
+        "count": F.count,
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+    }
+    fn = fns[agg]
+    cells = []
+    for v in vals:
+        cond = F.when(F.col(cat_col) == F.lit(v), F.col(value_col))
+        cell = fn(cond)
+        if agg == "count":
+            cell = cell.cast("long")
+        cells.append(cell.alias(f"{v}{suffix}"))
+    return df.groupBy(*list(group_cols)).agg(*cells)

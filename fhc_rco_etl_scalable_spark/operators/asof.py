@@ -89,14 +89,18 @@ def asof_join(
 
     from pyspark.sql import types as T
 
-    # SQL join semantics: a NULL join key matches nothing. The window
-    # formulation would otherwise group NULL-key rows together
+    # SQL join semantics: a NULL join key matches nothing — and a NULL
+    # temporal key can never be "at or before/after" anything. The
+    # window formulation would otherwise group NULL-key rows together
     # (partitionBy treats NULLs as equal) and let a NULL-key right row
     # donate values — diverging from asof_join_range and the reference.
-    null_key = None
+    # The right_ts guard matters doubly for 'nearest': a NULL-ts right
+    # row sorts FIRST in the backward scan, its __rts makes both gap
+    # comparisons NULL, and the `.otherwise(backward)` arm would
+    # silently return it — values leaking from a timestamp-less row.
+    null_key = F.col(right_ts).isNull()
     for k in on:
-        c = F.col(k).isNull()
-        null_key = c if null_key is None else (null_key | c)
+        null_key = null_key | F.col(k).isNull()
     right = right.filter(~null_key)
 
     # the matched right timestamp rides with the values so the
@@ -334,9 +338,13 @@ def validate_scd2_chain(
     the dimension-sized chain, trivially cheap next to any fact join):
 
     - ``empty_interval``: valid_to <= valid_from;
-    - ``overlap``: a version starts before its predecessor (ordered by
-      valid_from) ends — the case that silently DUPLICATES facts in a
-      point-in-time join;
+    - ``overlap``: a version starts before the latest end among ALL
+      its predecessors (ordered by valid_from) — the case that
+      silently DUPLICATES facts in a point-in-time join. The compare
+      runs against a RUNNING ``max(valid_to)`` (not just the
+      immediate predecessor's end), so a long version spanning
+      several successors flags EVERY overlapped successor, one row
+      per violating version;
     - ``multiple_open``: more than one NULL-valid_to (current) version.
 
     Run it after every merge in pipelines that cannot tolerate fact
@@ -345,12 +353,19 @@ def validate_scd2_chain(
     w = Window.partitionBy(key).orderBy(
         F.col(valid_from).asc(), F.col(valid_to).asc_nulls_last()
     )
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
     flagged = dim.select(
         F.col(key).alias("key"),
         F.col(valid_from).alias("valid_from"),
         F.col(valid_to).alias("valid_to"),
-        F.lag(valid_from).over(w).alias("__prev_from"),
-        F.lag(valid_to).over(w).alias("__prev_to"),
+        # running stats over ALL predecessors: max ignores NULL ends,
+        # so open predecessors are counted separately (an open
+        # predecessor overlaps everything after it by definition).
+        F.max(valid_to).over(w_prev).alias("__max_prev_to"),
+        F.coalesce(
+            F.sum(F.col(valid_to).isNull().cast("long")).over(w_prev),
+            F.lit(0),
+        ).alias("__n_open_prev"),
         F.sum(F.col(valid_to).isNull().cast("long"))
         .over(Window.partitionBy(key))
         .alias("__n_open"),
@@ -361,13 +376,8 @@ def validate_scd2_chain(
             & (F.col("valid_to") <= F.col("valid_from")),
             F.lit("empty_interval"),
         )
-        .when(
-            # a NULL predecessor end means the PREDECESSOR is open —
-            # anything after it overlaps by definition.
-            F.col("__prev_to").isNull() & F.col("__prev_from").isNotNull(),
-            F.lit("overlap"),
-        )
-        .when(F.col("valid_from") < F.col("__prev_to"), F.lit("overlap"))
+        .when(F.col("__n_open_prev") > 0, F.lit("overlap"))
+        .when(F.col("valid_from") < F.col("__max_prev_to"), F.lit("overlap"))
         .when(F.col("__n_open") > 1, F.lit("multiple_open")),
     )
     return flagged.filter(F.col("violation").isNotNull()).select(

@@ -338,11 +338,13 @@ def kcore_converged(
                 .agg(F.count(F.lit(1)).cast("long").alias("degree"))
             )
             return survivors, rounds
-        prev = cur
+        prev_before, prev = prev, cur
+    # prev_before/cur is the LAST round's real delta (prev has already
+    # been advanced to cur, so printing prev->cur would show X -> X).
     raise RuntimeError(
         f"kcore_converged: no fixed point within max_rounds={max_rounds} "
-        f"(edge count still falling: {prev} -> {cur}); raise max_rounds "
-        "or use the fixed-round kcore()"
+        f"(edge count still falling: {prev_before} -> {cur}); raise "
+        "max_rounds or use the fixed-round kcore()"
     )
 
 
@@ -415,6 +417,17 @@ def neighbor_agg_rounds(
     operator: a neighbor with no feature row contributes nothing and
     does not count in n_neighbors.
 
+    UNITS: scaling compounds — the returned ``nbr_sum`` and
+    ``nbr_mean`` of round r are in ``feature-units x scale^(r-1)``
+    (divide by ``scale**(rounds-1)`` float-side to recover raw
+    units). The cross-round multiply runs through DECIMAL(38,0)
+    (the :func:`~..operators.dedup._draw_index` discipline), so
+    ``nbr_sum * scale`` is EXACT for any int64 sum — no silent int64
+    wrap in non-ANSI Spark — and a quotient that no longer fits a
+    long RAISES in-plan (``raise_error``) instead of nulling out:
+    at that point the caller's (rounds, scale) budget is genuinely
+    unrepresentable and must shrink.
+
     Shape per round: one equi-join + one key-partitioned aggregate;
     the symmetrized edge frame is built ONCE and localCheckpointed
     (it is the reused big side — at cluster scale, pre-partition or
@@ -446,9 +459,42 @@ def neighbor_agg_rounds(
             )
         )
         if r < rounds - 1:
+            # DECIMAL(38,0) multiply: |nbr_sum| < 2^63 and scale < 2^63
+            # keep the product < 2^126 < 10^38 — exact, never wraps.
+            # `div` (IntegralDivide) then converts the decimal quotient
+            # to a LONG, and in non-ANSI Spark that conversion WRAPS
+            # silently once the quotient exceeds int64 — so the guard
+            # runs on the exact product BEFORE dividing: |prod| <
+            # 2^63 * n  <=>  the truncated quotient fits a long
+            # (prod <= 2^63*n - 1 => prod div n <= 2^63 - 1). Past the
+            # bound the next round's feature is genuinely
+            # unrepresentable: raise in-plan, never feed sum() a
+            # wrapped value.
+            prod = F.expr(f"CAST(nbr_sum AS DECIMAL(38,0)) * {int(scale)}")
+            # 2^63 exceeds a py4j long literal — ship it as a string.
+            bound = (
+                F.lit(str(2**63)).cast("decimal(38,0)")
+                * F.col("n_neighbors")
+            )
+            q = F.expr(
+                f"CAST(nbr_sum AS DECIMAL(38,0)) * {int(scale)} "
+                "div n_neighbors"
+            )
             feat = agg.select(
                 F.col("node").alias("__nbr"),
-                F.expr(f"(nbr_sum * {scale}L) div n_neighbors").alias("__v"),
+                F.when(F.col("nbr_sum").isNull(), F.lit(None).cast("long"))
+                .when(F.abs(prod) < bound, q)
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "neighbor_agg_rounds: scaled feature "
+                            f"(nbr_sum * {int(scale)}) div n_neighbors "
+                            f"overflows int64 at round {r + 1}; lower "
+                            "`scale` or `rounds`"
+                        )
+                    )
+                )
+                .alias("__v"),
             ).localCheckpoint(eager=False)
     return agg.withColumn("nbr_mean", F.col("nbr_sum") / F.col("n_neighbors"))
 

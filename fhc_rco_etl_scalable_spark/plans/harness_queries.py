@@ -9449,10 +9449,16 @@ def q_kcore_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the complete graph K30 (degree 29 everywhere) and IS the fixed
 # point — 435 edges, so the oracle's answer is non-empty and the
 # convergence loop is genuinely exercised past the 3-round fixed-form
-# entry. The oracle unrolls 12 rounds: peeling is idempotent at the
-# fixed point, so any unroll >= the probed cascade length transcribes
-# the converged answer exactly.
+# entry. The oracle unroll depth is DERIVED, not probed: it equals
+# the Spark side's max_rounds (_KCORE_MAX_ROUNDS, shared constant).
+# Peeling is idempotent at the fixed point, so whenever the Spark
+# side converges at all (it raises past max_rounds), an unroll of
+# exactly max_rounds transcribes the converged answer at ANY scale
+# factor — no scale-dependent cascade-length assumption to go stale
+# (ADVICE r11: the old hardcoded 12 silently capped the cascade).
 # ---------------------------------------------------------------------------
+
+_KCORE_MAX_ROUNDS = 20
 
 
 def _kcore_converged_oracle(rounds: int, k: int) -> str:
@@ -9492,7 +9498,7 @@ GROUP BY x
     return head + "".join(parts) + tail
 
 
-@query("kcore_converged", _kcore_converged_oracle(rounds=12, k=13))
+@query("kcore_converged", _kcore_converged_oracle(rounds=_KCORE_MAX_ROUNDS, k=13))
 def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point 13-core (operators/graph.py::kcore_converged):
     per-round degree aggregate + two semi-joins + one count action,
@@ -9514,7 +9520,8 @@ def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (10000 + F.expr("l_orderkey div 30") % 30).alias("dst"),
     )
     survivors, _rounds = kcore_converged(
-        fam_a.unionByName(fam_b), "src", "dst", k=13, max_rounds=20
+        fam_a.unionByName(fam_b), "src", "dst", k=13,
+        max_rounds=_KCORE_MAX_ROUNDS,
     )
     return survivors
 
@@ -10190,4 +10197,43 @@ def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         *[F.col(c).alias(f"{c}_total") for c in ("view", "purchase", "click", "error")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 #2): the one-shuffle pivot as a real engine
+# operator. pivot_event_types certifies the API form and documents the
+# conditional-sum rewrite in its oracle; this entry runs the SAME
+# 150-row surface THROUGH the rewrite (operators/aggregate.py::
+# pivot_wide) — one groupBy, one Exchange (audited: explain_audit
+# section 'pivot_wide one-shuffle'), identical hash, same oracle text.
+# The API entry stays as the 2-exchange comparison row.
+# ---------------------------------------------------------------------------
+
+
+@query("pivot_event_types_wide", _PIVOT_ORACLE)
+def q_pivot_event_types_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value totals pivoted wide by event type via the
+    conditional-sum rewrite (operators/aggregate.py::pivot_wide):
+    sum(CASE WHEN event_type = v THEN value END) per category in ONE
+    groupBy(user_id) — one key-partitioned Exchange with map-side
+    partials, vs the API pivot's two. Cells aggregate in
+    DECIMAL(18,4) (the _MONEY convention) so per-cell totals are
+    partition-order-exact before the final rounding."""
+    from ..operators.aggregate import pivot_wide
+
+    cats = ("view", "purchase", "click", "error")
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "__val", F.col("value").cast(_MONEY)
+    )
+    wide = pivot_wide(
+        ev, ["user_id"], "event_type", cats, "__val",
+        agg="sum", suffix="_total",
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.round(F.col(f"{c}_total"), 2).cast("double").alias(f"{c}_total")
+            for c in cats
+        ],
     )

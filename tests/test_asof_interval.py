@@ -380,3 +380,37 @@ def test_validate_scd2_chain_flags_violations(spark):
     assert ("C", "overlap") in got
     assert ("E", "empty_interval") in got
     assert any(k == "D" for k, _ in got)
+
+
+def test_validate_scd2_chain_enumerates_spanning_overlaps(spark):
+    """A long version spanning SEVERAL successors flags every
+    overlapped successor (running max(valid_to) over all
+    predecessors, not just the immediate one — ADVICE r11)."""
+    from fhc_rco_etl_scalable_spark.operators.asof import validate_scd2_chain
+
+    dim = spark.createDataFrame(
+        [
+            ("K", _ts(0), _ts(100)),   # spans the next three
+            ("K", _ts(10), _ts(20)),
+            ("K", _ts(30), _ts(40)),
+            ("K", _ts(50), _ts(60)),
+            ("K", _ts(100), None),     # starts AT the span end: sound
+        ],
+        "k string, valid_from timestamp, valid_to timestamp",
+    )
+    out = validate_scd2_chain(dim, "k").collect()
+    assert {(r.valid_from, r.violation) for r in out} == {
+        (_ts(10), "overlap"),
+        (_ts(30), "overlap"),
+        (_ts(50), "overlap"),
+    }
+    # open predecessor: everything after it overlaps
+    dim2 = spark.createDataFrame(
+        [("L", _ts(0), None), ("L", _ts(10), _ts(20)), ("L", _ts(30), _ts(40))],
+        "k string, valid_from timestamp, valid_to timestamp",
+    )
+    out2 = validate_scd2_chain(dim2, "k").collect()
+    assert sorted((r.valid_from, r.violation) for r in out2) == [
+        (_ts(10), "overlap"),
+        (_ts(30), "overlap"),
+    ]

@@ -1282,6 +1282,37 @@ def test_neighbor_agg_hand_computed(spark):
     assert got == {1: (1, 20, 20.0), 2: (2, 40, 20.0), 3: (1, 20, 20.0)}
 
 
+def test_neighbor_agg_rounds_overflow_raises(spark):
+    """The cross-round scaled multiply runs in DECIMAL(38,0) and
+    RAISES when the quotient no longer fits int64 (ADVICE r11:
+    plain long arithmetic silently wrapped at rounds>=3 with large
+    scale*values), instead of nulling or wrapping."""
+    import pytest as _pytest
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        neighbor_agg_rounds,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    big = spark.createDataFrame(
+        [(n, 2**40) for n in (1, 2, 3)], "id long, v long"
+    )
+    with _pytest.raises(Exception, match="overflows int64"):
+        neighbor_agg_rounds(
+            edges, "src", "dst", big, "id", "v", rounds=3, scale=2**40
+        ).collect()
+    # sane budgets still work and keep the documented units:
+    # round-2 feature = (sum * scale) div n, exactly.
+    ok = neighbor_agg_rounds(
+        edges, "src", "dst", big, "id", "v", rounds=2, scale=1000
+    )
+    got = {r.node: r.nbr_sum for r in ok.collect()}
+    # each node's 2 neighbors had round-1 sum 2*2^40, scaled:
+    # (2*2^40*1000) div 2 = 2^40*1000 per neighbor, twice.
+    assert got == {n: 2 * (2**40) * 1000 for n in (1, 2, 3)}
+
+
 def test_kcore_peels_pendant_and_cascades(spark):
     """K4 + pendant chain 4-5-6: round 1 drops 6 (deg 1), round 2
     drops 5 (its only surviving neighbor count fell to 1) — the
@@ -1324,8 +1355,52 @@ def test_kcore_converged_cap_raises_loudly(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)], "src long, dst long"
     )
-    with _pytest.raises(RuntimeError, match="max_rounds"):
+    with _pytest.raises(RuntimeError, match="max_rounds") as exc:
         kcore_converged(edges, "src", "dst", k=2, max_rounds=2)
+    # ADVICE r11: the message must show the REAL last delta (a
+    # genuinely falling pair), not the same count twice. Path P6 at
+    # k=2 peels both endpoints per round: 5 -> 3 -> 1 edges, so after
+    # 2 rounds the reported pair is 3 -> 1.
+    assert "3 -> 1" in str(exc.value)
+
+
+def test_pivot_wide_matches_api_pivot(spark):
+    """pivot_wide's conditional-sum rewrite returns the identical
+    frame as groupBy().pivot() with the same explicit list, for sum
+    and count, including the empty-category column (NULL for sum,
+    0 for count) and values outside the list being dropped."""
+    from fhc_rco_etl_scalable_spark.operators.aggregate import pivot_wide
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0), (1, "a", 5.0), (1, "b", 2.0),
+            (2, "b", 7.0), (2, "zz", 99.0),   # zz outside the list
+        ],
+        "k long, cat string, v double",
+    )
+    cats = ["a", "b", "c"]   # c has no rows anywhere
+
+    def canon(d):
+        return sorted(map(tuple, d.collect()))
+
+    api_sum = df.groupBy("k").pivot("cat", cats).agg(F.sum("v"))
+    got_sum = pivot_wide(df, ["k"], "cat", cats, "v", agg="sum")
+    assert canon(got_sum) == canon(api_sum)
+    assert canon(got_sum) == [(1, 15.0, 2.0, None), (2, None, 7.0, None)]
+
+    # count keeps SQL count(CASE...) semantics: 0 for an empty
+    # category (the API pivot returns NULL there — documented
+    # divergence, PivotFirst has no partial to lift).
+    got_cnt = pivot_wide(df, ["k"], "cat", cats, "v", agg="count")
+    assert canon(got_cnt) == [(1, 2, 1, 0), (2, 0, 1, 0)]
+
+    # suffix naming + duplicate-value guard
+    assert pivot_wide(df, ["k"], "cat", ["a"], "v", suffix="_t").columns == [
+        "k", "a_t",
+    ]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="distinct"):
+        pivot_wide(df, ["k"], "cat", ["a", "a"], "v")
 
 
 def test_bfs_levels_shortest_hops(spark):

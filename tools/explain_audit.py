@@ -637,6 +637,25 @@ def main() -> int:
     n_ex = n_shuffles(p)
     check("two_phase_pivot(pivot_event_types)", n_ex == 2, detail=f"{n_ex} exchanges")
     check("no_generate(pivot_event_types)", "Generate" not in p)
+    # r12 (VERDICT r11 #2): the conditional-sum rewrite as an engine
+    # operator (pivot_wide) — the SAME surface in exactly ONE
+    # key-partitioned exchange (one groupBy with map-side partials:
+    # the plan is partial_agg -> Exchange -> final_agg), no Expand,
+    # no Generate, no join. The API entry above is the comparison row.
+    p = plan_of(hq.QUERIES["pivot_event_types_wide"](spark, sf_dir))
+    n_ex = n_shuffles(p)
+    check(
+        "one_shuffle_pivot(pivot_event_types_wide)",
+        n_ex == 1,
+        detail=f"{n_ex} exchanges",
+    )
+    check("no_generate(pivot_event_types_wide)", "Generate" not in p)
+    check("no_join(pivot_event_types_wide)", "Join" not in p)
+    check(
+        "map_side_partials(pivot_event_types_wide)",
+        p.count("HashAggregate") >= 2,
+        detail="partial + final aggregate around the single exchange",
+    )
 
     # 35c. kcore: the peel must be semi-joins (no value columns cross)
     #     and nothing cartesian across the composed 3-round plan.
