@@ -562,3 +562,86 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def label_propagation_converged(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int = 50,
+) -> tuple[DataFrame, int]:
+    """Synchronous deterministic label propagation run to the FIXED
+    POINT — the :func:`kcore_converged` pattern :func:`label_propagation`'s
+    docstring promises, for when the COMMUNITY STRUCTURE (not a round
+    budget) is the contract: loop "every node adopts its neighbors'
+    most frequent label, ties to the smallest" until NO label changes.
+    Returns ``(labels, rounds)`` — the converged (node, label) frame
+    plus the number of rounds executed (the last is the confirming
+    no-op), mirroring :func:`kcore_converged`'s return shape.
+
+    Convergence test: ONE count action per round on the left-anti
+    join of the new label frame against the previous one on
+    (node, label) — zero rows == nothing moved == fixed point (the
+    update rule is deterministic, so an unchanged frame reproduces
+    itself forever; the SQL oracle exploits that idempotence by
+    unrolling exactly ``max_rounds`` rounds). Both frames are
+    node-sized and localCheckpointed, so the per-round test is a
+    key-partitioned hash join over O(V) rows — cheap next to the
+    edge-sized propagation join.
+
+    ``max_rounds`` caps the loop LOUDLY (RuntimeError, never a silent
+    partial answer): synchronous LPA is NOT guaranteed to converge on
+    every graph — bipartite-ish structures can 2-cycle forever (a
+    star flips center/leaf labels each round) — so the cap is the
+    defense the classic randomized/asynchronous variants don't need.
+    On community-shaped inputs (dense blocks, sparse bridges) the
+    deterministic rule converges in O(diameter) rounds.
+    """
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
+    und = undirected_simple_edges(edges, src, dst)
+    sym = (
+        und.select(F.col("a").alias("__node"), F.col("b").alias("__nbr"))
+        .unionByName(
+            und.select(F.col("b").alias("__node"), F.col("a").alias("__nbr"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        sym.select(F.col("__node").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql import Window
+
+    for rounds in range(1, int(max_rounds) + 1):
+        freq = (
+            sym.join(
+                labels.select(F.col("node").alias("__nbr"), F.col("label")),
+                "__nbr",
+            )
+            .groupBy(F.col("__node").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        new_labels = (
+            freq.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.join(
+            labels, ["node", "label"], "left_anti"
+        ).count()
+        labels = new_labels
+        if changed == 0:
+            return labels, rounds
+    raise RuntimeError(
+        f"label_propagation_converged: no fixed point within "
+        f"max_rounds={max_rounds} ({changed} labels still changing); "
+        "synchronous LPA can oscillate on bipartite-like graphs — "
+        "raise max_rounds or use the fixed-round label_propagation()"
+    )

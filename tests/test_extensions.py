@@ -1481,6 +1481,57 @@ def test_label_propagation_deterministic_rounds(spark):
     assert two == {1: 1, 2: 1, 3: 1, 4: 4, 5: 3, 6: 3}
 
 
+def test_label_propagation_converged_two_communities(spark):
+    """Two triangles bridged by one edge: each triangle collapses to
+    its min label and the fixed point keeps two communities. The
+    returned round count includes the confirming no-op round and the
+    answer equals the fixed-round form run long enough."""
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        label_propagation,
+        label_propagation_converged,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)],
+        "src long, dst long",
+    )
+    labels, rounds = label_propagation_converged(
+        edges, "src", "dst", max_rounds=10
+    )
+    got = {r.node: r.label for r in labels.collect()}
+    # the left triangle collapses to its min (1); across the bridge,
+    # node 3's label wins the RIGHT triangle (3 < 10..12 so the tie
+    # rule carries it): communities {1: {1,2,3}, 3: {10,11,12}} —
+    # two communities, triangle membership preserved.
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 3
+    assert 2 <= rounds <= 10
+    fixed = {
+        r.node: r.label
+        for r in label_propagation(
+            edges, "src", "dst", rounds=rounds
+        ).collect()
+    }
+    assert fixed == got
+
+
+def test_label_propagation_converged_oscillation_raises(spark):
+    """Synchronous LPA 2-cycles forever on a star (center and leaves
+    swap labels every round) — the cap must raise loudly, never
+    return a mid-oscillation frame as 'converged'."""
+    import pytest as _pytest
+
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        label_propagation_converged(star, "src", "dst", max_rounds=6)
+
+
 class TestDistinctSketches:
     """operators/sketches.py: the HLL path must stay pinned to the
     exact-distinct truth (documented ~0.8% RSE at lg_k=14), stay
