@@ -302,27 +302,106 @@ def pit_lookup(
     small), so it BROADCASTS (default) and the fact side never
     shuffles — the validity-range predicate rides the broadcast hash
     join on ``key`` as a residual filter. Set ``broadcast_dim=False``
-    only when the chain genuinely outgrows executor memory; the join
-    then shuffles both sides on ``key`` (still an equi-join, never a
-    cartesian).
+    when the chain genuinely outgrows ``autoBroadcastJoinThreshold``/
+    executor memory: the fallback is NOT a shuffled range join (whose
+    non-equi residual would explode on hot keys) but the union/ffill
+    as-of trick from :func:`asof_join` applied to ``valid_from`` —
+    tag facts and versions, union on ``key``, ONE exchange, a single
+    in-partition window scan carries the latest version starting at
+    or before each fact, and the ``valid_to`` bound is a projection
+    on the picked struct. Identical output on any chain
+    :func:`validate_scd2_chain` certifies sound (on a BROKEN chain
+    with overlapping versions the broadcast path duplicates facts
+    while the fallback picks one version — run the validator, that is
+    what it is for). The fallback requires facts' and dim's ``key``
+    to be the same data type (union semantics, no implicit coercion).
     """
     cols = value_cols if value_cols is not None else [
         c for c in dim.columns if c != key
     ]
-    d = dim.select(
-        F.col(key).alias("__dk"),
-        F.col(valid_from).alias("__vf"),
-        F.col(valid_to).alias("__vt"),
-        *[F.col(c).alias(f"dim_{c}") for c in cols],
-    )
     if broadcast_dim:
-        d = F.broadcast(d)
-    cond = (
-        (facts[key] == d["__dk"])
-        & (d["__vf"] <= facts[fact_ts])
-        & (d["__vt"].isNull() | (facts[fact_ts] < d["__vt"]))
+        d = F.broadcast(
+            dim.select(
+                F.col(key).alias("__dk"),
+                F.col(valid_from).alias("__vf"),
+                F.col(valid_to).alias("__vt"),
+                *[F.col(c).alias(f"dim_{c}") for c in cols],
+            )
+        )
+        cond = (
+            (facts[key] == d["__dk"])
+            & (d["__vf"] <= facts[fact_ts])
+            & (d["__vt"].isNull() | (facts[fact_ts] < d["__vt"]))
+        )
+        return facts.join(d, cond, "left").drop("__dk", "__vf", "__vt")
+
+    from pyspark.sql import types as T
+
+    # union/ffill fallback: one shuffle on key, no range join. A NULL
+    # key or NULL valid_from version can never match (SQL semantics) —
+    # filter dim-side; NULL-key facts keep their row with NULL
+    # attributes (they land in the NULL partition with no donors).
+    fields = [T.StructField("__vt", dim.schema[valid_to].dataType)]
+    fields += [
+        T.StructField(f"dim_{c}", dim.schema[c].dataType) for c in cols
+    ]
+    v_type = T.StructType(fields)
+    fact_cols = list(facts.columns)
+    l_tag = facts.select(
+        *fact_cols,
+        F.col(fact_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(v_type).alias("__v"),
     )
-    return facts.join(d, cond, "left").drop("__dk", "__vf", "__vt")
+    r_tag = dim.filter(
+        F.col(key).isNotNull() & F.col(valid_from).isNotNull()
+    ).select(
+        *[
+            F.lit(None).cast(facts.schema[c].dataType).alias(c)
+            for c in fact_cols
+            if c != key
+        ],
+        F.col(key),
+        F.col(valid_from).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.struct(
+            F.col(valid_to).alias("__vt"),
+            *[F.col(c).alias(f"dim_{c}") for c in cols],
+        ).alias("__v"),
+    ).select(*l_tag.columns)
+    # version rows sort BEFORE an equal-ts fact row (valid_from <=
+    # fact_ts is inclusive); among equal valid_from versions (already
+    # a broken chain) the latest valid_to wins, deterministically.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__is_left").asc(),
+            F.col("__v").getField("__vt").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    picked = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__pick", F.last("__v", ignorenulls=True).over(w))
+        .filter(F.col("__is_left") == 1)
+    )
+    # the picked version starts <= fact_ts by construction; it must
+    # also still be open at fact_ts (valid_to NULL or > fact_ts) —
+    # a fact in a chain GAP gets NULL attributes, like the join path.
+    valid = F.col("__pick").isNotNull() & (
+        F.col("__pick").getField("__vt").isNull()
+        | (F.col("__ts") < F.col("__pick").getField("__vt"))
+    )
+    return picked.select(
+        *fact_cols,
+        *[
+            F.when(valid, F.col("__pick").getField(f"dim_{c}")).alias(
+                f"dim_{c}"
+            )
+            for c in cols
+        ],
+    )
 
 
 def validate_scd2_chain(

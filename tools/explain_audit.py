@@ -610,6 +610,41 @@ def main() -> int:
     check("broadcast(scd2_pit_lookup)", "BroadcastHashJoin" in p)
     n_ex = n_shuffles(p)
     check("no_fact_shuffle(scd2_pit_lookup)", n_ex == 0, detail=f"{n_ex} exchanges")
+    # r12 (VERDICT r11 #4): the big-dim fallback (broadcast_dim=False)
+    # is the union/ffill as-of on valid_from — NO join node at all and
+    # exactly ONE exchange on key (the union shuffles once, the window
+    # scans in-partition). Built on raw parquet scans (supplier facts,
+    # nation-derived dim) so nothing upstream contributes exchanges.
+    from fhc_rco_etl_scalable_spark.operators.asof import pit_lookup as _pit
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table as _lt
+
+    _facts = _lt(spark, "supplier", sf_dir).select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("k"),
+        F.expr(
+            "timestamp'2024-01-01' + (s_suppkey % 40) * INTERVAL 1 DAY"
+        ).alias("fact_ts"),
+    )
+    _dim = _lt(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("k"),
+        F.expr("timestamp'2024-01-01' + n_nationkey * INTERVAL 1 DAY").alias(
+            "valid_from"
+        ),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.col("n_name"),
+    )
+    p = plan_of(
+        _pit(_facts, _dim, "k", "fact_ts", value_cols=["n_name"],
+             broadcast_dim=False)
+    )
+    check("no_join(pit_lookup_fallback)", "Join" not in p)
+    n_ex = n_shuffles(p)
+    check(
+        "single_shuffle(pit_lookup_fallback)",
+        n_ex == 1,
+        detail=f"{n_ex} exchanges",
+    )
+    check("no_python(pit_lookup_fallback)", "Python" not in p)
     # r11: collocations — ONE corpus-sized exchange (the bigram count);
     # marginals derive from the checkpointed count frame.
     p = plan_of(hq.QUERIES["collocations"](spark, sf_dir))
