@@ -883,6 +883,7 @@ def negative_sample(
     mult_b: int = 40503,
     seed: int = 7,
     buckets: int = 64,
+    method: str = "affine",
 ) -> DataFrame:
     """``k`` deterministic pseudo-random negatives per anchor from the
     same corpus (contrastive-training negative sampling; the uniform
@@ -903,20 +904,35 @@ def negative_sample(
     ``% (n-1)`` mod-by-zero yield NULL joins and a silently empty
     result (non-ANSI Spark swallows the division).
 
-    Distributional caveat (documented, deliberate): for a fixed
-    anchor the ``k`` draws form the arithmetic progression
-    ``j_t = (i*mult_a + t*mult_b + seed) mod (n-1)`` — each draw is
-    marginally uniform over the other rows, but draws are CORRELATED
-    across ``t`` (stride ``mult_b mod (n-1)``), and two anchors with
-    ``i*mult_a`` congruent mod ``n-1`` share the same negative set.
-    That trade buys exact cross-engine reproducibility (the catalog's
-    oracle contract). Training pipelines that need decorrelated
-    negatives should re-key per epoch (vary ``seed``/``mult_b``) or
-    swap in a splittable-hash permutation at the cost of the SQL twin.
+    ``method`` picks the draw arithmetic (both deterministic and
+    SQL-transcribable, no engine RNG):
+
+    - ``'affine'`` (default, the original contract):
+      ``j_t = (i*mult_a + t*mult_b + seed) mod (n-1)``. Caveat
+      (documented, deliberate): for a fixed anchor the ``k`` draws
+      form an arithmetic progression (stride ``mult_b mod (n-1)``) —
+      each draw is marginally uniform but draws are CORRELATED across
+      ``t``, and two anchors with ``i*mult_a`` congruent mod ``n-1``
+      share the same negative set.
+    - ``'md5'`` (VERDICT r11 #5 — the decorrelated form): ``(i, t)``
+      mix through the catalog's portable md5-prefix idiom before the
+      mod-reduce — ``j_t = hex60(md5('negs|{seed}|' || i || '|' ||
+      t)) mod (n-1)`` with ``hex60`` the first 15 hex chars as a
+      60-bit integer (exact in int64; DuckDB transcribes it as
+      ``('0x' || substr(md5(..),1,15))::BIGINT``). Draws are
+      pairwise-independent-looking across both ``i`` and ``t``
+      (avalanche), at the cost of md5 per draw and a ~(n-1)/2^60
+      modulo bias — negligible for any real corpus. ``mult_a``/
+      ``mult_b`` are ignored.
+
+    Training pipelines can also re-key per epoch (vary ``seed``)
+    under either method.
 
     Shape: dense index (key-partitioned window + broadcast offsets),
     one ``sequence``+``explode`` (k rows per anchor), one equi-join
     back on the index. Returns (id, neg_rank, neg_id)."""
+    if method not in ("affine", "md5"):
+        raise ValueError(f"unknown method {method!r}")
     ix = dense_index(df, id_col, buckets)
     n = ix.agg(F.count(F.lit(1)).cast("long").alias("__n")).select(
         # fail-fast n >= 2: the guard lives INSIDE the __n expression
@@ -949,6 +965,26 @@ def negative_sample(
                 mult_a,
                 mult_b,
                 seed,
+            )
+            if method == "affine"
+            else (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"negs|{int(seed)}|"),
+                                F.col("__i").cast("string"),
+                                F.lit("|"),
+                                F.col("neg_rank").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % (F.col("__n") - 1)
             ),
         )
         .select(

@@ -9350,6 +9350,60 @@ def q_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 12 (VERDICT r11 #5 / ADVICE r10): DECORRELATED negative
+# sampling. The affine draw's k negatives form an arithmetic
+# progression per anchor (documented caveat); method='md5' mixes
+# (i, t) through the catalog's portable md5-prefix idiom before the
+# mod-reduce, so draws decorrelate across both the anchor and the
+# rank while staying engine-exact (60-bit hex prefix fits int64 on
+# both sides; uniformity asserted by a chi-square bound in pytest).
+# ---------------------------------------------------------------------------
+
+_NEGATIVE_SAMPLE_MD5_ORACLE = """
+WITH b AS (
+  SELECT doc_id, doc_id % 64 AS bkt,
+         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) - 1 AS rn
+  FROM documents
+),
+o AS (SELECT bkt, count(*) AS c FROM b GROUP BY bkt),
+off AS (
+  SELECT bkt, coalesce(sum(c) OVER (ORDER BY bkt
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM o
+),
+ix AS (
+  SELECT b.doc_id, CAST(off.off + b.rn AS BIGINT) AS i
+  FROM b JOIN off ON b.bkt = off.bkt
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+draw AS (
+  SELECT ix.doc_id, CAST(t.t AS BIGINT) AS neg_rank, ix.i,
+         ('0x' || substr(md5('negs|7|' || CAST(ix.i AS VARCHAR)
+             || '|' || CAST(t.t AS VARCHAR)), 1, 15))::BIGINT
+           % (nn.n - 1) AS j
+  FROM ix CROSS JOIN nn CROSS JOIN range(0, 4) AS t(t)
+)
+SELECT draw.doc_id, draw.neg_rank, tgt.doc_id AS neg_id
+FROM draw JOIN ix tgt
+  ON tgt.i = CASE WHEN draw.j >= draw.i THEN draw.j + 1 ELSE draw.j END
+"""
+
+
+@query("negative_sample_decorrelated", _NEGATIVE_SAMPLE_MD5_ORACLE)
+def q_negative_sample_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 decorrelated uniform negatives per document
+    (operators/dedup.py::negative_sample method='md5'): the same
+    dense-index bijection and skip-self mapping, with the (i, t)
+    draw mixed through the 60-bit md5-prefix idiom — no arithmetic
+    progression across ranks, no shared negative sets across
+    congruent anchors, still bit-exact on both engines."""
+    from ..operators.dedup import negative_sample
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return negative_sample(docs, "doc_id", k=4, method="md5")
+
+
+# ---------------------------------------------------------------------------
 # Round 10: sliding-window DISTINCT (trailing-7-day active users) —
 # the rolling-uniques metric Spark has no window function for
 # (no COUNT(DISTINCT) OVER). The scalable shape is membership-explode
