@@ -2798,6 +2798,45 @@ def _staged_file_stream(
     return cm()
 
 
+def _ensure_trailing_empty_batch(
+    spark: SparkSession, src: str, schema_txt: str, prefix: str
+) -> None:
+    """Idempotently add a ZERO-ROW trailing parquet file (newest
+    mtime) to a staged streaming source dir.
+
+    r12 floor accounting: append-mode emission happens one batch
+    AFTER the watermark advances, and watermarks update at batch END
+    — so the max+30d sentinel row rides IN the last data batch (a
+    dedicated sentinel batch buys nothing) and this single planned
+    zero-row batch is the only extra micro-batch a watermark-closed
+    append query needs. Replaces the former two-generation pattern
+    (sentinel batch + empty batch): one stateful micro-batch saved
+    per entry, identical output."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    target = _os.path.join(src, "zz-trailing-empty.parquet")
+    data_mtime = max(
+        _os.path.getmtime(f)
+        for f in _glob.glob(_os.path.join(src, "*"))
+        if not f.endswith("zz-trailing-empty.parquet")
+    )
+    if not _os.path.exists(target):
+        empty = spark.createDataFrame([], schema_txt)
+        tmpd = _tempfile.mkdtemp(prefix=f"{prefix}-empty-")
+        try:
+            empty.coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(tmpd, "out")
+            )
+            part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
+            _shutil.move(part, target)
+        finally:
+            _shutil.rmtree(tmpd, ignore_errors=True)
+    _os.utime(target, (data_mtime + 1, data_mtime + 1))
+
+
 # ---------------------------------------------------------------------------
 # q_streaming_sessionize_harness — §2.11 promoted from pytest-only to
 # driver-gate evidence: the applyInPandasWithState sessionizer runs
@@ -8397,10 +8436,6 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     (module doc of streaming/join_stream.py) is what makes the outer
     side deterministic on a bounded replay."""
     import datetime as _dt
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
     import uuid
 
     from ..streaming.join_stream import stream_stream_interval_join
@@ -8417,47 +8452,26 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
     # count, so a second data slice bought a 4th micro-batch's state
     # commits without adding covered semantics.
     n_batches = 1
-    with _clamped_shuffle(spark, 2), _staged_file_stream(
-        ev, n_batches, ["ts", "event_id"], "sg-ssjo", cache_key=sf_dir
-    ) as src:
-        # TWO sentinel GENERATIONS as separate trailing files (each its
-        # own micro-batch): watermarks apply one batch AFTER the rows
-        # that advance them, and availableNow is not guaranteed a
-        # trailing no-data batch — so generation 2's batch is what
-        # applies generation 1's watermark (real-max + 30d - delay) and
-        # drains every real unmatched purchase. Generation 2 only needs
-        # to BE a batch, so it ships ZERO rows (schema-only parquet):
-        # its sentinel rows would just sit in join state doing nothing.
-        # Idempotent against the staged-source cache (fixed file
-        # names, skip when present).
-        schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
-        data_mtime = max(
-            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
+    # r12 floor: the sentinel pair rides IN the data batch (watermarks
+    # update at batch END — a dedicated sentinel batch bought nothing;
+    # the pair still cannot join real rows, 30d >> lookback, nor each
+    # other, 2h > lookback+delay). The single ZERO-ROW trailing batch
+    # is what applies the advanced watermark (real-max + 30d - delay)
+    # and drains every real unmatched purchase: 2 micro-batches total.
+    schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
+    staged = ev.unionByName(
+        spark.createDataFrame(
+            [
+                (-1, -1, max_ts + _dt.timedelta(days=30), "purchase"),
+                (-1, -2, max_ts + _dt.timedelta(days=30, hours=2), "view"),
+            ],
+            schema_txt,
         )
-        for gen in (1, 2):
-            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
-            if not _os.path.exists(target):
-                rows = (
-                    [
-                        (-1, -1, max_ts + _dt.timedelta(days=30), "purchase"),
-                        (-1, -2, max_ts + _dt.timedelta(days=30, hours=2), "view"),
-                    ]
-                    if gen == 1
-                    else []
-                )
-                pair = spark.createDataFrame(rows, schema_txt)
-                tmpd = _tempfile.mkdtemp(prefix="sg-ssjo-sent-")
-                try:
-                    pair.coalesce(1).write.mode("overwrite").parquet(
-                        _os.path.join(tmpd, "out")
-                    )
-                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
-                    _shutil.move(part, target)
-                finally:
-                    _shutil.rmtree(tmpd, ignore_errors=True)
-            # strictly increasing mtimes after every data slice, stable
-            # across cache re-use
-            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+    )
+    with _clamped_shuffle(spark, 2), _staged_file_stream(
+        staged, n_batches, ["ts", "event_id"], "sg-ssjo", cache_key=sf_dir
+    ) as src:
+        _ensure_trailing_empty_batch(spark, src, schema_txt, "sg-ssjo")
         feed = (
             spark.readStream.schema(schema_txt)
             .option("maxFilesPerTrigger", 1)
@@ -8501,8 +8515,8 @@ def q_streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFra
         assert q.awaitTermination(300), "outer stream-stream join timed out"
         n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
         q.stop()
-        # 2 data slices + 2 sentinel generations, each its own batch
-        assert n_microbatches >= n_batches + 2
+        # data batch (sentinels riding along) + zero-row applier
+        assert n_microbatches >= n_batches + 1
         return spark.table(name).filter(F.col("user_id") >= 0)
 
 
@@ -9608,43 +9622,29 @@ def q_streaming_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     and its state is bounded by (days x users); at 100 TB swap in
     dropDuplicatesWithinWatermark (eviction needs the event-time
     column in the key set — derived day columns do not qualify),
-    trading exactness outside the lateness bound for bounded state."""
+    trading exactness outside the lateness bound for bounded state.
+
+    Sentinel accounting (r12 floor work): the max+30d watermark
+    sentinel RIDES IN the last data batch — watermarks update at
+    batch END, so a dedicated sentinel batch buys nothing — and the
+    single zero-row trailing batch applies it: n_batches + 1
+    micro-batches total, each stateful batch carrying real work."""
     import datetime as _dt
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
     import uuid
 
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts")
     max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    schema_txt = "user_id long, event_id long, ts timestamp"
+    staged = ev.unionByName(
+        spark.createDataFrame(
+            [(-1, -1, max_ts + _dt.timedelta(days=30))], schema_txt
+        )
+    )
     n_batches = 2  # 1 cross-batch DEDUP-state carry (the point)
     with _clamped_shuffle(spark, 2), _staged_file_stream(
-        ev, n_batches, ["ts", "event_id"], "sg-uniq", cache_key=sf_dir
+        staged, n_batches, ["ts", "event_id"], "sg-uniq", cache_key=sf_dir
     ) as src:
-        schema_txt = "user_id long, event_id long, ts timestamp"
-        data_mtime = max(
-            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
-        )
-        for gen in (1, 2):
-            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
-            if not _os.path.exists(target):
-                rows = (
-                    [(-1, -1, max_ts + _dt.timedelta(days=30))]
-                    if gen == 1
-                    else []
-                )
-                pair = spark.createDataFrame(rows, schema_txt)
-                tmpd = _tempfile.mkdtemp(prefix="sg-uniq-sent-")
-                try:
-                    pair.coalesce(1).write.mode("overwrite").parquet(
-                        _os.path.join(tmpd, "out")
-                    )
-                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
-                    _shutil.move(part, target)
-                finally:
-                    _shutil.rmtree(tmpd, ignore_errors=True)
-            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+        _ensure_trailing_empty_batch(spark, src, schema_txt, "sg-uniq")
         feed = (
             spark.readStream.schema(schema_txt)
             .option("maxFilesPerTrigger", 1)
@@ -9669,7 +9669,7 @@ def q_streaming_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert q.awaitTermination(300), "unique-visitors stream timed out"
         n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
         q.stop()
-        assert n_microbatches >= n_batches + 2
+        assert n_microbatches >= n_batches + 1
         # the sentinel's own far-future window never closes, so it
         # never reaches the sink; the bound filter is defensive only.
         return spark.table(name).filter(
@@ -9700,45 +9700,25 @@ def q_streaming_unique_visitors_wm(spark: SparkSession, sf_dir: str) -> DataFram
     dropDuplicatesWithinWatermark((day, user_id)) under a 2-day
     watermark, chained into the same tumbling-day APPEND count as the
     unbounded twin and certified against the identical batch
-    count(DISTINCT) oracle. Same sentinel accounting: one max+30d row
-    advances the watermark past every real window, a zero-row trailing
-    batch applies it."""
+    count(DISTINCT) oracle. Sentinel accounting (r12 floor): the
+    max+30d row rides IN the last data batch (watermarks update at
+    batch end) and the single zero-row trailing batch applies it."""
     import datetime as _dt
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
     import uuid
 
     ev = load_table(spark, "events", sf_dir).select("user_id", "event_id", "ts")
     max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    schema_txt = "user_id long, event_id long, ts timestamp"
+    staged = ev.unionByName(
+        spark.createDataFrame(
+            [(-1, -1, max_ts + _dt.timedelta(days=30))], schema_txt
+        )
+    )
     n_batches = 2  # 1 cross-batch DEDUP-state carry (the point)
     with _clamped_shuffle(spark, 2), _staged_file_stream(
-        ev, n_batches, ["ts", "event_id"], "sg-uniqwm", cache_key=sf_dir
+        staged, n_batches, ["ts", "event_id"], "sg-uniqwm", cache_key=sf_dir
     ) as src:
-        schema_txt = "user_id long, event_id long, ts timestamp"
-        data_mtime = max(
-            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
-        )
-        for gen in (1, 2):
-            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
-            if not _os.path.exists(target):
-                rows = (
-                    [(-1, -1, max_ts + _dt.timedelta(days=30))]
-                    if gen == 1
-                    else []
-                )
-                pair = spark.createDataFrame(rows, schema_txt)
-                tmpd = _tempfile.mkdtemp(prefix="sg-uniqwm-sent-")
-                try:
-                    pair.coalesce(1).write.mode("overwrite").parquet(
-                        _os.path.join(tmpd, "out")
-                    )
-                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
-                    _shutil.move(part, target)
-                finally:
-                    _shutil.rmtree(tmpd, ignore_errors=True)
-            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+        _ensure_trailing_empty_batch(spark, src, schema_txt, "sg-uniqwm")
         feed = (
             spark.readStream.schema(schema_txt)
             .option("maxFilesPerTrigger", 1)
@@ -9768,7 +9748,7 @@ def q_streaming_unique_visitors_wm(spark: SparkSession, sf_dir: str) -> DataFram
         assert q.awaitTermination(300), "unique-visitors-wm stream timed out"
         n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
         q.stop()
-        assert n_microbatches >= n_batches + 2
+        assert n_microbatches >= n_batches + 1
         # the sentinel's own far-future window never closes, so it
         # never reaches the sink; the bound filter is defensive only.
         return spark.table(name).filter(
@@ -10040,15 +10020,12 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
     unmatched PURCHASES null-pad once the view watermark proves no
     in-window view can arrive, unmatched VIEWS null-pad once the
     purchase watermark passes v_ts + lookback — certified against the
-    batch FULL OUTER with the identical range condition. The
-    generation-1 sentinel pair (view 2h after the purchase sentinel,
-    outside the lookback so they cannot join each other) advances
-    BOTH watermarks; the zero-row generation-2 batch applies them."""
+    batch FULL OUTER with the identical range condition. The sentinel
+    pair (view 2h after the purchase sentinel, outside the lookback so
+    they cannot join each other) rides IN the data batch and advances
+    BOTH watermarks at its end; the single zero-row trailing batch
+    applies them (r12 floor accounting)."""
     import datetime as _dt
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import tempfile as _tempfile
     import uuid
 
     from ..streaming.join_stream import stream_stream_interval_join
@@ -10057,36 +10034,21 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", "event_id", "ts", "event_type"
     )
     max_ts = ev.agg(F.max("ts")).first()[0]  # bounded: one scalar
+    schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
+    staged = ev.unionByName(
+        spark.createDataFrame(
+            [
+                (-1, -1, max_ts + _dt.timedelta(days=30), "purchase"),
+                (-1, -2, max_ts + _dt.timedelta(days=30, hours=2), "view"),
+            ],
+            schema_txt,
+        )
+    )
     n_batches = 1  # cross-batch carry is the inner twin's concern
     with _clamped_shuffle(spark, 2), _staged_file_stream(
-        ev, n_batches, ["ts", "event_id"], "sg-ssjf", cache_key=sf_dir
+        staged, n_batches, ["ts", "event_id"], "sg-ssjf", cache_key=sf_dir
     ) as src:
-        schema_txt = "user_id long, event_id long, ts timestamp, event_type string"
-        data_mtime = max(
-            _os.path.getmtime(f) for f in _glob.glob(_os.path.join(src, "*"))
-        )
-        for gen in (1, 2):
-            target = _os.path.join(src, f"zz-sentinel-{gen}.parquet")
-            if not _os.path.exists(target):
-                rows = (
-                    [
-                        (-1, -1, max_ts + _dt.timedelta(days=30), "purchase"),
-                        (-1, -2, max_ts + _dt.timedelta(days=30, hours=2), "view"),
-                    ]
-                    if gen == 1
-                    else []
-                )
-                pair = spark.createDataFrame(rows, schema_txt)
-                tmpd = _tempfile.mkdtemp(prefix="sg-ssjf-sent-")
-                try:
-                    pair.coalesce(1).write.mode("overwrite").parquet(
-                        _os.path.join(tmpd, "out")
-                    )
-                    part = _glob.glob(_os.path.join(tmpd, "out", "part-*.parquet"))[0]
-                    _shutil.move(part, target)
-                finally:
-                    _shutil.rmtree(tmpd, ignore_errors=True)
-            _os.utime(target, (data_mtime + gen, data_mtime + gen))
+        _ensure_trailing_empty_batch(spark, src, schema_txt, "sg-ssjf")
         feed = (
             spark.readStream.schema(schema_txt)
             .option("maxFilesPerTrigger", 1)
@@ -10126,7 +10088,7 @@ def q_streaming_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFram
         assert q.awaitTermination(300), "full stream-stream join timed out"
         n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
         q.stop()
-        assert n_microbatches >= n_batches + 2
+        assert n_microbatches >= n_batches + 1
         return spark.table(name).filter(F.col("user_id") >= 0)
 
 

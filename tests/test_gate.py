@@ -207,6 +207,14 @@ class TestPartitionCountInvariance:
         "collocations",
         "label_propagation",
         "pivot_event_types",
+        # r12 (VERDICT r11 #7): the remaining r11 exactness claimer —
+        # the broadcast PIT join's "at most one version matches" —
+        # plus every r12 addition: the one-shuffle pivot's DECIMAL
+        # cells, the fixed-point LPA, and the md5-mixed draw.
+        "scd2_pit_lookup",
+        "pivot_event_types_wide",
+        "label_propagation_converged",
+        "negative_sample_decorrelated",
     ]
 
     @staticmethod
