@@ -38,23 +38,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # function of the JSON history + _RECERTIFY, so it never drifts from what
 # the driver actually recorded.
 _RECERTIFY = [
-    # round 11 (VERDICT r10 #4 + ADVICE): sliding_distinct now
-    # pre-dedups the explode input at (key, day) granularity and
-    # emits window_end — oracle updated in lockstep (new column,
-    # same counts).
-    "sliding_distinct_users",
-    # round 11 (VERDICT r10 #5 + ADVICE): negative_sample's draw runs
-    # the one overflowable multiply in DECIMAL(38,0) (exact past
-    # n = 2^31) and enforces n >= 2 in-plan; values identical at
-    # harness scale, implementation changed.
-    "negative_sample",
-    # NOT recertified despite the asof_join restructure (direction=
-    # 'nearest' + shared _frame/_gap helpers): the r10 code's and the
-    # r11 code's OPTIMIZED PLANS were compared directly (attribute
-    # ids canonicalized) for backward/forward/tolerance and are
-    # BIT-IDENTICAL — same precedent the r10 verdict accepted for the
-    # tolerance plumbing. Leaving them out lets every r7-stale entry
-    # fit the 50-entry graded window this round.
+    # round 12 (ADVICE r11): asof_join now drops NULL-right_ts rows
+    # (the temporal key can never match) — the right-side filter is a
+    # REAL plan change in every direction (a NULL-ts row could donate
+    # values wherever no genuine match preceded a left row), so all
+    # four asof entries recertify.
+    "asof_backward",
+    "asof_forward",
+    "asof_tolerance",
+    "asof_nearest",
+    # round 12 (ADVICE r11 medium): neighbor_agg_rounds' cross-round
+    # multiply runs in DECIMAL(38,0) with an in-plan overflow raise;
+    # values identical at harness scale, implementation changed.
+    "neighbor_feature_agg_2round",
+    # round 12 (ADVICE r11): kcore_converged's ORACLE changed — unroll
+    # depth now derived from the Spark max_rounds (20) instead of the
+    # probed 12.
+    "kcore_converged",
+    # round 12 (VERDICT r11 #6): the four sentinel-closed streaming
+    # entries restage their sources (closure sentinel rides in the
+    # last data batch; single zero-row applier) — output identical by
+    # design, micro-batch structure changed.
+    "streaming_unique_visitors",
+    "streaming_unique_visitors_wm",
+    "streaming_interval_join_outer",
+    "streaming_interval_join_full",
 ]
 
 
