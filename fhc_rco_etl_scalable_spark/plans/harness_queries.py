@@ -9587,10 +9587,20 @@ def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         (10000 + F.col("l_orderkey") % 30).alias("src"),
         (10000 + F.expr("l_orderkey div 30") % 30).alias("dst"),
     )
-    survivors, _rounds = kcore_converged(
-        fam_a.unionByName(fam_b), "src", "dst", k=13,
-        max_rounds=_KCORE_MAX_ROUNDS,
-    )
+    # r12: size the shuffle width to the iterated frames, which are
+    # NODE-sized (<= 997 + 30) whatever the sf — every peel round pays
+    # per-partition fixed cost x rounds, and a vanilla 200-partition
+    # session spends 10x longer scheduling empty tasks than peeling
+    # (probe: 12.1 s at 32 partitions -> 1.8 s at 4, sf0.1). min()
+    # keeps an explicitly-smaller ambient setting (the invariance
+    # matrix runs 3 vs 29 -> 3 vs 4, still two real widths).
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _clamped_shuffle(spark, min(cur, 4)):
+        survivors, _rounds = kcore_converged(
+            fam_a.unionByName(fam_b), "src", "dst", k=13,
+            max_rounds=_KCORE_MAX_ROUNDS,
+        )
+        survivors = survivors.localCheckpoint(eager=True)
     return survivors
 
 
@@ -10353,14 +10363,22 @@ def q_label_propagation_converged(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = fams[0]
     for f_ in fams[1:]:
         edges = edges.unionByName(f_)
-    labels, _rounds = label_propagation_converged(
-        edges, "src", "dst", max_rounds=_LPA_MAX_ROUNDS
-    )
-    return labels.select(
-        "node",
-        "label",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("label"))
-        .cast("long")
-        .alias("community_size"),
-    )
+    # r12: node-sized iterated frames (28 nodes at every sf) — match
+    # the shuffle width to them for the 11-round loop (see
+    # kcore_converged's probe note); min() keeps an explicitly-smaller
+    # ambient setting so the invariance matrix still compares two
+    # real widths.
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _clamped_shuffle(spark, min(cur, 4)):
+        labels, _rounds = label_propagation_converged(
+            edges, "src", "dst", max_rounds=_LPA_MAX_ROUNDS
+        )
+        out = labels.select(
+            "node",
+            "label",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("label"))
+            .cast("long")
+            .alias("community_size"),
+        ).localCheckpoint(eager=True)
+    return out
