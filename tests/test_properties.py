@@ -604,3 +604,117 @@ def test_asof_nearest_matches_model(spark, case):
     )
     got = {r.lid: r.rid for r in out.collect()}
     assert got == _nearest_model(lefts, rights, strict, tol)
+
+
+# ---------------------------------------------------------------------------
+# r12: dual-path operators — random inputs through BOTH execution
+# paths must collect identical frames. These guard the paths' shared
+# contract beyond the fixed gate fixtures.
+# ---------------------------------------------------------------------------
+
+_chain_case = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C"]),          # key
+        st.integers(min_value=0, max_value=50),    # valid_from minute
+        st.one_of(st.none(), st.integers(min_value=0, max_value=60)),
+    ),
+    min_size=0,
+    max_size=8,
+)
+_facts_case = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C", "D"]),
+        st.integers(min_value=-5, max_value=65),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_chain_case, _facts_case)
+def test_pit_lookup_paths_agree_on_sound_chains(spark, versions, facts):
+    """Broadcast join vs union/ffill fallback: identical output for
+    every SOUND chain (the documented contract). Raw version tuples
+    are normalized into a disjoint chain per key (sorted starts, each
+    valid_to clipped to the next valid_from; the last stays open or
+    clipped) so the generator explores layouts, not chain breakage."""
+    from fhc_rco_etl_scalable_spark.operators.asof import pit_lookup
+
+    by_key = {}
+    for k, vf, vt in versions:
+        by_key.setdefault(k, []).append((vf, vt))
+    rows = []
+    for k, vs in by_key.items():
+        starts = sorted({vf for vf, _ in vs})
+        for i, vf in enumerate(starts):
+            raw_vt = dict(vs)[vf]
+            nxt = starts[i + 1] if i + 1 < len(starts) else None
+            if raw_vt is None:
+                vt = nxt
+            else:
+                vt = raw_vt if nxt is None else min(raw_vt, nxt)
+            if vt is not None and vt <= vf:
+                vt = nxt if nxt is None or nxt > vf else None
+            rows.append((k, vf, vt, i))
+    dim = spark.createDataFrame(
+        [
+            (
+                k,
+                T0 + timedelta(minutes=vf),
+                None if vt is None else T0 + timedelta(minutes=vt),
+                ver,
+            )
+            for k, vf, vt, ver in rows
+        ],
+        "k string, valid_from timestamp, valid_to timestamp, ver long",
+    ) if rows else spark.createDataFrame(
+        [], "k string, valid_from timestamp, valid_to timestamp, ver long"
+    )
+    fdf = spark.createDataFrame(
+        [
+            (f"f{i}", k, T0 + timedelta(minutes=m))
+            for i, (k, m) in enumerate(facts)
+        ],
+        "fid string, k string, fact_ts timestamp",
+    )
+    a = pit_lookup(fdf, dim, "k", "fact_ts", value_cols=["ver"],
+                   broadcast_dim=True)
+    b = pit_lookup(fdf, dim, "k", "fact_ts", value_cols=["ver"],
+                   broadcast_dim=False)
+    assert a.columns == b.columns
+    ca = sorted((r.fid, r.dim_ver) for r in a.collect())
+    cb = sorted((r.fid, r.dim_ver) for r in b.collect())
+    assert ca == cb
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),            # group
+            st.sampled_from(["x", "y", "z", "other"]),        # category
+            st.integers(min_value=-1000, max_value=1000),     # value
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_pivot_wide_matches_api_pivot_property(spark, rows):
+    """pivot_wide == groupBy().pivot() for sum/min/max/avg on random
+    frames (count diverges on empty categories by documented design:
+    SQL 0 vs PivotFirst NULL)."""
+    from fhc_rco_etl_scalable_spark.operators.aggregate import pivot_wide
+
+    df = spark.createDataFrame(
+        rows or [(0, "zz_absent", 0)], "g long, cat string, v long"
+    )
+    cats = ["x", "y", "z"]
+    for agg in ("sum", "min", "max", "avg"):
+        api = df.groupBy("g").pivot("cat", cats).agg(
+            getattr(F, agg)("v")
+        )
+        got = pivot_wide(df, ["g"], "cat", cats, "v", agg=agg)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, api.collect())
+        ), agg
