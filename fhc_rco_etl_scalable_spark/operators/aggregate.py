@@ -213,6 +213,9 @@ def pivot_wide(
     if agg not in ("sum", "count", "min", "max", "avg"):
         raise ValueError(f"unsupported agg {agg!r}")
     vals = list(values)
+    if not vals:
+        # fail here, not in GroupedData.agg's opaque assertion
+        raise ValueError("pivot values must be non-empty")
     if len(set(vals)) != len(vals):
         raise ValueError("pivot values must be distinct")
     fns = {
@@ -223,11 +226,10 @@ def pivot_wide(
         "avg": F.avg,
     }
     fn = fns[agg]
-    cells = []
-    for v in vals:
-        cond = F.when(F.col(cat_col) == F.lit(v), F.col(value_col))
-        cell = fn(cond)
-        if agg == "count":
-            cell = cell.cast("long")
-        cells.append(cell.alias(f"{v}{suffix}"))
+    cells = [
+        fn(F.when(F.col(cat_col) == F.lit(v), F.col(value_col))).alias(
+            f"{v}{suffix}"
+        )
+        for v in vals
+    ]
     return df.groupBy(*list(group_cols)).agg(*cells)

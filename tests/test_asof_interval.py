@@ -369,9 +369,11 @@ def test_pit_lookup_fallback_matches_broadcast_on_sf_fixture(spark):
     sf0.001 part rows (the scd2_pit_lookup surface shape)."""
     from pyspark.sql import functions as F
 
+    import os
+
     from fhc_rco_etl_scalable_spark.operators.asof import pit_lookup
 
-    sf = "/root/testdata/sf0.001"
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     part = spark.read.parquet(f"{sf}/part.parquet")
     brands = part.select(F.col("p_brand").alias("k")).distinct()
     # two versions per brand with a one-day GAP between them, plus an
