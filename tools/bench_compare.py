@@ -116,8 +116,29 @@ def main() -> int:
         elif o > n * ratio and o - n > 0.2:
             improvements.append((name, o, n))
     label = "LOAD-SUSPECT" if dirty else "REGRESSED"
+    # r12: per-entry load samples (queries_load_1m) — a flag whose
+    # pre-entry 1m loadavg in the NEW record exceeds the OLD record's
+    # sample for the same entry by > BURST_DELTA runnable procs is
+    # annotated burst-coincident: the slowdown coincides with a
+    # co-tenant burst at that point of the run.  Annotation only —
+    # adjudication still requires the isolated-rerun / old-code
+    # control protocol (PERFORMANCE.md §r12).
+    BURST_DELTA = 2.0
+    old_ql = old_rec.get("queries_load_1m") or {}
+    new_ql = new_rec.get("queries_load_1m") or {}
+    n_burst = 0
     for name, o, n in sorted(regressions, key=lambda t: t[1] - t[2]):
-        print(f"{label} {name}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x)")
+        burst = ""
+        lo, ln = old_ql.get(name), new_ql.get(name)
+        if lo is not None and ln is not None and ln - lo > BURST_DELTA:
+            burst = f"  [burst-coincident: load {lo} -> {ln}]"
+            n_burst += 1
+        print(f"{label} {name}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x){burst}")
+    if n_burst:
+        print(
+            f"note: {n_burst}/{len(regressions)} flags coincide with a"
+            " per-entry load burst (see queries_load_1m)"
+        )
     for name, o, n in sorted(improvements, key=lambda t: t[2] - t[1]):
         print(f"improved  {name}: {o:.2f}s -> {n:.2f}s ({n / o:.2f}x)")
     print(
