@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma|kcore|lpa] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -736,6 +736,45 @@ def run_kcore_rounds(spark, li) -> dict[str, int]:
     return out
 
 
+def run_lpa_rounds(spark, _unused) -> dict[str, int]:
+    """Convergence rounds vs graph DIAMETER for
+    label_propagation_converged (r12): two K10 cliques joined by a
+    path of L edges. The docstring's claim is O(diameter) rounds on
+    community-shaped graphs — min labels creep along the bridge one
+    hop per round, so rounds should grow ~linearly in L while the
+    community count stays 2. Also pins the per-round cost model: each
+    extra round is one propagation join + one count action."""
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    out: dict[str, int] = {}
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        for L in (2, 4, 8, 16):
+            k10a = [(a, b) for a in range(10) for b in range(10) if a < b]
+            k10b = [
+                (100 + a, 100 + b) for a in range(10) for b in range(10) if a < b
+            ]
+            path = [(200 + i, 201 + i) for i in range(L)]
+            bridge = [(0, 200), (100, 200 + L)]
+            edges = spark.createDataFrame(
+                k10a + k10b + path + bridge, "src long, dst long"
+            )
+            t0 = time.time()
+            labels, rounds = label_propagation_converged(
+                edges, "src", "dst", max_rounds=60
+            )
+            comms = labels.select("label").distinct().count()
+            out[f"L{L}_rounds"] = rounds
+            out[f"L{L}_communities"] = comms
+            out[f"L{L}_wall"] = round(time.time() - t0, 2)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    return out
+
+
 def dense_events(spark, mult: int):
     """VERDICT r10 #4's fixture: dense telemetry at ~100 events per
     user per day (200*mult users x 30 days x 100 events) — the regime
@@ -817,6 +856,7 @@ RUNNERS = {
     "sliding": lambda spark, data, sf_dir: run_sliding(spark, data),
     "sliding_dense": lambda spark, data, sf_dir: run_sliding_dense(spark, data),
     "kcore": lambda spark, data, sf_dir: run_kcore_rounds(spark, data),
+    "lpa": lambda spark, data, sf_dir: run_lpa_rounds(spark, data),
     "negsample": lambda spark, data, sf_dir: run_negsample(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
@@ -877,6 +917,10 @@ def main() -> None:
             # rounds-vs-k on the harness graph; the replica axis is
             # unused (run with a single N, e.g. `--probe kcore 1`).
             data = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        elif probe == "lpa":
+            # rounds-vs-diameter on synthetic bridged cliques; the
+            # replica axis and sf_dir are unused (`--probe lpa 1`).
+            data = None
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
         elif probe == "negsample":
