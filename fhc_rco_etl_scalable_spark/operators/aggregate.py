@@ -210,7 +210,7 @@ def pivot_wide(
     casting ``value_col`` BEFORE calling; the operator adds no casts
     of its own.
     """
-    if agg not in ("sum", "count", "min", "max", "avg"):
+    if agg not in _PIVOT_AGGS:
         raise ValueError(f"unsupported agg {agg!r}")
     vals = list(values)
     if not vals:
@@ -218,18 +218,66 @@ def pivot_wide(
         raise ValueError("pivot values must be non-empty")
     if len(set(vals)) != len(vals):
         raise ValueError("pivot values must be distinct")
-    fns = {
-        "sum": F.sum,
-        "count": F.count,
-        "min": F.min,
-        "max": F.max,
-        "avg": F.avg,
-    }
-    fn = fns[agg]
+    fn = _PIVOT_AGGS[agg]
     cells = [
         fn(F.when(F.col(cat_col) == F.lit(v), F.col(value_col))).alias(
             f"{v}{suffix}"
         )
         for v in vals
+    ]
+    return df.groupBy(*list(group_cols)).agg(*cells)
+
+
+_PIVOT_AGGS = {
+    "sum": F.sum,
+    "count": F.count,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+}
+
+
+def pivot_wide_multi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cat_col: str,
+    values: Sequence[str],
+    measures: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """:func:`pivot_wide` for SEVERAL measures at once — the
+    ``pivot(cat, values).agg(sum(a), max(b), ...)`` surface in a
+    single one-Exchange ``groupBy``.
+
+    ``measures`` is a sequence of ``(out_name, agg, value_col)``;
+    output columns are ``f"{v}_{out_name}"`` per category value in
+    ``values`` x ``measures`` order (matching the API pivot's
+    value-major column order). Composing :func:`pivot_wide` per
+    measure and joining would pay one shuffle PER measure plus the
+    join; this emits every conditional cell in the same aggregate, so
+    the fact table is read and shuffled exactly once however many
+    measures ride along. Same semantics notes as :func:`pivot_wide`
+    (NULL-skipping aggregates; count of an empty category is 0, SQL
+    style).
+    """
+    vals = list(values)
+    ms = list(measures)
+    if not vals:
+        raise ValueError("pivot values must be non-empty")
+    if len(set(vals)) != len(vals):
+        raise ValueError("pivot values must be distinct")
+    if not ms:
+        raise ValueError("measures must be non-empty")
+    names = [m[0] for m in ms]
+    if len(set(names)) != len(names):
+        raise ValueError("measure out_names must be distinct")
+    for _, agg, _vc in ms:
+        if agg not in _PIVOT_AGGS:
+            raise ValueError(f"unsupported agg {agg!r}")
+    cells = [
+        _PIVOT_AGGS[agg](
+            F.when(F.col(cat_col) == F.lit(v), F.col(vc))
+        ).alias(f"{v}_{name}")
+        for v in vals
+        for name, agg, vc in ms
     ]
     return df.groupBy(*list(group_cols)).agg(*cells)

@@ -1462,6 +1462,49 @@ def test_pivot_wide_matches_api_pivot(spark):
         pivot_wide(df, ["k"], "cat", ["a", "a"], "v")
 
 
+def test_pivot_wide_multi_matches_api_and_single(spark):
+    """pivot_wide_multi == pivot(cat, values).agg(sum(v), max(w)) in
+    one exchange; column order is value-major like the API, and each
+    measure's cells equal the corresponding single-measure
+    pivot_wide."""
+    from fhc_rco_etl_scalable_spark.operators.aggregate import (
+        pivot_wide,
+        pivot_wide_multi,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 5), (1, "a", 2.0, 9), (1, "b", 3.0, 1),
+            (2, "b", 7.0, 4),
+        ],
+        "k long, cat string, v double, w long",
+    )
+    cats = ["a", "b"]
+    got = pivot_wide_multi(
+        df, ["k"], "cat", cats, [("vsum", "sum", "v"), ("wmax", "max", "w")]
+    )
+    api = df.groupBy("k").pivot("cat", cats).agg(
+        F.sum("v").alias("vsum"), F.max("w").alias("wmax")
+    )
+    assert got.columns == ["k", "a_vsum", "a_wmax", "b_vsum", "b_wmax"]
+    assert got.columns == api.columns
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, api.collect())
+    )
+    # each measure's slice equals the single-measure operator
+    single = pivot_wide(df, ["k"], "cat", cats, "v", agg="sum",
+                        suffix="_vsum")
+    assert sorted(
+        map(tuple, got.select("k", "a_vsum", "b_vsum").collect())
+    ) == sorted(map(tuple, single.collect()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out_names"):
+        pivot_wide_multi(df, ["k"], "cat", cats,
+                         [("x", "sum", "v"), ("x", "max", "w")])
+    with _pytest.raises(ValueError, match="non-empty"):
+        pivot_wide_multi(df, ["k"], "cat", cats, [])
+
+
 def test_bfs_levels_shortest_hops(spark):
     from fhc_rco_etl_scalable_spark.operators.graph import bfs_levels
 
