@@ -219,13 +219,29 @@ def pivot_wide(
     if len(set(vals)) != len(vals):
         raise ValueError("pivot values must be distinct")
     fn = _PIVOT_AGGS[agg]
+    # distinct values can still render to colliding COLUMN names
+    # (e.g. 1 vs "1", or a name landing on a group column) — fail
+    # here, not at the caller's next select's AMBIGUOUS_REFERENCE.
+    out_names = [f"{v}{suffix}" for v in vals]
+    _check_pivot_names(out_names, group_cols)
     cells = [
-        fn(F.when(F.col(cat_col) == F.lit(v), F.col(value_col))).alias(
-            f"{v}{suffix}"
-        )
-        for v in vals
+        fn(F.when(F.col(cat_col) == F.lit(v), F.col(value_col))).alias(name)
+        for v, name in zip(vals, out_names)
     ]
     return df.groupBy(*list(group_cols)).agg(*cells)
+
+
+def _check_pivot_names(
+    out_names: Sequence[str], group_cols: Sequence[str]
+) -> None:
+    dup = sorted({n for n in out_names if out_names.count(n) > 1})
+    if dup:
+        raise ValueError(f"pivot output column names collide: {dup}")
+    clash = sorted(set(out_names) & set(group_cols))
+    if clash:
+        raise ValueError(
+            f"pivot output column names collide with group_cols: {clash}"
+        )
 
 
 _PIVOT_AGGS = {
@@ -273,6 +289,14 @@ def pivot_wide_multi(
     for _, agg, _vc in ms:
         if agg not in _PIVOT_AGGS:
             raise ValueError(f"unsupported agg {agg!r}")
+    # values and out_names are each distinct, but the JOINED
+    # f"{v}_{name}" can still collide across (value, measure) pairs
+    # when values contain underscores (values ["a","a_b"] with
+    # measures ["b_c","c"] both emit "a_b_c") — fail fast instead of
+    # emitting duplicate columns that only break at the caller's
+    # next select.
+    out_names = [f"{v}_{name}" for v in vals for name, _a, _vc in ms]
+    _check_pivot_names(out_names, group_cols)
     cells = [
         _PIVOT_AGGS[agg](
             F.when(F.col(cat_col) == F.lit(v), F.col(vc))

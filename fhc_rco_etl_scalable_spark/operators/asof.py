@@ -337,6 +337,21 @@ def pit_lookup(
 
     from pyspark.sql import types as T
 
+    # The fallback stages working columns ON the facts frame (the
+    # broadcast path only decorates the dim side), so a facts frame
+    # already carrying one of those names — or a dim_<c> output name —
+    # would analyze into duplicate/ambiguous columns or a silently
+    # wrong pick. Fail fast, mirroring asof_join's value_cols guard.
+    reserved = {"__ts", "__is_left", "__v", "__pick"}
+    out_names = {f"dim_{c}" for c in cols}
+    clash = sorted(set(facts.columns) & (reserved | out_names))
+    if clash:
+        raise ValueError(
+            f"pit_lookup fallback: facts columns {clash} collide with "
+            "working/output names (__ts/__is_left/__v/__pick/dim_<c>); "
+            "alias them first"
+        )
+
     # union/ffill fallback: one shuffle on key, no range join. A NULL
     # key or NULL valid_from version can never match (SQL semantics) —
     # filter dim-side; NULL-key facts keep their row with NULL

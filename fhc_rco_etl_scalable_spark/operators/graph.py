@@ -420,11 +420,14 @@ def neighbor_agg_rounds(
     UNITS: scaling compounds — the returned ``nbr_sum`` and
     ``nbr_mean`` of round r are in ``feature-units x scale^(r-1)``
     (divide by ``scale**(rounds-1)`` float-side to recover raw
-    units). The cross-round multiply runs through DECIMAL(38,0)
-    (the :func:`~..operators.dedup._draw_index` discipline), so
-    ``nbr_sum * scale`` is EXACT for any int64 sum — no silent int64
-    wrap in non-ANSI Spark — and a quotient that no longer fits a
-    long RAISES in-plan (``raise_error``) instead of nulling out:
+    units). BOTH the per-round neighbor sum and the cross-round
+    multiply run through DECIMAL(38,0) (the
+    :func:`~..operators.dedup._draw_index` discipline): the sum of
+    in-range longs can itself exceed int64 on a high-fan-in node, and
+    non-ANSI Spark would wrap it silently — decimal keeps it exact,
+    so ``nbr_sum`` and ``nbr_sum * scale`` never wrap — and a sum or
+    quotient that no longer fits a long RAISES in-plan
+    (``raise_error``) instead of nulling out:
     at that point the caller's (rounds, scale) budget is genuinely
     unrepresentable and must shrink.
 
@@ -449,13 +452,41 @@ def neighbor_agg_rounds(
         F.col(id_col).alias("__nbr"), F.col(value_col).cast("long").alias("__v")
     )
     agg = None
+    # 2^63 exceeds a py4j long literal — ship it as a string once.
+    sum_bound = F.lit(str(2**63)).cast("decimal(38,0)")
     for r in range(int(rounds)):
+        # The per-round sum itself runs in DECIMAL(38,0): each __v is
+        # an in-range long, but a node with many large-feature
+        # neighbors can push sum(long) past int64, and non-ANSI Spark
+        # wraps that SILENTLY — the wrapped value would then pass the
+        # cross-round |prod| guard and propagate wrong. Decimal(38,0)
+        # is exact for any realistic fan-in (< 10^38), and the guard
+        # below raises in-plan before casting back to long.
         agg = (
             sym.join(feat, "__nbr")
             .groupBy(F.col("__node").alias("node"))
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_neighbors"),
-                F.sum("__v").cast("long").alias("nbr_sum"),
+                F.sum(F.col("__v").cast("decimal(38,0)")).alias("__sum_dec"),
+            )
+            .select(
+                "node",
+                "n_neighbors",
+                F.when(F.col("__sum_dec").isNull(), F.lit(None).cast("long"))
+                .when(
+                    F.abs(F.col("__sum_dec")) < sum_bound,
+                    F.col("__sum_dec").cast("long"),
+                )
+                .otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "neighbor_agg_rounds: neighbor feature sum "
+                            f"overflows int64 at round {r + 1}; lower "
+                            "`scale` or `rounds`"
+                        )
+                    )
+                )
+                .alias("nbr_sum"),
             )
         )
         if r < rounds - 1:
@@ -471,11 +502,7 @@ def neighbor_agg_rounds(
             # unrepresentable: raise in-plan, never feed sum() a
             # wrapped value.
             prod = F.expr(f"CAST(nbr_sum AS DECIMAL(38,0)) * {int(scale)}")
-            # 2^63 exceeds a py4j long literal — ship it as a string.
-            bound = (
-                F.lit(str(2**63)).cast("decimal(38,0)")
-                * F.col("n_neighbors")
-            )
+            bound = sum_bound * F.col("n_neighbors")
             q = F.expr(
                 f"CAST(nbr_sum AS DECIMAL(38,0)) * {int(scale)} "
                 "div n_neighbors"

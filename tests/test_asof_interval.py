@@ -424,6 +424,32 @@ def test_pit_lookup_fallback_matches_broadcast_on_sf_fixture(spark):
     assert vals == {None, 1, 2, 3}
 
 
+def test_pit_lookup_fallback_rejects_reserved_fact_columns(spark):
+    """ADVICE r12: the union/ffill fallback stages __ts/__is_left/
+    __v/__pick and dim_<c> ON the facts frame; a facts frame already
+    carrying one of those must fail fast (the broadcast path only
+    decorates the dim side and stays usable)."""
+    import pytest as _pytest
+    from fhc_rco_etl_scalable_spark.operators.asof import pit_lookup
+
+    dim = spark.createDataFrame(
+        [("B1", 10, _ts(0), None)],
+        "k string, v long, valid_from timestamp, valid_to timestamp",
+    )
+    for bad_col in ("__ts", "__pick", "dim_v"):
+        facts = spark.createDataFrame(
+            [("f1", "B1", 7)], f"fid string, k string, {bad_col} long"
+        ).withColumn("fact_ts", F.lit(_ts(5)))
+        with _pytest.raises(ValueError, match="collide"):
+            pit_lookup(facts, dim, "k", "fact_ts", value_cols=["v"],
+                       broadcast_dim=False)
+        # broadcast path does not stage fact-side names: still fine
+        out = pit_lookup(facts, dim, "k", "fact_ts", value_cols=["v"],
+                         broadcast_dim=True)
+        if bad_col != "dim_v":
+            assert out.count() == 1
+
+
 def test_validate_scd2_chain_flags_violations(spark):
     """Sound chains come back empty; overlapping versions, an open
     version with a successor, empty intervals, and double-open keys

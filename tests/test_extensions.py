@@ -1372,6 +1372,40 @@ def test_neighbor_agg_rounds_overflow_raises(spark):
     assert got == {n: 2 * (2**40) * 1000 for n in (1, 2, 3)}
 
 
+def test_neighbor_agg_rounds_sum_overflow_raises(spark):
+    """ADVICE r12: the PER-ROUND neighbor sum itself can exceed int64
+    on a high-fan-in node even when every input feature fits — plain
+    sum(long) wraps silently in non-ANSI Spark and the wrapped value
+    would pass the cross-round guard. The decimal(38,0) sum must
+    RAISE instead (node 1 has two 2^62 neighbors: sum = 2^63)."""
+    import pytest as _pytest
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        neighbor_agg_rounds,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3)], "src long, dst long"
+    )
+    big = spark.createDataFrame(
+        [(2, 2**62), (3, 2**62)], "id long, v long"
+    )
+    with _pytest.raises(Exception, match="overflows int64"):
+        neighbor_agg_rounds(
+            edges, "src", "dst", big, "id", "v", rounds=1, scale=1
+        ).collect()
+    # one step below the boundary is exact and fine
+    ok_feats = spark.createDataFrame(
+        [(2, 2**62 - 1), (3, 2**62 - 1)], "id long, v long"
+    )
+    got = {
+        r.node: r.nbr_sum
+        for r in neighbor_agg_rounds(
+            edges, "src", "dst", ok_feats, "id", "v", rounds=1, scale=1
+        ).collect()
+    }
+    assert got[1] == 2**63 - 2
+
+
 def test_kcore_peels_pendant_and_cascades(spark):
     """K4 + pendant chain 4-5-6: round 1 drops 6 (deg 1), round 2
     drops 5 (its only surviving neighbor count fell to 1) — the
@@ -1503,6 +1537,48 @@ def test_pivot_wide_multi_matches_api_and_single(spark):
                          [("x", "sum", "v"), ("x", "max", "w")])
     with _pytest.raises(ValueError, match="non-empty"):
         pivot_wide_multi(df, ["k"], "cat", cats, [])
+
+
+def test_pivot_name_collisions_fail_fast(spark):
+    """ADVICE r12: distinct values/out_names can still render to
+    colliding OUTPUT column names — values with underscores crossed
+    with measure names ('a','a_b') x ('b_c','c') both emit 'a_b_c' —
+    or land on a group column. Both pivots raise at call time instead
+    of emitting a duplicate-named frame that only breaks at the
+    caller's next select."""
+    import pytest as _pytest
+    from fhc_rco_etl_scalable_spark.operators.aggregate import (
+        pivot_wide,
+        pivot_wide_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0, 2), (1, "a_b", 3.0, 4)],
+        "k long, cat string, v double, w long",
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        pivot_wide_multi(
+            df, ["k"], "cat", ["a", "a_b"],
+            [("b_c", "sum", "v"), ("c", "max", "w")],
+        )
+    # distinct values rendering to the same string column name
+    df2 = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0)], "k long, cat long, v double"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        pivot_wide(df2, ["k"], "cat", [1, "1"], "v")
+    # output name landing on a group column
+    with _pytest.raises(ValueError, match="group_cols"):
+        pivot_wide(df, ["k"], "cat", ["k"], "v")
+    with _pytest.raises(ValueError, match="group_cols"):
+        pivot_wide_multi(df, ["k_x"], "cat", ["k"],
+                         [("x", "sum", "v")])
+    # non-colliding underscore names still work
+    ok = pivot_wide_multi(
+        df, ["k"], "cat", ["a", "a_b"],
+        [("vsum", "sum", "v"), ("wmax", "max", "w")],
+    )
+    assert ok.columns == ["k", "a_vsum", "a_wmax", "a_b_vsum", "a_b_wmax"]
 
 
 def test_bfs_levels_shortest_hops(spark):
