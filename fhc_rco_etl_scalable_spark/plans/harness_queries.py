@@ -2246,6 +2246,53 @@ def q_runtime_per_day_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r13 (VERDICT r12 #3): the wide per-day cause breakdown — the
+# pipeline surface that routes through the one-shuffle pivot
+# (plans/site_etl.py::daily_cause_summary, wired into site_etl via
+# cause_summary_categories). Cells aggregate in DECIMAL(18,4) like
+# every money/minutes rollup; 'signup'-type rows land in Changeover,
+# and the explicit 5-category list covers the whole harness C2 domain.
+_CAUSE_SUMMARY_ORACLE = _HARNESS_BASE + """,
+cs AS (
+  SELECT CAST(START_TIME AS DATE) AS Date, LINE, C2,
+         CAST(DOWNTIME AS DECIMAL(18,4)) AS dt
+  FROM line_dt_full WHERE START_TIME IS NOT NULL
+)
+SELECT Date, LINE,
+  CAST(round(sum(CASE WHEN C2 = 'Changeover' THEN dt END), 2)
+       AS DOUBLE) AS changeover_min,
+  CAST(round(sum(CASE WHEN C2 = 'Failure' THEN dt END), 2)
+       AS DOUBLE) AS failure_min,
+  CAST(round(sum(CASE WHEN C2 = 'Blocked upstream' THEN dt END), 2)
+       AS DOUBLE) AS blocked_upstream_min,
+  CAST(round(sum(CASE WHEN C2 = 'Jam' THEN dt END), 2)
+       AS DOUBLE) AS jam_min,
+  CAST(round(sum(CASE WHEN C2 = 'Short stop' THEN dt END), 2)
+       AS DOUBLE) AS short_stop_min,
+  'HARNESS' AS Server
+FROM cs GROUP BY Date, LINE
+"""
+
+
+@query("daily_cause_summary_harness", _CAUSE_SUMMARY_ORACLE)
+def q_daily_cause_summary_harness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily_Cause_Summary exactly as site_etl emits it with
+    cause_summary_categories set: per-(Date, LINE) downtime minutes
+    wide by cause level-2 through pivot_wide — one key-partitioned
+    exchange over the downtime log (audited:
+    'one_shuffle(daily_cause_summary)')."""
+    from .site_etl import daily_cause_summary
+
+    v, _, _ = _harness_inputs(spark, sf_dir)
+    return daily_cause_summary(
+        v["line_dt_full"],
+        ("Changeover", "Failure", "Blocked upstream", "Jam", "Short stop"),
+        "HARNESS",
+    )
+
+
 _SCRIPT_CTES = """,
 pre AS (
   SELECT LINE, hour(START_TIME) AS __h, count(*) AS __tally,
@@ -10261,6 +10308,74 @@ def q_pivot_event_types_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.round(F.col(f"{c}_total"), 2).cast("double").alias(f"{c}_total")
             for c in cats
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (VERDICT r12 #2): the MULTI-measure one-shuffle pivot
+# (operators/aggregate.py::pivot_wide_multi) gets its own oracle row —
+# it was the one r12 operator certified only by pytest. Same 150-row
+# surface, TWO measures riding the single groupBy(user_id): the
+# DECIMAL(18,4) value total and the matching row count per category.
+# Composing pivot_wide per measure and joining would pay one exchange
+# PER measure plus the join; this plans exactly ONE (audited:
+# 'one_shuffle_pivot_multi'). Counts of empty categories are 0 on
+# both engines (SQL count(CASE...) semantics — the documented
+# divergence from the API pivot's NULL).
+# ---------------------------------------------------------------------------
+
+_PIVOT_MULTI_ORACLE = """
+SELECT user_id,
+  CAST(round(sum(CASE WHEN event_type = 'view'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS view_total,
+  count(CASE WHEN event_type = 'view' THEN value END) AS view_n,
+  CAST(round(sum(CASE WHEN event_type = 'purchase'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS purchase_total,
+  count(CASE WHEN event_type = 'purchase' THEN value END) AS purchase_n,
+  CAST(round(sum(CASE WHEN event_type = 'click'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS click_total,
+  count(CASE WHEN event_type = 'click' THEN value END) AS click_n,
+  CAST(round(sum(CASE WHEN event_type = 'error'
+      THEN CAST(value AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS error_total,
+  count(CASE WHEN event_type = 'error' THEN value END) AS error_n
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("pivot_event_types_wide_multi", _PIVOT_MULTI_ORACLE)
+def q_pivot_event_types_wide_multi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user (value total, row count) pivoted wide by event type in
+    ONE exchange (operators/aggregate.py::pivot_wide_multi): every
+    (category x measure) conditional cell lives in the same
+    groupBy(user_id) aggregate, so the fact table shuffles once
+    however many measures ride along. Sums aggregate in DECIMAL(18,4)
+    (the _MONEY convention); counts count the non-null values of the
+    matched rows, 0 for an absent category on both engines."""
+    from ..operators.aggregate import pivot_wide_multi
+
+    cats = ("view", "purchase", "click", "error")
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "__val", F.col("value").cast(_MONEY)
+    )
+    wide = pivot_wide_multi(
+        ev, ["user_id"], "event_type", cats,
+        [("total", "sum", "__val"), ("n", "count", "value")],
+    )
+    return wide.select(
+        "user_id",
+        *[
+            col
+            for c in cats
+            for col in (
+                F.round(F.col(f"{c}_total"), 2)
+                .cast("double")
+                .alias(f"{c}_total"),
+                F.col(f"{c}_n"),
+            )
         ],
     )
 

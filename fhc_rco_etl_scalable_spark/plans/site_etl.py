@@ -12,16 +12,74 @@ union inputs with a Server column.
 
 from __future__ import annotations
 
+import re
 from datetime import datetime
+from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.aggregate import runtime_per_day
+from ..operators.aggregate import pivot_wide, runtime_per_day
 from ..operators.brandcode import brandcode_master
 from ..operators.extract import downtime_variants, with_derived_flags
 from ..operators.gantt import gantt_analysis
 from .rco_pipeline import SiteParams, mes_etl
+
+
+def _cause_slug(name: str) -> str:
+    """Canonical column stem for a cause category: lowercase, runs of
+    non-alphanumerics collapsed to '_' ('Blocked upstream' ->
+    'blocked_upstream')."""
+    return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+
+
+def daily_cause_summary(
+    line_dt_full: DataFrame,
+    categories: Sequence[str],
+    server: str,
+) -> DataFrame:
+    """Per-(Date, LINE) downtime minutes reshaped WIDE by cause
+    level-2 category — the dashboard-form companion of the long-format
+    ``Runtime_per_Day_data`` rollup (reference per-day emitters:
+    App/etl/extract/data_from_mdc.py:237-249,
+    ref/RCO_Maple_orchestrator.R:162-185; the wide cause breakdown is
+    the report those tables feed).
+
+    Routed through the one-shuffle pivot
+    (operators/aggregate.py::pivot_wide): sum(CASE WHEN cause = c THEN
+    minutes END) per category inside ONE groupBy(Date, LINE) — a
+    single key-partitioned exchange over the downtime log however many
+    categories ride along, where the API ``pivot`` would pay two.
+    ``categories`` is the site's EXPLICIT list (explicit values mean
+    explicit omission — an unlisted cause contributes nothing, same
+    contract as the pivot catalog entries); minutes aggregate in
+    DECIMAL(18,4) so cell totals are partition-order-exact, then round
+    to 2 and surface as DOUBLE. A (Date, LINE) with no events of a
+    category carries NULL there (SQL SUM semantics). Output columns:
+    ``<slug>_min`` per category via :func:`_cause_slug`, plus Server.
+    """
+    cats = list(categories)
+    slugs = [_cause_slug(c) for c in cats]
+    if len(set(slugs)) != len(slugs):
+        raise ValueError(f"cause categories collide after slugging: {slugs}")
+    base = line_dt_full.na.drop(subset=["START_TIME"]).select(
+        F.to_date("START_TIME").alias("Date"),
+        "LINE",
+        F.col("CAUSE_LEVELS_2_NAME").alias("__cause"),
+        F.col("DOWNTIME").cast("decimal(18,4)").alias("__dt"),
+    )
+    wide = pivot_wide(
+        base, ["Date", "LINE"], "__cause", cats, "__dt",
+        agg="sum", suffix="_min",
+    )
+    return wide.select(
+        "Date",
+        "LINE",
+        *[
+            F.round(F.col(f"{c}_min"), 2).cast("double").alias(f"{s}_min")
+            for c, s in zip(cats, slugs)
+        ],
+    ).withColumn("Server", F.lit(server))
 
 
 def site_etl(
@@ -31,6 +89,7 @@ def site_etl(
     line_config: DataFrame | None = None,
     run_machine_level: bool = True,
     data_update_time: datetime | None = None,
+    cause_summary_categories: Sequence[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the complete RCO analysis for one site.
 
@@ -64,6 +123,11 @@ def site_etl(
         outputs["Event_Log_for_Gantt"] = event_log_for_gantt
 
     outputs["Runtime_per_Day_data"] = runtime_per_day(line_dt_full, site.server)
+
+    if cause_summary_categories is not None:
+        outputs["Daily_Cause_Summary"] = daily_cause_summary(
+            line_dt_full, cause_summary_categories, site.server
+        )
 
     if production is not None:
         outputs["BRANDCODE_data"] = brandcode_master(production, site.server)

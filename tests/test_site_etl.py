@@ -261,3 +261,51 @@ def test_multi_constraint_divide_knob(spark):
         ),
     ).select("CO_DOWNTIME").first().CO_DOWNTIME
     assert plain == 20.0  # R composition: dedup only, no division
+
+
+def test_daily_cause_summary_wide_by_cause(spark):
+    """Daily_Cause_Summary (r13): per-(Date, LINE) downtime minutes
+    wide by cause level-2 through the one-shuffle pivot, wired into
+    site_etl via cause_summary_categories. Explicit list = explicit
+    omission (unlisted 'Starved' contributes nothing); a day with no
+    rows of a listed category carries NULL; minutes sum exactly in
+    DECIMAL(18,4) and surface rounded DOUBLE."""
+    from fhc_rco_etl_scalable_spark.plans.site_etl import (
+        daily_cause_summary,
+        site_etl,
+    )
+
+    rows = [
+        _dt("d1", "L1", "L1 CM", 0, 10, 30, "A", "Planned Downtime", "Changeover"),
+        _dt("d2", "L1", "L1 CM", 20, 5.25, 10, "B", "Planned Downtime", "Changeover"),
+        _dt("f1", "L1", "L1 CM", 60, 2, 35, "B", "Unplanned Downtime", "Failure"),
+        _dt("s1", "L1", "L1 CM", 95, 1, 2, "B", "Unplanned Downtime", "Starved",
+            cat="DTMach-Starved"),
+        _dt("n1", "L1", "L1 CM", 24 * 60 + 10, 4, 400, "B",
+            "Unplanned Downtime", "Failure"),
+    ]
+    downtime = spark.createDataFrame(rows, DT_SCHEMA)
+    flagged = with_derived_flags(downtime, None)
+    line_dt_full = downtime_variants(flagged)["line_dt_full"]
+    out = daily_cause_summary(
+        line_dt_full, ("Changeover", "Failure"), "SRV"
+    )
+    assert out.columns == [
+        "Date", "LINE", "changeover_min", "failure_min", "Server",
+    ]
+    got = {str(r.Date): (r.changeover_min, r.failure_min, r.Server)
+           for r in out.collect()}
+    assert got == {
+        "2024-01-01": (15.25, 2.0, "SRV"),
+        "2024-01-02": (None, 4.0, "SRV"),
+    }
+    # slug collision fails fast
+    with pytest.raises(ValueError, match="collide"):
+        daily_cause_summary(line_dt_full, ("A b", "a_B"), "SRV")
+    # wired through site_etl: the extra output appears only on request
+    site = SiteParams(server="SRV")
+    outs = site_etl(downtime, None, site,
+                    cause_summary_categories=("Changeover", "Failure"),
+                    data_update_time=datetime(2024, 1, 5))
+    assert "Daily_Cause_Summary" in outs
+    assert outs["Daily_Cause_Summary"].count() == 2

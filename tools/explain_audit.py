@@ -691,6 +691,37 @@ def main() -> int:
         p.count("HashAggregate") >= 2,
         detail="partial + final aggregate around the single exchange",
     )
+    # r13 (VERDICT r12 #2): the MULTI-measure form — two measures per
+    # category must still plan exactly ONE exchange (same
+    # partial_agg -> Exchange -> final_agg shape; composing per-measure
+    # pivots would pay an exchange per measure plus a join).
+    p = plan_of(hq.QUERIES["pivot_event_types_wide_multi"](spark, sf_dir))
+    n_ex = n_shuffles(p)
+    check(
+        "one_shuffle_pivot_multi(pivot_event_types_wide_multi)",
+        n_ex == 1,
+        detail=f"{n_ex} exchanges",
+    )
+    check("no_generate(pivot_event_types_wide_multi)", "Generate" not in p)
+    check("no_join(pivot_event_types_wide_multi)", "Join" not in p)
+    check(
+        "map_side_partials(pivot_event_types_wide_multi)",
+        p.count("HashAggregate") >= 2,
+        detail="partial + final aggregate around the single exchange",
+    )
+    # r13 (VERDICT r12 #3): the pipeline surface routing through
+    # pivot_wide (site_etl's Daily_Cause_Summary): still exactly ONE
+    # key-partitioned exchange over the (checkpointed) downtime log,
+    # no join, no Generate.
+    p = plan_of(hq.QUERIES["daily_cause_summary_harness"](spark, sf_dir))
+    n_ex = n_shuffles(p)
+    check(
+        "one_shuffle(daily_cause_summary)",
+        n_ex == 1,
+        detail=f"{n_ex} exchanges",
+    )
+    check("no_join(daily_cause_summary)", "Join" not in p)
+    check("no_generate(daily_cause_summary)", "Generate" not in p)
 
     # 35c. kcore: the peel must be semi-joins (no value columns cross)
     #     and nothing cartesian across the composed 3-round plan.

@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma|kcore|lpa] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma|kcore|lpa|lpa_scale] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -775,6 +775,55 @@ def run_lpa_rounds(spark, _unused) -> dict[str, int]:
     return out
 
 
+def run_lpa_scale(spark, mult: int) -> dict:
+    """label_propagation_converged at DATA scale (VERDICT r12 #5): a
+    ring of ``mult*500`` K10 cliques joined by single bridge edges —
+    ~46 edges per clique, so mult=4 is ~92k edges / 20k nodes. The
+    community structure keeps convergence O(1) (every clique's
+    majority is internal: labels settle in ~3 changing rounds + 1
+    confirming regardless of ring length), so the probe isolates the
+    DATA-proportional cost: each round is one propagation join + one
+    (node,label) count + one count action over frames that grow
+    linearly with the graph. Communities found must equal the clique
+    count — a full correctness check at every size, not just wall.
+
+    The edge frame is built DISTRIBUTED (spark.range cross-join a
+    45-row literal pair table), not driver-side lists — the shape a
+    lake-resident edge table has."""
+    from fhc_rco_etl_scalable_spark.operators.graph import (
+        label_propagation_converged,
+    )
+
+    cliques = mult * 500
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(10) for b in range(10) if a < b],
+        "pa long, pb long",
+    )
+    intra = spark.range(cliques).crossJoin(F.broadcast(pairs)).select(
+        (F.col("id") * 10 + F.col("pa")).alias("src"),
+        (F.col("id") * 10 + F.col("pb")).alias("dst"),
+    )
+    bridges = spark.range(cliques).select(
+        (F.col("id") * 10).alias("src"),
+        (((F.col("id") + 1) % cliques) * 10 + 1).alias("dst"),
+    )
+    edges = intra.unionByName(bridges)
+    n_edges = edges.count()
+    t0 = time.time()
+    labels, rounds = label_propagation_converged(
+        edges, "src", "dst", max_rounds=20
+    )
+    comms = labels.select("label").distinct().count()
+    return {
+        "cliques": cliques,
+        "edges": n_edges,
+        "rounds": rounds,
+        "communities": comms,
+        "communities_ok": comms == cliques,
+        "wall": round(time.time() - t0, 2),
+    }
+
+
 def dense_events(spark, mult: int):
     """VERDICT r10 #4's fixture: dense telemetry at ~100 events per
     user per day (200*mult users x 30 days x 100 events) — the regime
@@ -857,6 +906,7 @@ RUNNERS = {
     "sliding_dense": lambda spark, data, sf_dir: run_sliding_dense(spark, data),
     "kcore": lambda spark, data, sf_dir: run_kcore_rounds(spark, data),
     "lpa": lambda spark, data, sf_dir: run_lpa_rounds(spark, data),
+    "lpa_scale": lambda spark, data, sf_dir: run_lpa_scale(spark, data),
     "negsample": lambda spark, data, sf_dir: run_negsample(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
@@ -921,6 +971,10 @@ def main() -> None:
             # rounds-vs-diameter on synthetic bridged cliques; the
             # replica axis and sf_dir are unused (`--probe lpa 1`).
             data = None
+        elif probe == "lpa_scale":
+            # clique-ring at data scale; data = the multiplier itself
+            # (the runner builds the edge frame distributed).
+            data = eff
         elif probe == "semdedup":
             data = scaled_embeddings_all(spark, sf_dir, eff)
         elif probe == "negsample":
