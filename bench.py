@@ -206,6 +206,18 @@ def main() -> None:
         "embedding_topk_ivfpq",
     }
     queries = entry_mod.queries()
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the run to a named
+    # subset — for quiet-window group measurements (e.g. the 12-entry
+    # streaming group) without timing the whole catalog. Unset (the
+    # driver's mode) runs everything; unknown names fail loudly rather
+    # than silently shrinking the group.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown entries: {unknown}")
+        queries = {n: queries[n] for n in names}
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
