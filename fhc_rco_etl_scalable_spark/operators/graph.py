@@ -370,7 +370,15 @@ def neighbor_agg(
     wherever the sum is. :func:`neighbor_agg_rounds` stacks rounds
     (repeating join+aggregate with the :func:`pagerank`
     localCheckpoint discipline, integer-scaled between rounds).
+
+    Integral features sum through DECIMAL(38,0) with an in-plan raise
+    past int64 (same discipline as :func:`neighbor_agg_rounds` — a
+    high-fan-in node can overflow sum(long) even when every input
+    fits, and non-ANSI Spark wraps it silently). Fractional features
+    keep the documented sum-then-truncate behavior.
     """
+    from pyspark.sql import types as T
+
     und = undirected_simple_edges(edges, src, dst)
     sym = und.select(
         F.col("a").alias("__node"), F.col("b").alias("__nbr")
@@ -380,13 +388,36 @@ def neighbor_agg(
     feat = features.select(
         F.col(id_col).alias("__nbr"), F.col(value_col).alias("__v")
     )
+    integral = isinstance(
+        features.schema[value_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if integral:
+        sum_cell = F.sum(F.col("__v").cast("decimal(38,0)")).alias("__sum_dec")
+        guard = (
+            F.when(F.col("__sum_dec").isNull(), F.lit(None).cast("long"))
+            .when(
+                F.abs(F.col("__sum_dec"))
+                < F.lit(str(2**63)).cast("decimal(38,0)"),
+                F.col("__sum_dec").cast("long"),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "neighbor_agg: neighbor feature sum overflows int64"
+                    )
+                )
+            )
+            .alias("nbr_sum")
+        )
+    else:
+        sum_cell = F.sum("__v").alias("__sum_dec")
+        guard = F.col("__sum_dec").cast("long").alias("nbr_sum")
     return (
         sym.join(feat, "__nbr")
         .groupBy(F.col("__node").alias("node"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_neighbors"),
-            F.sum("__v").cast("long").alias("nbr_sum"),
-        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neighbors"), sum_cell)
+        .select("node", "n_neighbors", guard)
         .withColumn(
             "nbr_mean", F.col("nbr_sum") / F.col("n_neighbors")
         )

@@ -56,6 +56,13 @@ def interval_overlap_join(
     maximum span (or pre-filter sentinels); ``None`` = unbounded.
     """
     on = list(on)
+    from ..schemas import ensure_absent
+
+    for side, frame in (("intervals", intervals), ("points", points)):
+        ensure_absent(
+            frame, ["__iv_id", "__pt_id", "__bucket"],
+            f"interval_overlap_join ({side})",
+        )
 
     def _range(iv, pt):
         if point_end is not None:

@@ -122,7 +122,17 @@ def sessionize(
     mes_etl.py:126-129 / R fill(.direction='down') :141-147).
 
     ``df`` must already contain any lag columns the trigger needs.
+    The output names (``session_col``, and ``session_id_col`` when a
+    ``session_id`` expression is given) must NOT already exist on
+    ``df`` — ``withColumn`` would silently replace the user's data.
     """
+    from ..schemas import ensure_absent
+
+    ensure_absent(
+        df,
+        [session_col] + ([session_id_col] if session_id is not None else []),
+        "sessionize",
+    )
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order_by)
@@ -192,6 +202,16 @@ def sessionize_stitched(
     """
     partition_by = list(partition_by)
     order_by = list(order_by)
+    from ..schemas import ensure_absent
+
+    ensure_absent(
+        df,
+        ["__bkt", "__rn_b", "__n_b", "__trig_p1", "__local_p1", "__delta",
+         "__off", session_col]
+        + ([session_id_col] if session_id is not None else [])
+        + list(prev_cols),
+        "sessionize_stitched",
+    )
     base = df.withColumn("__bkt", bucket)
     wb = Window.partitionBy(*partition_by, "__bkt").orderBy(*order_by)
     for pname, src in prev_cols.items():

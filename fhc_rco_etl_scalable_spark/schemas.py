@@ -12,6 +12,8 @@ sites the shapes were derived from.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -236,3 +238,20 @@ def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.col(src).cast(field.dataType).alias(field.name))
     return df.select(*cols)
+
+
+def ensure_absent(df: DataFrame, names: Sequence[str], op: str) -> None:
+    """Fail fast when ``df`` already carries columns an operator is
+    about to stage or emit (ADVICE r12 discipline, generalized): a
+    ``withColumn`` on an existing name silently REPLACES the user's
+    data, and a staged ``__``-working name that collides corrupts
+    joins/windows downstream — both only surface at the caller's next
+    select, far from the cause. Same contract as ``asof_join``'s
+    value_cols guard and ``pit_lookup``'s fallback guard.
+    """
+    clash = sorted(set(df.columns) & set(names))
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with the operator's "
+            "working/output column names; alias them first"
+        )

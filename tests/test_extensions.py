@@ -1755,3 +1755,36 @@ class TestDistinctSketches:
         direct = distinct_sketch(ev, "user_id").first()
         assert bytes(merged.sketch) == bytes(direct.sketch)
         assert merged.n_distinct_est == direct.n_distinct_est
+
+
+def test_neighbor_agg_single_round_sum_overflow_raises(spark):
+    """Same ADVICE r12 discipline applied to the SINGLE-round
+    neighbor_agg: integral features sum in DECIMAL(38,0) and raise
+    past int64 instead of wrapping; fractional features keep the
+    documented sum-then-truncate path."""
+    import pytest as _pytest
+    from fhc_rco_etl_scalable_spark.operators.graph import neighbor_agg
+
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    big = spark.createDataFrame(
+        [(2, 2**62), (3, 2**62)], "id long, v long"
+    )
+    with _pytest.raises(Exception, match="overflows int64"):
+        neighbor_agg(edges, "src", "dst", big, "id", "v").collect()
+    ok = spark.createDataFrame(
+        [(2, 2**62 - 1), (3, 2**62 - 1)], "id long, v long"
+    )
+    got = {
+        r.node: r.nbr_sum
+        for r in neighbor_agg(edges, "src", "dst", ok, "id", "v").collect()
+    }
+    assert got[1] == 2**63 - 2
+    # fractional path unchanged: sum of doubles, truncated once
+    dbl = spark.createDataFrame(
+        [(2, 1.75), (3, 2.75)], "id long, v double"
+    )
+    got = {
+        r.node: (r.nbr_sum, r.nbr_mean)
+        for r in neighbor_agg(edges, "src", "dst", dbl, "id", "v").collect()
+    }
+    assert got[1] == (4, 2.0)

@@ -246,3 +246,44 @@ def test_stitched_equals_plain_randomized(spark):
             )
     plain, stitched = _stitched_vs_plain(spark, rows, bucket_minutes=47)
     assert plain == stitched
+
+
+def test_sessionize_rejects_output_name_collisions(spark):
+    """ADVICE r12 discipline generalized (schemas.ensure_absent):
+    sessionize/sessionize_stitched/interval_overlap_join fail fast
+    when the input already carries an output or working column name —
+    withColumn would silently replace the user's data."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from fhc_rco_etl_scalable_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+    from fhc_rco_etl_scalable_spark.operators.sessionize import (
+        sessionize,
+        sessionize_stitched,
+    )
+
+    df = spark.createDataFrame(
+        [("L1", 1, 7)], "LINE string, ts long, session_num long"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        sessionize(df, F.lit(1), ["LINE"], ["ts"])
+    # custom name avoids the clash
+    out = sessionize(df, F.lit(1), ["LINE"], ["ts"], session_col="sn")
+    assert out.columns == ["LINE", "ts", "session_num", "sn"]
+    df2 = spark.createDataFrame(
+        [("L1", 1, 5)], "LINE string, ts long, __bkt long"
+    )
+    with _pytest.raises(ValueError, match="collide"):
+        sessionize_stitched(
+            df2, F.lit(1), ["LINE"], ["ts"], F.lit(0), {"prev_ts": "ts"}
+        )
+    iv = spark.createDataFrame(
+        [("L1", 0, 10, 1)], "LINE string, s long, e long, __bucket long"
+    )
+    pt = spark.createDataFrame([("L1", 5)], "LINE string, ts long")
+    with _pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(
+            iv, pt, ["LINE"], "s", "e", "ts", bucketed=True
+        )
