@@ -718,3 +718,58 @@ def test_pivot_wide_matches_api_pivot_property(spark, rows):
         assert sorted(map(tuple, got.collect())) == sorted(
             map(tuple, api.collect())
         ), agg
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),           # group key
+            st.sampled_from(["a", "b", "c", "d"]),           # category
+            st.integers(min_value=-1000, max_value=1000),    # value (exact)
+            st.integers(min_value=0, max_value=9),           # second measure
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+def test_pivot_wide_matches_api_pivot(spark, rows, cats):
+    """Property: for ANY frame and ANY explicit category list,
+    pivot_wide == API pivot cell-for-cell for the NULL-skipping
+    aggregates, and pivot_wide_multi's slices equal per-measure
+    pivot_wide. (The count-of-empty-category 0-vs-NULL divergence is
+    deliberately excluded — sum/max only here; it has its own unit
+    test.) Values are exact integers so equality is bitwise."""
+    from fhc_rco_etl_scalable_spark.operators.aggregate import (
+        pivot_wide,
+        pivot_wide_multi,
+    )
+
+    df = spark.createDataFrame(
+        rows, "k int, cat string, v long, w long"
+    )
+    api = (
+        df.groupBy("k")
+        .pivot("cat", cats)
+        .agg(F.sum("v").alias("vs"), F.max("w").alias("wm"))
+    )
+    multi = pivot_wide_multi(
+        df, ["k"], "cat", cats, [("vs", "sum", "v"), ("wm", "max", "w")]
+    )
+    if len(cats) == 1:
+        # single-category API pivot drops the value prefix
+        api = api.withColumnsRenamed(
+            {"vs": f"{cats[0]}_vs", "wm": f"{cats[0]}_wm"}
+        )
+    assert multi.columns == api.columns
+    assert sorted(map(tuple, multi.collect())) == sorted(
+        map(tuple, api.collect())
+    )
+    single = pivot_wide(df, ["k"], "cat", cats, "v", agg="sum", suffix="_vs")
+    assert sorted(
+        map(tuple, multi.select(*single.columns).collect())
+    ) == sorted(map(tuple, single.collect()))
