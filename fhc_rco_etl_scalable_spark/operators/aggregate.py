@@ -22,6 +22,14 @@ def runtime_per_day(
     ``Date > min(Date)`` assumes one extraction window per line; the
     per-line form is equivalent there and correct when lines backfill
     independently.
+
+    Plan shape (r13): the per-LINE min rides a tiny re-aggregate of
+    the already-shuffled daily frame plus a BROADCAST join back — not
+    a window. The window form forced a per-partition SORT of the
+    daily rollup and its WindowExec never enters whole-stage codegen;
+    the agg+broadcast form keeps the whole plan in codegen'd hash
+    aggregates and costs one broadcast of line-cardinality rows
+    (production lines are dimension-sized by construction).
     """
     daily = (
         downtime.na.drop(subset=["START_TIME"])
@@ -31,10 +39,12 @@ def runtime_per_day(
     if cap_minutes is not None:
         daily = daily.withColumn("Runtime", F.least(F.col("Runtime"), F.lit(cap_minutes)))
     if drop_first_day:
-        w = Window.partitionBy("LINE")
-        daily = daily.withColumn("__min_date", F.min("Date").over(w)).filter(
-            F.col("Date") > F.col("__min_date")
-        ).drop("__min_date")
+        first = daily.groupBy("LINE").agg(F.min("Date").alias("__min_date"))
+        daily = (
+            daily.join(F.broadcast(first), "LINE")
+            .filter(F.col("Date") > F.col("__min_date"))
+            .drop("__min_date")
+        )
     return daily.withColumn("Server", F.lit(server))
 
 

@@ -94,9 +94,19 @@ def main() -> int:
     agg_df = hq.q_runtime_per_day(spark, sf_dir)
     pre = agg_df._jdf.queryExecution().executedPlan().toString()
     check("partial_agg(runtime_per_day)", "partial_sum" in pre)
-    agg_df.count()  # materialize so AQE finalizes the plan
+    # r13: the old form ran agg_df.count() — a DIFFERENT QueryExecution
+    # — so THIS plan never finalized (isFinalPlan=false) and the check
+    # soft-WARNed every round on a plan that is fully codegen'd.
+    # collect() executes this exact plan; the finalized AQE string
+    # marks codegen stages with the compact `*(n)` prefix rather than
+    # the literal 'WholeStageCodegen', so accept either spelling.
+    agg_df.collect()  # materialize THIS plan so AQE finalizes it
     post = agg_df._jdf.queryExecution().executedPlan().toString()
-    check("codegen(runtime_per_day)", "WholeStageCodegen" in post, hard=False)
+    check(
+        "codegen(runtime_per_day)",
+        "WholeStageCodegen" in post or "*(1)" in post,
+        detail="finalized AQE plan shows codegen stage markers",
+    )
 
     # 5. As-of union trick: one exchange, no join at all.
     p = plan_of(hq.q_asof_backward(spark, sf_dir))
