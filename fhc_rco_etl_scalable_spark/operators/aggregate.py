@@ -228,6 +228,12 @@ def pivot_wide(
         raise ValueError("pivot values must be non-empty")
     if len(set(vals)) != len(vals):
         raise ValueError("pivot values must be distinct")
+    if any(v is None for v in vals):
+        # CASE WHEN cat = NULL never matches (SQL equality), so a None
+        # category would emit a silently all-NULL column — while the
+        # API pivot's PivotFirst DOES bucket NULL categories. Refuse
+        # the ambiguity; pre-coalesce the category column instead.
+        raise ValueError("pivot values must not contain None; coalesce the category column first")
     fn = _PIVOT_AGGS[agg]
     # distinct values can still render to colliding COLUMN names
     # (e.g. 1 vs "1", or a name landing on a group column) — fail
@@ -291,6 +297,12 @@ def pivot_wide_multi(
         raise ValueError("pivot values must be non-empty")
     if len(set(vals)) != len(vals):
         raise ValueError("pivot values must be distinct")
+    if any(v is None for v in vals):
+        # CASE WHEN cat = NULL never matches (SQL equality), so a None
+        # category would emit a silently all-NULL column — while the
+        # API pivot's PivotFirst DOES bucket NULL categories. Refuse
+        # the ambiguity; pre-coalesce the category column instead.
+        raise ValueError("pivot values must not contain None; coalesce the category column first")
     if not ms:
         raise ValueError("measures must be non-empty")
     names = [m[0] for m in ms]

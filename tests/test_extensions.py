@@ -1788,3 +1788,22 @@ def test_neighbor_agg_single_round_sum_overflow_raises(spark):
         for r in neighbor_agg(edges, "src", "dst", dbl, "id", "v").collect()
     }
     assert got[1] == (4, 2.0)
+
+
+def test_pivot_rejects_none_values(spark):
+    """A None in the explicit value list would emit a silently
+    all-NULL column (CASE WHEN cat = NULL never matches) where the
+    API pivot buckets NULL categories — refuse the ambiguity."""
+    import pytest as _pytest
+    from fhc_rco_etl_scalable_spark.operators.aggregate import (
+        pivot_wide,
+        pivot_wide_multi,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (1, None, 2.0)], "k long, cat string, v double"
+    )
+    with _pytest.raises(ValueError, match="None"):
+        pivot_wide(df, ["k"], "cat", ["a", None], "v")
+    with _pytest.raises(ValueError, match="None"):
+        pivot_wide_multi(df, ["k"], "cat", [None], [("s", "sum", "v")])
