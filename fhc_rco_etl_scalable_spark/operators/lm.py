@@ -91,10 +91,18 @@ def bigram_logprob_score(
     is_train = (F.col("doc_id") % train_mod) == train_rem
     train = tok.filter(is_train)
 
+    # The unigram model is VOCABULARY-sized; localCheckpoint it so the
+    # three consumers below (n_total, the w1 side, the w2 side) reuse
+    # the materialized frame instead of each re-deriving the aggregate
+    # from the corpus — without the barrier the final plan scans the
+    # train slice once PER consumer (measured r13: 5 corpus FileScans
+    # in the executed plan; 3 after). At warehouse scale persist the
+    # model to a table instead.
     uni = (
         train.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+        .localCheckpoint(eager=False)
     )
     # Model scalars ride the plan as a broadcast crossJoin (same idiom
     # as the BM25 corpus stats) — no driver round-trip, no closure
@@ -192,10 +200,13 @@ def dsir_logratio_score(
         target.alias("__t"),
         F.explode(_tokens(F.col(text))).alias("__w"),
     ).select("doc_id", "__t", bucket.alias("__bk"))
+    # <= n_buckets rows: checkpoint so `totals` reuses the materialized
+    # bucket table instead of re-deriving the aggregate from a second
+    # corpus scan (same r13 fix as bigram_logprob_score's `uni`).
     counts = base.groupBy("__bk").agg(
         F.count(F.lit(1)).cast("long").alias("__cs"),
         F.count_if(F.col("__t")).cast("long").alias("__ct"),
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("__cs").cast("double").alias("__ns"),
         F.sum("__ct").cast("double").alias("__nt"),

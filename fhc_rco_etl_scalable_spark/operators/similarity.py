@@ -785,8 +785,15 @@ def semantic_dedup(
     # probe-all. Vectors attach AFTER the distinct, via joins against
     # the (unit-normalized) corpus frame — broadcast when small, and
     # at scale n_assign=1 keeps the candidate side bounded per cell.
-    cells = base.withColumn("__cell", F.explode(assign_cells(F.col("__v")))).select(
-        "__id", "__cell"
+    # NARROW (id, cell) rows, consumed as BOTH sides of the candidate
+    # self-join: without a barrier each side re-executes the Arrow
+    # assignment matmul (and the corpus scan under it) — the one
+    # genuinely duplicated heavy stage in the plan (measured r13).
+    # Checkpointing costs id+int per assignment, nothing vector-sized.
+    cells = (
+        base.withColumn("__cell", F.explode(assign_cells(F.col("__v"))))
+        .select("__id", "__cell")
+        .localCheckpoint(eager=False)
     )
     cand = (
         cells.select(F.col("__id").alias("__id_a"), "__cell")
