@@ -933,7 +933,12 @@ def negative_sample(
     back on the index. Returns (id, neg_rank, neg_id)."""
     if method not in ("affine", "md5"):
         raise ValueError(f"unknown method {method!r}")
-    ix = dense_index(df, id_col, buckets)
+    # The index bijection feeds THREE consumers (the guarded count,
+    # the anchor explode, and the join-back donor side) — without a
+    # barrier each re-derives dense_index's two-scan subtree from the
+    # raw input (measured r13: 6 FileScans in one plan). The frame is
+    # (id, long): narrow, row-sized — checkpoint-cheap.
+    ix = dense_index(df, id_col, buckets).localCheckpoint(eager=False)
     n = ix.agg(F.count(F.lit(1)).cast("long").alias("__n")).select(
         # fail-fast n >= 2: the guard lives INSIDE the __n expression
         # so column pruning can never drop it.

@@ -168,8 +168,14 @@ def triangle_count(
     - ``"id"`` — order by node id directly (no degree pass; fine
       when the graph is near-regular or tiny).
     """
-    und = undirected_simple_edges(edges, src, dst)
-    e = orient_edges(und, orient)
+    # Both edge frames feed several consumers (e three join sides;
+    # und the degree pass, the node census, and the edge count) —
+    # without a barrier each consumer re-derives from the raw input
+    # (measured r13: 18 FileScans of the source in one plan). Same
+    # localCheckpoint discipline as pagerank/LPA's symmetrized edges;
+    # the frames are edge-sized, never larger than the input.
+    und = undirected_simple_edges(edges, src, dst).localCheckpoint(eager=False)
+    e = orient_edges(und, orient).localCheckpoint(eager=False)
     nodes = (
         und.select(F.col("a").alias("x"))
         .unionByName(und.select(F.col("b").alias("x")))
