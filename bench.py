@@ -319,11 +319,18 @@ def main() -> None:
         "load_series_1m": load_series,
         "queries_load_1m": queries_load,
     }
+    # Sidecar path rules (VERDICT r13 #8: a subset rerun once clobbered
+    # the driver's full-catalog bench_detail.json): an explicit
+    # $SPARK_GRAFT_BENCH_DETAIL wins; otherwise SUBSET runs write a
+    # separate bench_detail_subset.json so the full-catalog detail is
+    # never overwritten by an adjudication rerun.
+    default_name = "bench_detail_subset.json" if only else "bench_detail.json"
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), default_name),
+    )
     try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
-            "w",
-        ) as fh:
+        with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
@@ -336,7 +343,10 @@ def main() -> None:
         "unit": "sec",
         "queries": slowest,
         "n_queries": len(timings),
-        "queries_note": "10 slowest shown; full per-query detail in bench_detail.json",
+        "queries_note": (
+            "10 slowest shown; full per-query detail in "
+            + os.path.basename(detail_path)
+        ),
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

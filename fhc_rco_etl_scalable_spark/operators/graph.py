@@ -403,8 +403,10 @@ def neighbor_agg(
         guard = (
             F.when(F.col("__sum_dec").isNull(), F.lit(None).cast("long"))
             .when(
-                F.abs(F.col("__sum_dec"))
-                < F.lit(str(2**63)).cast("decimal(38,0)"),
+                # two-sided long range (ADVICE r13): -2^63 is a
+                # representable int64; abs(sum) < 2^63 rejected it.
+                (F.col("__sum_dec") >= F.lit(str(-(2**63))).cast("decimal(38,0)"))
+                & (F.col("__sum_dec") <= F.lit(str(2**63 - 1)).cast("decimal(38,0)")),
                 F.col("__sum_dec").cast("long"),
             )
             .otherwise(
@@ -489,7 +491,14 @@ def neighbor_agg_rounds(
         F.col(id_col).alias("__nbr"), F.col(value_col).cast("long").alias("__v")
     )
     agg = None
-    # 2^63 exceeds a py4j long literal — ship it as a string once.
+    # 2^63 exceeds a py4j long literal — ship them as strings once.
+    # Two-sided long range (ADVICE r13): -2^63 IS representable.
+    lo_bound = F.lit(str(-(2**63))).cast("decimal(38,0)")
+    hi_bound = F.lit(str(2**63 - 1)).cast("decimal(38,0)")
+    # the cross-round quotient guard below stays one-sided
+    # (|prod| < 2^63*n): a quotient of exactly -2^63 raises — a
+    # documented one-value conservatism, vs. tracking truncation
+    # direction at the negative boundary.
     sum_bound = F.lit(str(2**63)).cast("decimal(38,0)")
     for r in range(int(rounds)):
         # The per-round sum itself runs in DECIMAL(38,0): each __v is
@@ -511,7 +520,8 @@ def neighbor_agg_rounds(
                 "n_neighbors",
                 F.when(F.col("__sum_dec").isNull(), F.lit(None).cast("long"))
                 .when(
-                    F.abs(F.col("__sum_dec")) < sum_bound,
+                    (F.col("__sum_dec") >= lo_bound)
+                    & (F.col("__sum_dec") <= hi_bound),
                     F.col("__sum_dec").cast("long"),
                 )
                 .otherwise(

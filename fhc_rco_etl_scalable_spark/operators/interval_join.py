@@ -56,13 +56,19 @@ def interval_overlap_join(
     maximum span (or pre-filter sentinels); ``None`` = unbounded.
     """
     on = list(on)
-    from ..schemas import ensure_absent
+    if bucketed:
+        # The staged working names only exist on the bucketed path
+        # (ADVICE r13: guarding both paths rejected previously-valid
+        # plain calls); `bucketed` stays a drop-in switch for inputs
+        # that don't carry dunder-staged columns — which real schemas
+        # don't, and which the bucketed path must refuse anyway.
+        from ..schemas import ensure_absent
 
-    for side, frame in (("intervals", intervals), ("points", points)):
-        ensure_absent(
-            frame, ["__iv_id", "__pt_id", "__bucket"],
-            f"interval_overlap_join ({side})",
-        )
+        for side, frame in (("intervals", intervals), ("points", points)):
+            ensure_absent(
+                frame, ["__iv_id", "__pt_id", "__bucket"],
+                f"interval_overlap_join ({side})",
+            )
 
     def _range(iv, pt):
         if point_end is not None:

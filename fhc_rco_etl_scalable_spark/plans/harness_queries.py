@@ -194,15 +194,20 @@ def q_co_sessionize_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "runtime_per_day",
     """
-    SELECT CAST(ts AS DATE) AS Date, user_id,
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS Date, user_id,
            round(sum(value), 2) AS runtime, count(*) AS n_events
     FROM events GROUP BY 1, 2
     """,
 )
 def q_runtime_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Date surfaces as its ISO string on BOTH engines (VERDICT r13 #4):
+    # Spark DATE reaches pandas as dtype 'O' (datetime.date) while
+    # DuckDB DATE arrives as 'M' (datetime64), so hash equality leaned
+    # on the driver canon's midnight-timestamp collapse. Strings are
+    # canon-independent and carry the identical ordering/grouping.
     ev = load_table(spark, "events", sf_dir)
     return (
-        ev.groupBy(F.to_date("ts").alias("Date"), "user_id")
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("Date"), "user_id")
         .agg(F.round(F.sum("value"), 2).alias("runtime"), F.count("*").alias("n_events"))
     )
 
@@ -2228,7 +2233,8 @@ daily AS (
 fd AS (SELECT *, min(Date) OVER (PARTITION BY LINE) AS __md FROM daily)"""
 
 _RUNTIME_HARNESS_ORACLE = _HARNESS_BASE + _RUNTIME_CTES + """
-SELECT Date, LINE, round(Runtime, 2) AS Runtime, 'HARNESS' AS Server
+SELECT strftime(Date, '%Y-%m-%d') AS Date, LINE,
+       round(Runtime, 2) AS Runtime, 'HARNESS' AS Server
 FROM fd WHERE Date > __md
 """
 
@@ -2241,8 +2247,13 @@ def q_runtime_per_day_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v, _, _ = _harness_inputs(spark, sf_dir)
     out = runtime_per_day(v["line_dt_full"], "HARNESS")
+    # ISO-string Date on both engines (VERDICT r13 #4) — graded
+    # surface only; the production table keeps the canonical DATE.
     return out.select(
-        "Date", "LINE", F.round("Runtime", 2).alias("Runtime"), "Server"
+        F.date_format("Date", "yyyy-MM-dd").alias("Date"),
+        "LINE",
+        F.round("Runtime", 2).alias("Runtime"),
+        "Server",
     )
 
 
@@ -2258,7 +2269,7 @@ cs AS (
          CAST(DOWNTIME AS DECIMAL(18,4)) AS dt
   FROM line_dt_full WHERE START_TIME IS NOT NULL
 )
-SELECT Date, LINE,
+SELECT strftime(Date, '%Y-%m-%d') AS Date, LINE,
   CAST(round(sum(CASE WHEN C2 = 'Changeover' THEN dt END), 2)
        AS DOUBLE) AS changeover_min,
   CAST(round(sum(CASE WHEN C2 = 'Failure' THEN dt END), 2)
@@ -2286,10 +2297,16 @@ def q_daily_cause_summary_harness(
     from .site_etl import daily_cause_summary
 
     v, _, _ = _harness_inputs(spark, sf_dir)
-    return daily_cause_summary(
+    out = daily_cause_summary(
         v["line_dt_full"],
         ("Changeover", "Failure", "Blocked upstream", "Jam", "Short stop"),
         "HARNESS",
+    )
+    # ISO-string Date on both engines (VERDICT r13 #4) — the graded
+    # surface only; site_etl/the loader keep the canonical DATE type.
+    return out.select(
+        F.date_format("Date", "yyyy-MM-dd").alias("Date"),
+        *[c for c in out.columns if c != "Date"],
     )
 
 
@@ -3404,8 +3421,8 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAMING_TUMBLING_ORACLE = _HARNESS_BASE + """
-SELECT CAST(date_trunc('day', START_TIME) AS DATE) AS Date, LINE,
-       round(sum(UPTIME), 2) AS Runtime
+SELECT strftime(CAST(date_trunc('day', START_TIME) AS DATE), '%Y-%m-%d') AS Date,
+       LINE, round(sum(UPTIME), 2) AS Runtime
 FROM ds GROUP BY 1, 2
 """
 
@@ -3443,8 +3460,13 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_microbatches >= n_batches, (
             f"expected >= {n_batches} micro-batches, got {n_microbatches}"
         )
+        # ISO-string Date on both engines (VERDICT r13 #4): Spark DATE
+        # lands in pandas as 'O' vs DuckDB's 'M', so the old hash
+        # leaned on the driver canon's midnight collapse.
         return spark.table(name).select(
-            "Date", "LINE", F.round("Runtime", 2).alias("Runtime")
+            F.date_format("Date", "yyyy-MM-dd").alias("Date"),
+            "LINE",
+            F.round("Runtime", 2).alias("Runtime"),
         )
 
 

@@ -80,6 +80,14 @@ _LOAD_SPECS: dict[str, tuple] = {
     "Gantt_Data": ("delete_overlap", "StartTime", ("Line", "Server"), 1200.0),
     "Event_Log_for_Gantt": ("delete_overlap", "START_TIME", ("Line", "Server"), 1200.0),
     "Runtime_per_Day_data": ("delete_overlap", "Date", ("LINE", "Server"), 0.0),
+    # Date-grained like Runtime_per_Day (whole days recompute; the
+    # batch's min Date floors the cutoff). Its schema is per-site
+    # config (category columns), so the loader resolves it from the
+    # batch via schemas.dynamic_output_schema. A changed category list
+    # reshapes the table on the next load: align_to_schema pads new
+    # categories' history with NULL and DROPS removed ones' columns
+    # from survivors — keep the list stable per table, or version it.
+    "Daily_Cause_Summary": ("delete_overlap", "Date", ("LINE", "Server"), 0.0),
     "BRANDCODE_data": ("merge", ("BRANDCODE", "Server"), None, None),
     "Script_Data": ("upsert", ("System", "Server"), None, None),
 }
@@ -95,7 +103,7 @@ def incremental_site_loader(
     derived per run via ``sinks.incremental.lookback_start``."""
     import threading
 
-    from ..schemas import OUTPUT_SCHEMAS
+    from ..schemas import OUTPUT_SCHEMAS, dynamic_output_schema
 
     # The sink's read-modify-swap on a shared table directory is not
     # safe under run_all_sites' thread pool (two sites loading the same
@@ -124,7 +132,7 @@ def incremental_site_loader(
     def _load_unlocked(server: str, outputs: dict[str, DataFrame]) -> None:
         for name, df in outputs.items():
             spec = _LOAD_SPECS[name]
-            schema = OUTPUT_SCHEMAS[name]
+            schema = OUTPUT_SCHEMAS.get(name) or dynamic_output_schema(name, df)
             mode, arg, scope, pad = spec
             if mode == "delete_overlap":
                 wm = watermark

@@ -66,6 +66,12 @@ class SiteParams:
     # 100 TB / skewed-line configuration. Session numbering and IDs are
     # identical either way (oracle twin co_aggregated_harness_stitched).
     session_bucket: str | None = None
+    # Cause categories for the wide Daily_Cause_Summary output (VERDICT
+    # r13 #2). None = the site doesn't emit it; a tuple turns it on and
+    # fixes the column set (explicit list = explicit omission, same
+    # contract as pivot_wide). Tuple, not list: SiteParams is shared
+    # across threads by run_all_sites.
+    cause_summary_categories: tuple[str, ...] | None = None
 
 
 ORDER_COLS = ["START_TIME", "downtime_id"]

@@ -12,7 +12,6 @@ union inputs with a Server column.
 
 from __future__ import annotations
 
-import re
 from datetime import datetime
 from typing import Sequence
 
@@ -26,11 +25,14 @@ from ..operators.gantt import gantt_analysis
 from .rco_pipeline import SiteParams, mes_etl
 
 
-def _cause_slug(name: str) -> str:
-    """Canonical column stem for a cause category: lowercase, runs of
-    non-alphanumerics collapsed to '_' ('Blocked upstream' ->
-    'blocked_upstream')."""
-    return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+from ..schemas import cause_slug as _cause_slug
+
+
+def _quoted(name: str) -> F.Column:
+    """Backtick-quoted column reference: a category like 'E. Stop'
+    renders an intermediate column named 'E. Stop_min', which a bare
+    ``F.col`` would parse as a nested-field path (ADVICE r13)."""
+    return F.col("`" + name.replace("`", "``") + "`")
 
 
 def daily_cause_summary(
@@ -76,7 +78,7 @@ def daily_cause_summary(
         "Date",
         "LINE",
         *[
-            F.round(F.col(f"{c}_min"), 2).cast("double").alias(f"{s}_min")
+            F.round(_quoted(f"{c}_min"), 2).cast("double").alias(f"{s}_min")
             for c, s in zip(cats, slugs)
         ],
     ).withColumn("Server", F.lit(server))
@@ -97,6 +99,10 @@ def site_etl(
     derived here if absent). ``production``: production event log for
     brandcode master derivation (optional).
     """
+    if cause_summary_categories is None:
+        # the per-site config home (SiteParams) is the default; the
+        # explicit argument stays as a call-site override.
+        cause_summary_categories = site.cause_summary_categories
     flagged = (
         with_derived_flags(downtime, line_config)
         if "isConstraint" not in downtime.columns or line_config is not None

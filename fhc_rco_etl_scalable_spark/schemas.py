@@ -220,6 +220,66 @@ OUTPUT_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def cause_slug(name: str) -> str:
+    """Canonical column stem for a cause category: lowercase, runs of
+    non-alphanumerics collapsed to '_' ('Blocked upstream' ->
+    'blocked_upstream')."""
+    import re
+
+    return re.sub(r"[^a-z0-9]+", "_", name.lower()).strip("_")
+
+
+def daily_cause_summary_schema(categories: Sequence[str]) -> T.StructType:
+    """Schema of the ``Daily_Cause_Summary`` output for a site's
+    category list (VERDICT r13 #2 — the one OUTPUT_SCHEMAS entry whose
+    columns depend on per-site config, so it's a function, not a
+    constant): ``Date, LINE, <slug>_min per category, Server``.
+    """
+    slugs = [cause_slug(c) for c in categories]
+    if not slugs:
+        raise ValueError("daily_cause_summary_schema: empty category list")
+    if len(set(slugs)) != len(slugs):
+        raise ValueError(f"cause categories collide after slugging: {slugs}")
+    return _struct(
+        ("Date", T.DateType()),
+        ("LINE", T.StringType()),
+        *[(f"{s}_min", T.DoubleType()) for s in slugs],
+        ("Server", T.StringType()),
+    )
+
+
+def dynamic_output_schema(name: str, df: DataFrame) -> T.StructType:
+    """Resolve the schema of a config-shaped output table from the
+    batch itself — the loader-side twin of
+    :func:`daily_cause_summary_schema` for when the category list is
+    not in scope (``incremental_site_loader`` sees only the site's
+    outputs dict). Validates the expected column shape instead of
+    trusting it: a site_etl refactor that reorders or renames the
+    frame fails HERE, not as a silently misaligned parquet write.
+    """
+    if name != "Daily_Cause_Summary":
+        raise ValueError(f"no dynamic schema rule for output table {name!r}")
+    cols = df.columns
+    mids = cols[2:-1]
+    if (
+        len(cols) < 4
+        or cols[:2] != ["Date", "LINE"]
+        or cols[-1] != "Server"
+        or not all(c.endswith("_min") for c in mids)
+        or len(set(mids)) != len(mids)
+    ):
+        raise ValueError(
+            "Daily_Cause_Summary batch has unexpected column shape "
+            f"{cols}; expected [Date, LINE, <slug>_min..., Server]"
+        )
+    return _struct(
+        ("Date", T.DateType()),
+        ("LINE", T.StringType()),
+        *[(c, T.DoubleType()) for c in mids],
+        ("Server", T.StringType()),
+    )
+
+
 def align_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Align ``df`` to a target schema: reorder, pad missing columns
     with typed NULLs, cast mismatched types.

@@ -183,6 +183,29 @@ def test_interval_overlap_half_open(spark):
     assert got == [("i1", "p0"), ("i1", "p1"), ("i2", "p3")]
 
 
+def test_interval_guard_gated_on_bucketed(spark):
+    """ADVICE r13: __iv_id/__pt_id/__bucket are only STAGED on the
+    bucketed path — the plain path must keep accepting frames that
+    happen to carry those names (previously-valid calls), while the
+    bucketed path fails fast before corrupting its working columns."""
+    import pytest as _pytest
+
+    pts = _points(spark).withColumn("__bucket", F.lit(1))
+    out = interval_overlap_join(
+        _intervals(spark), pts, on=["k"],
+        interval_start="s", interval_end="e", point_ts="pts",
+    )
+    assert sorted((r.iid, r.pid) for r in out.collect()) == [
+        ("i1", "p0"), ("i1", "p1"), ("i2", "p3")
+    ]
+    with _pytest.raises(ValueError, match="collide"):
+        interval_overlap_join(
+            _intervals(spark), pts, on=["k"],
+            interval_start="s", interval_end="e", point_ts="pts",
+            bucketed=True, bucket_seconds=300,
+        )
+
+
 def test_interval_overlap_bucketed_matches_plain(spark):
     plain = interval_overlap_join(
         _intervals(spark), _points(spark), on=["k"],
