@@ -38,6 +38,51 @@ def table_scans(plan: str) -> dict[str, int]:
     return dict(Counter(p.rsplit("/", 1)[-1] for p in scans))
 
 
+# Review-queue adjudications (VERDICT r13 #6): every flagged entry's
+# measured verdict, so the tool's output carries the evidence instead
+# of pointing at PERFORMANCE.md prose. "wash"/"slower" = interleaved
+# min-of-3 A/B of the checkpoint variant at sf0.1 (tools/scanq_ab.py,
+# r14: bm25 0.98x, domain_mixture 1.01x, substring 1.10x, lttb 0.95x);
+# each operator keeps a materialize_* knob for cluster scale, where
+# the saved corpus scan dominates the barrier cost.
+ADJUDICATED: dict[str, str] = {
+    "bm25_search": (
+        "A/B wash (0.98x): tf-checkpoint saves 1 of 3 scans; corpus "
+        "stats pass inherent; knob bm25_topk(materialize_tf=True)"
+    ),
+    "hybrid_rrf_search": (
+        "inherent: composes bm25's postings+stats passes with the "
+        "embedding pass; improves iff bm25's knob is on"
+    ),
+    "domain_mixture": (
+        "A/B wash (1.01x): duplicated subtree is a map-side count, "
+        "below barrier break-even; knob materialize_counts=True"
+    ),
+    "substring_dedup": (
+        "A/B slower (1.10x): gram table is corpus-token-scale, "
+        "write-out beats the saved re-explode only off remote "
+        "storage; knob materialize_grams=True"
+    ),
+    "lttb_downsample": (
+        "A/B wash (0.95x, within noise): pts frame is full-data-"
+        "sized; knob materialize_pts=True"
+    ),
+    "neighbor_feature_agg": (
+        "A/B no win (r13: 0.67s vs 0.92s, high variance): sym "
+        "consumed once, duplicated subtree is the 2-branch distinct"
+    ),
+    "mad_outliers": (
+        "A/B no win (r13, reverted): duplicated subtree is the "
+        "percentile re-agg, a cheap pipeline the barrier only splits"
+    ),
+    "semantic_dedup": (
+        "A/B 1.9x SLOWER (r13, reverted): the cell checkpoint "
+        "serializes the k-means + assignment pipeline; 5 embedding "
+        "scans are the trained-model consumers, each column-pruned"
+    ),
+}
+
+
 def main() -> int:
     from fhc_rco_etl_scalable_spark.session import get_spark
 
@@ -61,7 +106,10 @@ def main() -> int:
         hot = {t: n for t, n in counts.items() if n >= threshold}
         if hot:
             flagged[name] = hot
-            print(f"SCAN {name}: {hot}")
+            verdict = ADJUDICATED.get(name)
+            tag = f"  [adjudicated: {verdict}]" if verdict else ""
+            print(f"SCAN {name}: {hot}{tag}")
+    unreviewed = sorted(set(flagged) - set(ADJUDICATED))
     print(
         json.dumps(
             {
@@ -69,6 +117,10 @@ def main() -> int:
                 "sf_dir": sf_dir,
                 "threshold": threshold,
                 "flagged": flagged,
+                "adjudicated": {
+                    k: v for k, v in ADJUDICATED.items() if k in flagged
+                },
+                "unreviewed": unreviewed,
                 "errors": errors,
             }
         )
