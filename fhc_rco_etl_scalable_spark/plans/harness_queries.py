@@ -10244,6 +10244,87 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 14 (VERDICT r13 #7): LPA with a node space that GROWS WITH SF
+# — the 997-node entries above grade edge volume at data scale but
+# propagate over a fixed node set; the r13 clique-ring probe (92 k
+# edges) proved the sf-growing shape only out-of-catalog. Here nodes
+# are the raw l_orderkey domain (~15 k at sf0.01, ~150 k at sf0.1):
+# each key stars onto its 32-key block head and heads chain to the
+# previous head, so the label join, the (node, label) count, and the
+# per-node argmax window are all driver-graded at data scale. Fixed 2
+# rounds (the converged variant stays on its small fixture where the
+# round count is structure-bound).
+# ---------------------------------------------------------------------------
+
+_LABEL_PROP_SCALED_ORACLE = """
+WITH raw AS (
+  SELECT CAST(l_orderkey AS BIGINT) AS src,
+         CAST(l_orderkey - (l_orderkey % 32) AS BIGINT) AS dst
+  FROM lineitem
+  UNION ALL
+  SELECT CAST(l_orderkey - (l_orderkey % 32) AS BIGINT),
+         CAST(l_orderkey - (l_orderkey % 32) - 32 AS BIGINT)
+  FROM lineitem WHERE l_orderkey - (l_orderkey % 32) >= 32
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM raw WHERE src != dst
+),
+sym AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e
+  UNION ALL SELECT b, a FROM e
+),
+l0 AS (SELECT DISTINCT node, node AS label FROM sym),
+f1 AS (
+  SELECT s.node, l.label, count(*) AS c
+  FROM sym s JOIN l0 l ON s.nbr = l.node GROUP BY 1, 2
+),
+l1 AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM f1
+  ) WHERE rn = 1
+),
+f2 AS (
+  SELECT s.node, l.label, count(*) AS c
+  FROM sym s JOIN l1 l ON s.nbr = l.node GROUP BY 1, 2
+),
+l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM f2
+  ) WHERE rn = 1
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label FROM l2
+"""
+
+
+@query("label_propagation_scaled", _LABEL_PROP_SCALED_ORACLE)
+def q_label_propagation_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous LPA rounds over an sf-growing node space: every
+    l_orderkey stars onto its 32-key block head, heads chain backward
+    — same operator and tie rule as label_propagation, but the
+    propagation equi-join and the per-node argmax now scale with the
+    table instead of a fixed 997-node fold."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, "lineitem", sf_dir)
+    key = F.col("l_orderkey").cast("long")
+    head = (key - (key % 32)).cast("long")
+    stars = li.select(key.alias("src"), head.alias("dst"))
+    chain = li.filter(head >= 32).select(
+        head.alias("src"), (head - 32).alias("dst")
+    )
+    return label_propagation(
+        stars.unionByName(chain), "src", "dst", rounds=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round 11: PIVOT — the wide-format reshape unpivot_measures is the
 # inverse of (O-family completeness). The scale point is the EXPLICIT
 # value list: pivot without one runs a whole extra distinct job over
