@@ -1258,18 +1258,21 @@ def q_session_boundary_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_text,
            strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'), '%Y-%m-%dT%H:%M:%S') AS reparsed,
-           CAST(ts AS DATE) AS day
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
     FROM events
     """,
 )
 def q_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day as its ISO string on BOTH engines (r14 WARN sweep: Spark
+    # DATE reaches pandas as 'O', DuckDB's as 'M' — the hash leaned on
+    # the driver canon's midnight collapse).
     ev = load_table(spark, "events", sf_dir)
     iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
     return ev.select(
         "event_id",
         iso.alias("iso_text"),
         F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss").alias("reparsed"),
-        F.to_date("ts").alias("day"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
     )
 
 
@@ -3480,8 +3483,8 @@ def q_streaming_tumbling_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAMING_HOPPING_ORACLE = _HARNESS_BASE + """
-SELECT CAST(date_trunc('day', START_TIME) - k * INTERVAL 1 DAY AS DATE)
-         AS WindowStart,
+SELECT strftime(CAST(date_trunc('day', START_TIME) - k * INTERVAL 1 DAY
+                AS DATE), '%Y-%m-%d') AS WindowStart,
        LINE, round(sum(UPTIME), 2) AS Runtime
 FROM ds CROSS JOIN range(0, 2) AS r(k)
 GROUP BY 1, 2
@@ -3522,8 +3525,11 @@ def q_streaming_hopping_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_microbatches >= n_batches, (
             f"expected >= {n_batches} micro-batches, got {n_microbatches}"
         )
+        # ISO-string WindowStart on both engines (r14 WARN sweep).
         return spark.table(name).select(
-            "WindowStart", "LINE", F.round("Runtime", 2).alias("Runtime")
+            F.date_format("WindowStart", "yyyy-MM-dd").alias("WindowStart"),
+            "LINE",
+            F.round("Runtime", 2).alias("Runtime"),
         )
 
 
@@ -3856,19 +3862,20 @@ def q_sql_api_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sql_api_runtime_per_day",
     """
-    SELECT CAST(ts AS DATE) AS Date, user_id,
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS Date, user_id,
            round(sum(value), 2) AS runtime, count(*) AS n_events
     FROM events GROUP BY 1, 2
     """,
 )
 def q_sql_api_runtime_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-day tumbling aggregation (A3) as SQL TEXT — the third SQL
-    twin, covering the grouped-aggregate shape."""
+    twin, covering the grouped-aggregate shape. Date surfaces as its
+    ISO string on BOTH engines (r14 WARN sweep)."""
     from ..sources.parquet import register_views
 
     register_views(spark, sf_dir)
     return spark.sql("""
-        SELECT CAST(ts AS DATE) AS Date, user_id,
+        SELECT date_format(CAST(ts AS DATE), 'yyyy-MM-dd') AS Date, user_id,
                round(sum(value), 2) AS runtime, count(*) AS n_events
         FROM events GROUP BY 1, 2
     """)
@@ -4010,7 +4017,8 @@ _REV_SQL = (
     f"""
 SELECT l_orderkey,
        {_REV_SQL} AS revenue,
-       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_orderpriority
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -4045,7 +4053,8 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            # ISO-string date on both engines (r14 WARN sweep)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             "o_orderpriority",
         )
     )
@@ -4222,7 +4231,8 @@ def q_salted_replicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup",
     """
-SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS Date
+SELECT DISTINCT user_id, event_type,
+       strftime(CAST(ts AS DATE), '%Y-%m-%d') AS Date
 FROM events
 """,
 )
@@ -4270,7 +4280,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_microbatches >= n_batches, (
             f"expected >= {n_batches} micro-batches, got {n_microbatches}"
         )
-        return spark.table(name).select("user_id", "event_type", "Date")
+        # ISO-string Date on both engines (r14 WARN sweep)
+        return spark.table(name).select(
+            "user_id",
+            "event_type",
+            F.date_format("Date", "yyyy-MM-dd").alias("Date"),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -5030,7 +5045,8 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_large_volume_orders",
     """
 SELECT c_name, c_custkey, o_orderkey,
-       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+       o_totalprice,
        CAST(total_qty AS DOUBLE) AS total_qty
 FROM orders
 JOIN customer ON c_custkey = o_custkey
@@ -5064,7 +5080,8 @@ def q_tpch_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("order_date"),
+            # ISO-string date on both engines (r14 WARN sweep)
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
             "o_totalprice",
             F.col("total_qty").cast("double").alias("total_qty"),
         )
@@ -9580,7 +9597,10 @@ WITH g AS (
   FROM events CROSS JOIN range(0, 7) AS r(k)
   GROUP BY 1
 )
-SELECT window_start, window_start + 7 AS window_end, n_distinct FROM g
+SELECT strftime(window_start, '%Y-%m-%d') AS window_start,
+       strftime(window_start + 7, '%Y-%m-%d') AS window_end,
+       n_distinct
+FROM g
 """
 
 
@@ -9595,7 +9615,13 @@ def q_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregate import sliding_distinct
 
     ev = load_table(spark, "events", sf_dir)
-    return sliding_distinct(ev, "ts", "user_id", size_days=7, slide_days=1)
+    out = sliding_distinct(ev, "ts", "user_id", size_days=7, slide_days=1)
+    # ISO-string window bounds on both engines (r14 WARN sweep)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_start"),
+        F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
+        "n_distinct",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9765,7 +9791,7 @@ def q_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _STREAMING_UNIQUE_ORACLE = """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS Date,
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS Date,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_visitors
 FROM events GROUP BY 1
 """
@@ -9830,8 +9856,14 @@ def q_streaming_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         assert n_microbatches >= n_batches + 1
         # the sentinel's own far-future window never closes, so it
         # never reaches the sink; the bound filter is defensive only.
-        return spark.table(name).filter(
-            F.col("Date") <= F.lit(max_ts.date())
+        # ISO-string Date on both engines (r14 WARN sweep).
+        return (
+            spark.table(name)
+            .filter(F.col("Date") <= F.lit(max_ts.date()))
+            .select(
+                F.date_format("Date", "yyyy-MM-dd").alias("Date"),
+                "n_visitors",
+            )
         )
 
 
@@ -9909,8 +9941,14 @@ def q_streaming_unique_visitors_wm(spark: SparkSession, sf_dir: str) -> DataFram
         assert n_microbatches >= n_batches + 1
         # the sentinel's own far-future window never closes, so it
         # never reaches the sink; the bound filter is defensive only.
-        return spark.table(name).filter(
-            F.col("Date") <= F.lit(max_ts.date())
+        # ISO-string Date on both engines (r14 WARN sweep).
+        return (
+            spark.table(name)
+            .filter(F.col("Date") <= F.lit(max_ts.date()))
+            .select(
+                F.date_format("Date", "yyyy-MM-dd").alias("Date"),
+                "n_visitors",
+            )
         )
 
 
