@@ -111,27 +111,31 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     return F.array(*[_perm_min(base, i) for i in range(num_hashes)])
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     bands: int = 4,
     ngram: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via MinHash banding: docs sharing
-    any band of their signature. Returns (id_a, id_b, n_shared_bands)
-    with id_a < id_b.
+    """The banded MinHash index rows for a corpus: one row per
+    (``id_col``, band, band_sig). This IS the persistable LSH index —
+    write it to a table and new batches dedup against it without
+    re-minhashing history (:func:`incremental_minhash_dedup`); it is
+    also the shared first stage of :func:`minhash_lsh_candidates`.
 
-    One shuffle on (band, band-signature); pair explosion is bounded by
-    bucket sizes, not corpus size.
+    Long format: explode grams once, hash per (doc, perm), min-reduce.
+    The inlined-array alternative (minhash_signature) re-evaluates the
+    gram expression per permutation — a 16x expression blowup that
+    falls out of whole-stage codegen; this shape is also the one that
+    scales (hashing is map-side, one shuffle for the min-reduce).
+    ``materialize`` keeps the localCheckpoint barrier callers that
+    read the frame twice need (the self-join); pass False when the
+    rows go straight to a sink.
     """
     rows_per_band = num_hashes // bands
-    # Long format: explode grams once, hash per (doc, perm), min-reduce.
-    # The inlined-array alternative (minhash_signature) re-evaluates the
-    # gram expression per permutation — a 16x expression blowup that
-    # falls out of whole-stage codegen; this shape is also the one that
-    # scales (hashing is map-side, one shuffle for the min-reduce).
     from .skew import spread
 
     # project BEFORE the spread exchange: only (id, text) shuffle,
@@ -162,9 +166,27 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_sig"),
     )
-    # barrier: the self-join reads `banded` twice — without it the gram
-    # explode + 16-permutation min-reduce execute once per side.
-    banded = banded.localCheckpoint(eager=False)
+    return banded.localCheckpoint(eager=False) if materialize else banded
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash banding: docs sharing
+    any band of their signature. Returns (id_a, id_b, n_shared_bands)
+    with id_a < id_b.
+
+    One shuffle on (band, band-signature); pair explosion is bounded by
+    bucket sizes, not corpus size.
+    """
+    # barrier inside minhash_bands: the self-join reads `banded` twice —
+    # without it the gram explode + min-reduce execute once per side.
+    banded = minhash_bands(df, id_col, text_col, num_hashes, bands, ngram)
     # distinct alias names on both sides: same-lineage self-join would
     # otherwise resolve `band == band` to one attribute (always true).
     a = banded.select(
@@ -184,6 +206,89 @@ def minhash_lsh_candidates(
         & (F.col("id_a") < F.col("id_b")),
     )
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_shared_bands"))
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an arriving batch against a PERSISTED LSH index — the
+    production shape at 100 TB: history is minhashed once, its
+    (id, band, band_sig) rows live in a table, and each new batch
+    hashes only ITSELF. No recompute of history, ever.
+
+    ``index`` carries history's :func:`minhash_bands` rows (same
+    id_col name, same num_hashes/bands/ngram — the caller owns that
+    consistency; a mismatched banding silently finds nothing, so
+    persist the parameters next to the index table).
+
+    A batch doc is a duplicate when any band collides with (a) an
+    index row — cross-batch — or (b) a SMALLER-id batch doc —
+    within-batch, the same keep=min-id convention as the rest of the
+    dedup family. Resolution is single-pass and deterministic:
+    ``dup_of`` = the smallest colliding id (history and batch pooled),
+    NULL for novel docs. A doc whose only match was itself dropped
+    still drops (conservative, documented — transitive re-admission
+    would need iteration and changes no training-set semantics).
+
+    Returns ``(annotated, batch_bands)``: ``annotated`` is one row per
+    batch doc — (id, dup_of, is_new) — and ``batch_bands`` is the
+    batch's OWN index rows, ready to append to the index table (append
+    only the ``is_new`` ids' rows to keep the index canonical, or all
+    of them to also catch future dups of dropped docs — both are valid
+    policies; filtering by the annotated frame is one semi-join).
+
+    Scale shape: one gram explode + min-reduce over the BATCH only,
+    one (band, band_sig)-keyed join against the index (history-sized
+    but pruned to colliding buckets by the hash join), one batch
+    self-join bounded by bucket sizes, one min-aggregate. History text
+    is never read.
+    """
+    nb = minhash_bands(batch, id_col, text_col, num_hashes, bands, ngram)
+    hist_hits = (
+        nb.alias("n")
+        .join(
+            index.select(
+                F.col(id_col).alias("__hist_id"),
+                F.col("band").alias("band"),
+                F.col("band_sig").alias("band_sig"),
+            ),
+            on=["band", "band_sig"],
+        )
+        .select(F.col(f"n.{id_col}").alias("__id"), F.col("__hist_id").alias("__m"))
+    )
+    a = nb.select(
+        F.col(id_col).alias("__id"),
+        F.col("band").alias("band"),
+        F.col("band_sig").alias("band_sig"),
+    )
+    b = nb.select(
+        F.col(id_col).alias("__m"),
+        F.col("band").alias("band"),
+        F.col("band_sig").alias("band_sig"),
+    )
+    batch_hits = a.join(b, on=["band", "band_sig"]).filter(
+        F.col("__m") < F.col("__id")
+    ).select("__id", "__m")
+    best = (
+        hist_hits.unionByName(batch_hits)
+        .groupBy("__id")
+        .agg(F.min("__m").alias("dup_of"))
+    )
+    ids = batch.select(id_col).distinct()
+    annotated = ids.join(
+        best, ids[id_col] == best["__id"], "left"
+    ).select(
+        id_col,
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_new"),
+    )
+    return annotated, nb
 
 
 def jaccard_pairs(

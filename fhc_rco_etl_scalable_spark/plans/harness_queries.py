@@ -632,9 +632,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MD5_INT_SQL = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
-def _minhash_ctes(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+def _minhash_banded_ctes(
+    prefix: str = "",
+    where: str = "",
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+) -> str:
+    """CTE chain ``{p}g -> {p}mins -> {p}sigs -> {p}banded`` computing
+    the (doc_id, band, band_sig) LSH index rows for an optionally
+    filtered documents slice — the transcription of
+    ``operators.dedup.minhash_bands``."""
     from ..operators.dedup import MINHASH_PRIME, _perm_coeffs
 
+    p = prefix
     rows = num_hashes // bands
     toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     grams = (
@@ -651,19 +662,28 @@ def _minhash_ctes(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
         for b in range(bands)
     )
     band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, band{b} AS band_sig FROM sigs" for b in range(bands)
+        f"SELECT doc_id, {b} AS band, band{b} AS band_sig FROM {p}sigs"
+        for b in range(bands)
     )
+    wh = f" WHERE {where}" if where else ""
     return f"""
-    g AS (SELECT doc_id, {grams} AS g FROM documents),
-    mins AS (SELECT doc_id, {sig_items} FROM g),
-    sigs AS (SELECT *, {band_sigs} FROM mins),
-    banded AS ({band_rows}),
+    {p}g AS (SELECT doc_id, {grams} AS g FROM documents{wh}),
+    {p}mins AS (SELECT doc_id, {sig_items} FROM {p}g),
+    {p}sigs AS (SELECT *, {band_sigs} FROM {p}mins),
+    {p}banded AS ({band_rows})"""
+
+
+def _minhash_ctes(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
+    return (
+        _minhash_banded_ctes("", "", num_hashes, bands, ngram)
+        + """,
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )"""
+    )
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
@@ -678,6 +698,54 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, ngram: int = 3) -> str:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return DD.minhash_lsh_candidates(docs, "doc_id", "text")
+
+
+def _incremental_dedup_sql() -> str:
+    # history = doc_id % 4 != 0, arriving batch = doc_id % 4 = 0; the
+    # batch deduplicates against history's PERSISTED band rows plus its
+    # own smaller ids — the transcription of incremental_minhash_dedup.
+    return (
+        "WITH "
+        + _minhash_banded_ctes("h", "doc_id % 4 != 0")
+        + ","
+        + _minhash_banded_ctes("b", "doc_id % 4 = 0")
+        + """,
+    hits AS (
+      SELECT b.doc_id AS id, h.doc_id AS m
+      FROM bbanded b JOIN hbanded h
+        ON b.band = h.band AND b.band_sig = h.band_sig
+      UNION ALL
+      SELECT a.doc_id, c.doc_id
+      FROM bbanded a JOIN bbanded c
+        ON a.band = c.band AND a.band_sig = c.band_sig
+       AND c.doc_id < a.doc_id
+    ),
+    best AS (SELECT id, min(m) AS dup_of FROM hits GROUP BY id)
+SELECT d.doc_id, best.dup_of, best.dup_of IS NULL AS is_new
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 4 = 0) d
+LEFT JOIN best ON d.doc_id = best.id
+"""
+    )
+
+
+@query("incremental_dedup_index", _incremental_dedup_sql())
+def q_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-persisted-index dedup (operators/dedup.py::
+    incremental_minhash_dedup) — the 100 TB production shape: history
+    (doc_id % 4 != 0) is minhashed ONCE into (id, band, band_sig)
+    index rows; the arriving batch (doc_id % 4 == 0) hashes only
+    itself, joins the index on (band, band_sig) for cross-batch
+    collisions, self-joins for within-batch ones, and resolves
+    dup_of = smallest colliding id. History text is never re-read —
+    the plan's only history input is the index frame."""
+    docs = load_table(spark, "documents", sf_dir)
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    index = DD.minhash_bands(history, "doc_id", "text")
+    annotated, _batch_bands = DD.incremental_minhash_dedup(
+        batch, index, "doc_id", "text"
+    )
+    return annotated
 
 
 @query(

@@ -46,6 +46,50 @@ def test_minhash_identical_docs_share_all_bands(docs):
     assert (1, 4) in pairs  # near-dup shares at least one band
 
 
+def test_incremental_minhash_dedup_against_persisted_index(spark, docs, tmp_path):
+    """The production flow: minhash history ONCE, persist the band
+    rows to parquet, dedup an arriving batch against the READ-BACK
+    index — cross-batch dups resolve to the history id, within-batch
+    dups to the smaller batch id, novel docs pass; and appending the
+    batch's own bands catches a later batch's dup of THIS batch."""
+    history = docs.filter("doc_id IN (1, 3)")  # fox doc + spark doc
+    idx_path = str(tmp_path / "lsh_index.parquet")
+    DD.minhash_bands(history, "doc_id", "text").write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick  brown fox jumps over the lazy dog"),  # dup of 1
+            (11, "entirely novel text about incremental indexes"),
+            (12, "entirely novel text about incremental indexes"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    annotated, batch_bands = DD.incremental_minhash_dedup(
+        batch, index, "doc_id", "text"
+    )
+    got = {r.doc_id: (r.dup_of, r.is_new) for r in annotated.collect()}
+    assert got[10] == (1, False)  # history collision, history id wins
+    assert got[11] == (None, True)
+    assert got[12] == (11, False)  # within-batch, smaller id wins
+    # history text is never in the plan: the only parquet source is
+    # the index frame (batch/history are local relations here, so any
+    # parquet scan in the plan IS the index read-back)
+    plan = annotated._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in plan.lower()
+
+    # append the batch's bands; a later batch's dup of doc 11 now hits
+    batch_bands.write.mode("append").parquet(idx_path)
+    index2 = spark.read.parquet(idx_path)
+    later = spark.createDataFrame(
+        [(20, "entirely novel text about incremental indexes")],
+        "doc_id long, text string",
+    )
+    ann2, _ = DD.incremental_minhash_dedup(later, index2, "doc_id", "text")
+    (row,) = ann2.collect()
+    assert (row.dup_of, row.is_new) == (11, False)
+
+
 def test_jaccard_pairs_values(spark):
     df = spark.createDataFrame(
         [(1, "a b c d", "x"), (2, "a b c d", "x"), (3, "z z z z", "x")],
