@@ -382,6 +382,123 @@ def ivf_topk(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF index for a corpus — train the coarse
+    quantizer and assign every vector ONCE, so queries never touch the
+    raw corpus again (the 100 TB production shape; :func:`ivf_topk`
+    retrains+reassigns per call, right for one-shot jobs, wasteful for
+    a standing search service).
+
+    Returns ``(assignments, centroids)``: ``assignments`` is one row
+    per corpus vector — (id_col, cell int, unit_vec array<double>, the
+    pre-normalized vector so query-time cosine is a bare dot) — and
+    ``centroids`` is (cell int, centroid array<double>), ``n_cells``
+    rows. Write both to tables (partition/bucket assignments by
+    ``cell`` so a probe reads only its cells); re-read and hand to
+    :func:`ivf_topk_indexed`. Training is the same deterministic
+    Lloyd quantizer as ``ivf_topk`` (id-ordered sample, no RNG), so
+    an index built from the same corpus reproduces bit-identically.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .skew import spread
+
+    sample_rows = (
+        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
+        .orderBy("sid")
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample_rows:
+        raise ValueError("ivf_index: empty corpus")
+    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
+    cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
+
+    @pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(v @ cents.T, axis=1).astype(np.int32))
+
+    assignments = spread(corpus, id_col).select(
+        F.col(id_col),
+        _unit(F.col(vec_col)).alias("unit_vec"),
+    ).withColumn("cell", assign_cell(F.col("unit_vec")))
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    return assignments, centroids
+
+
+def ivf_topk_indexed(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k against a PERSISTED index (:func:`ivf_index` rows,
+    typically read back from tables): queries probe their ``n_probe``
+    nearest cells and exact cosine re-ranks the candidates — identical
+    result contract to :func:`ivf_topk` (``n_probe == n_cells``
+    degenerates to exhaustive and equals brute force, asserted in
+    pytest through a parquet round-trip), but the corpus is never
+    re-scanned, re-normalized, or re-assigned.
+
+    ``centroids`` is collected driver-side — a deliberate bounded
+    collect (n_cells rows; the quantizer is data, not data-scale) —
+    and the probe list broadcasts with the queries; the only big-side
+    work is the cell-keyed join against ``assignments``. Doubles
+    round-trip exactly through parquet, so the stored-index result is
+    bit-identical to the in-memory one.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(centroids.collect(), key=lambda r: r.cell)
+    if not cent_rows:
+        raise ValueError("ivf_topk_indexed: empty centroid table")
+    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    n_probe_eff = min(n_probe, len(cents))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe_eff].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = assignments.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("unit_vec").alias("__cv"),
+        F.col("cell").alias("__cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
+    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
+    cand = c.join(F.broadcast(q), "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = cand.withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )
+
+
 def l2_dist(a: Column, b: Column) -> Column:
     """Euclidean distance of two equal-length double arrays."""
     return F.sqrt(

@@ -842,6 +842,23 @@ def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=5, n_cells=16, n_probe=16)
 
 
+@query("ann_index_query", _TOPK_ORACLE)
+def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against a PERSISTED IVF index (operators/similarity.py::
+    ivf_index + ivf_topk_indexed) — the standing-search-service shape:
+    the quantizer trains and the corpus assigns ONCE into persistable
+    (id, cell, unit_vec) + (cell, centroid) tables; queries probe the
+    stored cells and never re-scan the raw corpus. Probe-all under the
+    brute-force oracle (same degeneracy as embedding_topk_ivf); the
+    parquet persistence round-trip is pytest-certified."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    assignments, centroids = SIM.ivf_index(emb, n_cells=16)
+    return SIM.ivf_topk_indexed(
+        assignments, centroids, queries, k=5, n_probe=16
+    )
+
+
 _SIMHASH_VOTES = ",\n             ".join(
     f"CASE WHEN sum(CASE WHEN (gh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
     f" THEN {1 << i} ELSE 0 END AS b{i}"

@@ -255,6 +255,34 @@ def test_ivf_probe_all_equals_brute_force(spark):
     assert recall >= 0.5, f"IVF recall {recall}"
 
 
+def test_ivf_persisted_index_roundtrip_equals_brute_force(spark, tmp_path):
+    """The standing-service flow: ivf_index trains + assigns ONCE,
+    both tables persist to parquet, and ivf_topk_indexed against the
+    READ-BACK index at probe-all equals brute force bit-for-bit
+    (doubles round-trip exactly through parquet). A lower n_probe
+    against the same stored index keeps bounded recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    assignments, centroids = SIM.ivf_index(emb, n_cells=8)
+    a_path, c_path = str(tmp_path / "assign"), str(tmp_path / "cents")
+    assignments.write.parquet(a_path)
+    centroids.write.parquet(c_path)
+    a2, c2 = spark.read.parquet(a_path), spark.read.parquet(c_path)
+
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in SIM.brute_force_topk(emb, queries, k=5).collect()}
+    stored_all = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk_indexed(a2, c2, queries, k=5, n_probe=8).collect()
+    }
+    assert stored_all == exact
+
+    approx = SIM.ivf_topk_indexed(a2, c2, queries, k=5, n_probe=3).collect()
+    exact_set = set(exact.values())
+    recall = len({r.neighbor_id for r in approx} & exact_set) / len(exact_set)
+    assert recall >= 0.5, f"stored-index IVF recall {recall}"
+
+
 def test_simhash_null_text_keeps_row_both_forms(spark):
     """NULL text coalesces to '' in BOTH simhash forms: the frame form
     must not drop the id (explode of a NULL gram array would), and both
