@@ -728,6 +728,109 @@ LEFT JOIN best ON d.doc_id = best.id
     )
 
 
+def _streaming_inc_dedup_sql() -> str:
+    # Two ntile(2)-over-doc_id arriving batches (the exact slicing
+    # _staged_file_stream uses): batch 1 dedups within itself against
+    # an empty index; batch 2 dedups against batch 1's FULL band rows
+    # (the entry appends every band, not only is_new — documented
+    # policy) plus its own smaller ids. Result = one row per doc.
+    b1 = ("doc_id IN (SELECT doc_id FROM (SELECT doc_id,"
+          " ntile(2) OVER (ORDER BY doc_id) AS k FROM documents) WHERE k = 1)")
+    b2 = ("doc_id IN (SELECT doc_id FROM (SELECT doc_id,"
+          " ntile(2) OVER (ORDER BY doc_id) AS k FROM documents) WHERE k = 2)")
+    return (
+        "WITH "
+        + _minhash_banded_ctes("p", b1)
+        + ","
+        + _minhash_banded_ctes("q", b2)
+        + """,
+    hits AS (
+      SELECT a.doc_id AS id, c.doc_id AS m
+      FROM pbanded a JOIN pbanded c
+        ON a.band = c.band AND a.band_sig = c.band_sig
+       AND c.doc_id < a.doc_id
+      UNION ALL
+      SELECT b.doc_id, h.doc_id
+      FROM qbanded b JOIN pbanded h
+        ON b.band = h.band AND b.band_sig = h.band_sig
+      UNION ALL
+      SELECT a.doc_id, c.doc_id
+      FROM qbanded a JOIN qbanded c
+        ON a.band = c.band AND a.band_sig = c.band_sig
+       AND c.doc_id < a.doc_id
+    ),
+    best AS (SELECT id, min(m) AS dup_of FROM hits GROUP BY id)
+SELECT d.doc_id, best.dup_of, best.dup_of IS NULL AS is_new
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN best ON d.doc_id = best.id
+"""
+    )
+
+
+@query("streaming_incremental_dedup", _streaming_inc_dedup_sql())
+def q_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The continuous-ingest dedup SERVICE: a document stream arrives
+    as micro-batches; each batch foreachBatch-dedups against the
+    PERSISTED band index (operators/dedup.py::incremental_minhash_dedup)
+    and then appends its own bands, so batch N+1 catches dups of
+    everything before it — history text is never re-minhashed, the
+    index table is the only cross-batch state. Deterministic: batches
+    are the ntile(2)-by-doc_id slices and the oracle transcribes the
+    same two-step application."""
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    n_batches = 2  # 1 cross-batch index carry (the point)
+    work = tempfile.mkdtemp(prefix=f"incded_{uuid.uuid4().hex[:8]}_")
+    index_dir = f"{work}/index"
+    results_dir = f"{work}/results"
+    # seed an empty, correctly-typed index so batch 1's read succeeds
+    spark.createDataFrame([], "doc_id long, band int, band_sig string") \
+        .write.parquet(index_dir)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index = spark.read.parquet(index_dir)
+        annotated, bands = DD.incremental_minhash_dedup(
+            batch_df, index, "doc_id", "text"
+        )
+        # materialize the annotations BEFORE extending the index: both
+        # outputs read the same batch bands, and the index append must
+        # not race the annotation read of the pre-append index.
+        annotated.write.mode("append").parquet(results_dir)
+        bands.write.mode("append").parquet(index_dir)
+
+    try:
+        with _clamped_shuffle(spark), _staged_file_stream(
+            docs, n_batches, ["doc_id"], "sg-incded", cache_key=sf_dir
+        ) as src:
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(handle)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{work}/ck")
+                .start()
+            )
+            assert q.awaitTermination(300), "incremental dedup stream timed out"
+            n_microbatches = q.lastProgress["batchId"] + 1 if q.lastProgress else 0
+            q.stop()
+            assert n_microbatches >= n_batches
+            out = spark.read.parquet(results_dir).select(
+                "doc_id", "dup_of", "is_new"
+            )
+            # the work dir outlives the return: the driver collects the
+            # frame AFTER this function exits. localCheckpoint pins the
+            # rows so the cleanup below can delete the files.
+            return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @query("incremental_dedup_index", _incremental_dedup_sql())
 def q_incremental_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-persisted-index dedup (operators/dedup.py::

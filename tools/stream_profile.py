@@ -35,6 +35,7 @@ STREAM_ENTRIES = [
     "streaming_interval_join_outer",
     "streaming_enrich_join",
     "streaming_ewma_harness",
+    "streaming_incremental_dedup",
 ]
 
 _BUCKETS = (
