@@ -806,6 +806,24 @@ def main() -> int:
         "CartesianProduct" not in p and "BroadcastNestedLoop" not in p,
     )
 
+    # 35c. Round-14 persisted-index family. incremental_dedup_index:
+    #     both band joins are HASH joins on (band, band_sig) — no
+    #     cartesian anywhere — and no per-row Python (the minhash
+    #     pipeline is native expressions). ann_index_query: the probe
+    #     side broadcasts (queries x n_probe rows); the assignments
+    #     side must not BroadcastNestedLoop (the cell key is an
+    #     equi-join). Its cell-assign/probe Pandas UDFs ARE Python
+    #     nodes by design (Arrow-batched matmuls), so only the join
+    #     strategy is asserted there.
+    p = plan_of(hq.QUERIES["incremental_dedup_index"](spark, sf_dir))
+    check("no_cartesian(incremental_dedup_index)",
+          "CartesianProduct" not in p and "BroadcastNestedLoop" not in p)
+    check("no_python(incremental_dedup_index)", "Python" not in p)
+    p = plan_of(hq.QUERIES["ann_index_query"](spark, sf_dir))
+    check("no_cartesian(ann_index_query)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("broadcast(ann_index_query probes)", "BroadcastExchange" in p)
+
     # 36. S4 pruned REST scan, in-plan: the site IN-filter must be
     #     CONSUMED by pushFilters (no post-scan Filter survives) and
     #     the BatchScan's output must be exactly the 3 requested
