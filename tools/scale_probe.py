@@ -9,7 +9,7 @@ shuffle key space grows proportionally, so near-linear wall time here
 is evidence the plan has no all-pairs / driver-side bottleneck hiding
 at test scale.
 
-Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|gapfill|lttb|ewma|kcore|lpa|lpa_scale|pivot] [--base B] [sf_dir] [N ...]
+Usage: python tools/scale_probe.py [--probe site|minhash|corpus|span|margin|fuzzy|funnel|semdedup|ngram|bpe|substr|substr_skew|graph|sliding|negsample|incdedup|gapfill|lttb|ewma|kcore|lpa|lpa_scale|pivot] [--base B] [sf_dir] [N ...]
 Prints one line per N plus a JSON summary. --base B pre-replicates
 the input B-fold before the probe's own N-fold replication, so
 N=1/4/8 at --base 10 measures an sf1-equivalent base corpus where
@@ -928,6 +928,94 @@ def run_sliding_dense(spark, ev) -> dict[str, int]:
     }
 
 
+def run_incdedup(spark, hist, sf_dir: str) -> dict:
+    """The persisted-index claim, MEASURED: dedup a FIXED batch
+    against an N-fold-grown history two ways — (a) incremental,
+    against history's PRE-BUILT parquet band index (what the index
+    exists for: the timed path hashes only the batch and joins the
+    stored bands), and (b) full recompute, minhash-banding
+    history+batch from raw text (what you'd do without an index).
+    (b) re-minhashes history and must grow ~linearly with N; (a) pays
+    only the batch hash + the band-keyed join probe. The timed
+    incremental path includes NO index build — that's the once-per-
+    ingest cost the probe stages untimed, exactly like production.
+    Row counts of both paths' duplicate sets are asserted equal (the
+    pair semantics differ only in presentation: (a) min-id per batch
+    doc, (b) raw pairs — compare the CONTAMINATED-batch-id set)."""
+    import shutil
+    import tempfile
+
+    from fhc_rco_etl_scalable_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_bands,
+        minhash_lsh_candidates,
+    )
+    from fhc_rco_etl_scalable_spark.sources.parquet import load_table
+
+    # batch = the base documents shifted into a fresh id space, text
+    # UNsalted — so every batch doc near-dups its replica-0 history
+    # twin and the dup set is non-trivial at every N.
+    batch = load_table(spark, "documents", sf_dir).select(
+        (F.col("doc_id") + F.lit(900_000_000_000)).alias("doc_id"), "text"
+    )
+    tmp = tempfile.mkdtemp(prefix="incded_probe_")
+    try:
+        # untimed: the once-per-ingest index build + both inputs to
+        # parquet (a real deployment reads files, not a 2N-branch
+        # union plan)
+        hist_path, batch_path, idx_path = (
+            f"{tmp}/hist", f"{tmp}/batch", f"{tmp}/idx",
+        )
+        hist.select("doc_id", "text").write.parquet(hist_path)
+        batch.write.parquet(batch_path)
+        hist_d = spark.read.parquet(hist_path)
+        batch_d = spark.read.parquet(batch_path)
+        minhash_bands(hist_d, "doc_id", "text", materialize=False).write.parquet(
+            idx_path
+        )
+
+        # min-of-2 per path, interleaved (inc/full/inc/full): the
+        # first execution of either pipeline pays minhash codegen/JIT,
+        # and single samples swing with co-tenant bursts.
+        def run_inc() -> int:
+            annotated, _ = incremental_minhash_dedup(
+                batch_d, spark.read.parquet(idx_path), "doc_id", "text"
+            )
+            return annotated.filter(~F.col("is_new")).count()
+
+        def run_full() -> int:
+            pairs = minhash_lsh_candidates(
+                hist_d.unionByName(batch_d.select("doc_id", "text")),
+                "doc_id", "text",
+            )
+            return (
+                pairs.filter(F.col("id_b") >= 900_000_000_000)
+                .select("id_b")
+                .distinct()
+                .count()
+            )
+
+        t_inc = t_full = float("inf")
+        inc_dups = full_dups = -1
+        for _ in range(2):
+            t0 = time.time()
+            inc_dups = run_inc()
+            t_inc = min(t_inc, time.time() - t0)
+            t0 = time.time()
+            full_dups = run_full()
+            t_full = min(t_full, time.time() - t0)
+        return {
+            "inc_sec": round(t_inc, 2),
+            "full_sec": round(t_full, 2),
+            "speedup": round(t_full / max(t_inc, 1e-9), 2),
+            "dups_inc": inc_dups,
+            "dups_full": full_dups,
+            "dups_equal": inc_dups == full_dups,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 RUNNERS = {
     "site": lambda spark, data, sf_dir: run_pipeline(spark, data),
     "minhash": lambda spark, data, sf_dir: run_minhash(spark, data),
@@ -949,6 +1037,7 @@ RUNNERS = {
     "lpa_scale": lambda spark, data, sf_dir: run_lpa_scale(spark, data),
     "pivot": lambda spark, data, sf_dir: run_pivot(spark, data),
     "negsample": lambda spark, data, sf_dir: run_negsample(spark, data),
+    "incdedup": run_incdedup,
     "gapfill": lambda spark, data, sf_dir: run_gapfill(spark, data),
     "lttb": lambda spark, data, sf_dir: run_lttb(spark, data),
     "ewma": lambda spark, data, sf_dir: run_ewma(spark, data),
@@ -1021,6 +1110,11 @@ def main() -> None:
         elif probe == "negsample":
             # suffix replicas: disjoint doc ids, n grows N-fold.
             data = scaled_documents(spark, sf_dir, eff, mode="suffix")
+        elif probe == "incdedup":
+            # cipher replicas = the N-fold-grown HISTORY (replica 0
+            # unsalted so the probe's fixed batch has real dups);
+            # the runner stages its own parquet, no --materialize.
+            data = scaled_documents(spark, sf_dir, eff, mode="cipher")
         elif probe in ("ngram", "bpe"):
             # suffix mode: disjoint doc ids, near-identical vocabulary
             # — the growth axis where a broadcast model must saturate.
