@@ -260,6 +260,11 @@ def incremental_minhash_dedup(
             ),
             on=["band", "band_sig"],
         )
+        # self-id guard (ADVICE r14): foreachBatch is at-least-once —
+        # on a replay whose own bands were already appended to the
+        # index, every doc would otherwise collide with ITSELF and the
+        # whole batch would silently drop as dup_of itself.
+        .filter(F.col("__hist_id") != F.col(f"n.{id_col}"))
         .select(F.col(f"n.{id_col}").alias("__id"), F.col("__hist_id").alias("__m"))
     )
     a = nb.select(

@@ -75,6 +75,22 @@ def with_derived_flags(
     )
 
 
+def production_only_filter(production: DataFrame) -> DataFrame:
+    """Keep only 'In Production' production-event rows (F6; reference
+    data_from_mdc.py:183: ``renamed_data['LineStatus'].astype(str) ==
+    'In Production'``).
+
+    The reference applies this at EXTRACTION, before anything consumes
+    the production log — PR-Out / NPT stretches must not vote in the
+    brandcode master argmax (A5) nor feed the max-positive StatFactor
+    (A6). astype(str) maps NaN to the literal 'nan', which never equals
+    'In Production', so a plain equality (null ⇒ drop) is the faithful
+    Spark form. A pushdown-friendly scan predicate: reaches the parquet
+    reader as an EqualTo filter.
+    """
+    return production.filter(F.col("LineStatus") == "In Production")
+
+
 def downtime_variants(
     flagged: DataFrame, multi_constraint: bool = False
 ) -> dict[str, DataFrame]:

@@ -416,7 +416,18 @@ def ivf_index(
         .collect()
     )
     if not sample_rows:
-        raise ValueError("ivf_index: empty corpus")
+        # empty-input contract matches ivf_topk (ADVICE r14): empty,
+        # correctly-typed frames, not a raise — an empty partition of a
+        # larger build job should produce an empty index shard.
+        assignments = corpus.select(
+            F.col(id_col),
+            _unit(F.col(vec_col)).alias("unit_vec"),
+            F.lit(0).alias("cell"),
+        ).limit(0)
+        centroids = corpus.sparkSession.createDataFrame(
+            [], "cell int, centroid array<double>"
+        )
+        return assignments, centroids
     sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
 
@@ -465,7 +476,9 @@ def ivf_topk_indexed(
 
     cent_rows = sorted(centroids.collect(), key=lambda r: r.cell)
     if not cent_rows:
-        raise ValueError("ivf_topk_indexed: empty centroid table")
+        # empty index (built from an empty corpus) → no neighbors, same
+        # typed-empty contract as ivf_index / ivf_topk.
+        return _empty_topk_result(queries, id_col)
     cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
     n_probe_eff = min(n_probe, len(cents))
 

@@ -72,6 +72,13 @@ class SiteParams:
     # contract as pivot_wide). Tuple, not list: SiteParams is shared
     # across threads by run_all_sites.
     cause_summary_categories: tuple[str, ...] | None = None
+    # F6 (reference data_from_mdc.py:183): production events are
+    # filtered to LineStatus == 'In Production' before brandcode master
+    # derivation, so PR-Out stretches never vote in the A5 argmax / A6
+    # StatFactor max. Applied by site_etl when the production frame
+    # carries a LineStatus column; False opts a site out (a source that
+    # pre-filters upstream, as the harness fixtures do by construction).
+    production_only: bool = True
 
 
 ORDER_COLS = ["START_TIME", "downtime_id"]

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregate import pivot_wide, runtime_per_day
 from ..operators.brandcode import brandcode_master
-from ..operators.extract import downtime_variants, with_derived_flags
+from ..operators.extract import (
+    downtime_variants,
+    production_only_filter,
+    with_derived_flags,
+)
 from ..operators.gantt import gantt_analysis
 from .rco_pipeline import SiteParams, mes_etl
 
@@ -136,7 +140,14 @@ def site_etl(
         )
 
     if production is not None:
-        outputs["BRANDCODE_data"] = brandcode_master(production, site.server)
+        prod = production
+        # F6 (data_from_mdc.py:183): drop non-'In Production' rows
+        # before the master-data vote. Conditional on the column being
+        # present: sources that pre-filter at extraction hand over a
+        # frame without LineStatus, which is already the filtered shape.
+        if site.production_only and "LineStatus" in prod.columns:
+            prod = production_only_filter(prod)
+        outputs["BRANDCODE_data"] = brandcode_master(prod, site.server)
 
     # Script_Data state row per line (reference overall_etl.py:186-232,
     # R :236-282): watermark + data bounds + day-start hour + number of

@@ -261,16 +261,23 @@ def dynamic_output_schema(name: str, df: DataFrame) -> T.StructType:
         raise ValueError(f"no dynamic schema rule for output table {name!r}")
     cols = df.columns
     mids = cols[2:-1]
+    types = {f.name: f.dataType for f in df.schema.fields}
     if (
         len(cols) < 4
         or cols[:2] != ["Date", "LINE"]
         or cols[-1] != "Server"
         or not all(c.endswith("_min") for c in mids)
         or len(set(mids)) != len(mids)
+        # fail-here promise covers TYPES too (ADVICE r14): a refactor
+        # that changes a measure's type must not be silently cast
+        # (possibly to NULL) by align_to_schema downstream.
+        or not isinstance(types["Date"], T.DateType)
+        or not all(isinstance(types[c], T.DoubleType) for c in mids)
     ):
         raise ValueError(
             "Daily_Cause_Summary batch has unexpected column shape "
-            f"{cols}; expected [Date, LINE, <slug>_min..., Server]"
+            f"{df.schema.simpleString()}; expected [Date DATE, LINE, "
+            "<slug>_min DOUBLE..., Server]"
         )
     return _struct(
         ("Date", T.DateType()),

@@ -140,6 +140,45 @@ def test_brandcode_master(site_outputs):
     assert rows["A"].UNITS_PER_CASE == 12.0
 
 
+def test_production_only_filter_gates_brandcode_vote(spark):
+    # F6 (reference data_from_mdc.py:183): PR-Out production rows must
+    # not vote in the A5 argmax nor feed the A6 StatFactor max.
+    rows = [
+        ("p1", "A", "Brand:Alpha", "Fam", "Grp", 12.0, 2.0, "In Production"),
+        ("p2", "A", "Brand:Alpha", "Fam", "Grp", 12.0, 3.0, "In Production"),
+        # three PR-Out ghosts: would win the argmax AND the max-positive
+        # StatFactor if the filter were skipped.
+        ("p3", "A", "Ghost", "BAD", "BAD", 99.0, 1e6, "PR-Out"),
+        ("p4", "A", "Ghost", "BAD", "BAD", 99.0, 1e6, "PR-Out"),
+        ("p5", "A", "Ghost", "BAD", "BAD", 99.0, 1e6, None),
+    ]
+    schema = (
+        "event_id string, BRANDCODE string, ProdDesc string, ProdFam string,"
+        " ProdGroup string, FirstPackCount double, StatFactor double,"
+        " LineStatus string"
+    )
+    prod = spark.createDataFrame(rows, schema)
+    downtime = spark.createDataFrame(
+        [_dt("d1", "L1", "L1 CM", 0, 10, 30, "A", "Planned Downtime", "Changeover")],
+        DT_SCHEMA,
+    )
+    outs = site_etl(
+        downtime, prod, SiteParams(server="SRV"), run_machine_level=False,
+        data_update_time=datetime(2024, 1, 5),
+    )
+    row = outs["BRANDCODE_data"].collect()[0]
+    assert row.ProdFam == "Fam" and row.StatFactor == 3.0
+    assert row.UNITS_PER_CASE == 12.0
+
+    # opt-out: a site whose source pre-filters keeps every row
+    outs_off = site_etl(
+        downtime, prod, SiteParams(server="SRV", production_only=False),
+        run_machine_level=False, data_update_time=datetime(2024, 1, 5),
+    )
+    row_off = outs_off["BRANDCODE_data"].collect()[0]
+    assert row_off.ProdFam == "BAD" and row_off.StatFactor == 1e6
+
+
 def test_script_data(site_outputs):
     rows = site_outputs["Script_Data"].collect()
     assert len(rows) == 1
