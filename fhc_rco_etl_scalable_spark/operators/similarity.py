@@ -448,6 +448,79 @@ def ivf_index(
     return assignments, centroids
 
 
+def ivf_index_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors under an EXISTING quantizer (VERDICT r14 #5
+    — index maintenance for a growing corpus): returns
+    :func:`ivf_index`-shaped assignment rows (id_col, unit_vec, cell)
+    ready to append to the assignments table. No retrain, no touch of
+    the already-indexed corpus — the steady-state ingest op; pair with
+    :func:`ivf_drift_stats` to decide when accumulated appends have
+    drifted far enough from the trained quantizer to justify a rebuild
+    (which is just :func:`ivf_index` over the full corpus again).
+
+    Deterministic: appending batches B1..Bn to an index built from B0
+    assigns each vector exactly as a fresh ``ivf_index`` over
+    B0∪..∪Bn would, PROVIDED the quantizer is the same — drift is
+    about recall quality (vectors landing in cells whose centroid no
+    longer represents them), not correctness of the assignment rule.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(centroids.collect(), key=lambda r: r.cell)
+    if not cent_rows:
+        raise ValueError(
+            "ivf_index_append: empty centroid table — build the index "
+            "with ivf_index first (appends need a trained quantizer)"
+        )
+    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+
+    @pandas_udf("int")
+    def assign_cell(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        return pd.Series(np.argmax(v @ cents.T, axis=1).astype(np.int32))
+
+    return new_vectors.select(
+        F.col(id_col),
+        _unit(F.col(vec_col)).alias("unit_vec"),
+    ).withColumn("cell", assign_cell(F.col("unit_vec")))
+
+
+def ivf_drift_stats(
+    assignments: DataFrame,
+    centroids: DataFrame,
+) -> DataFrame:
+    """Per-cell health of a (possibly append-grown) IVF index: row
+    count and mean cosine of each assigned vector to its cell
+    centroid. Returns (cell int, n_vectors bigint, mean_sim double).
+
+    The retrain trigger reads off this frame: a cell whose mean_sim
+    has sagged (new data no longer near the trained centroid) or
+    whose n_vectors dwarfs the rest (probe cost concentrates there)
+    means the quantizer no longer fits the corpus — rebuild with
+    :func:`ivf_index`. One broadcast join (centroids are n_cells
+    rows) + one cell-keyed aggregate; never collects the corpus.
+    Both halves are pure column expressions — the dot product is
+    ``F.zip_with``/``F.aggregate``, no Python in the hot path.
+    """
+    cent = centroids.select(
+        F.col("cell"), F.col("centroid").alias("__cent")
+    )
+    return (
+        assignments.join(F.broadcast(cent), "cell")
+        .withColumn("__sim", dot(F.col("unit_vec"), F.col("__cent")))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__sim"), 6).alias("mean_sim"),
+        )
+    )
+
+
 def ivf_topk_indexed(
     assignments: DataFrame,
     centroids: DataFrame,
@@ -572,6 +645,211 @@ def _kmeans_l2(sample: np.ndarray, n_codes: int, iters: int = 10) -> np.ndarray:
     return c
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m_subvectors: int = 8,
+    n_codes: int = 32,
+    sample_size: int = 512,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF-PQ index (VERDICT r14 #6 — the
+    standing-service twin of :func:`ivfpq_topk`, mirroring what
+    :func:`ivf_index` is to :func:`ivf_topk`): train the coarse
+    quantizer + per-subvector codebooks ONCE on the deterministic
+    id-ordered sample, encode every corpus vector ONCE, and never
+    touch the raw corpus again at query time.
+
+    Returns ``(assignments, centroids, codebooks)``:
+
+    - ``assignments``: one row per corpus vector — (id_col, unit_vec
+      array<double>, cell int, codes array<int>). ``codes`` is the hot
+      index (m bytes/vector at scale); ``unit_vec`` is the exact-vector
+      side needed only for the final refine re-rank. At 100 TB you
+      would store codes and vectors as separate tables (codes hot,
+      vectors cold) and semi-join the refine survivors; one frame here
+      keeps the API parallel to :func:`ivf_index` — partition/bucket
+      by ``cell`` either way so probes read only their cells.
+    - ``centroids``: (cell int, centroid array<double>), ``n_cells``
+      rows.
+    - ``codebooks``: (subvector int, code int, vec array<double>),
+      ``m_subvectors * n_codes`` rows — the PQ tables.
+
+    Training is deterministic (id-ordered sample, Lloyd with fixed
+    init, no RNG) and doubles round-trip parquet exactly, so an index
+    built from the same corpus reproduces bit-identically and
+    :func:`ivfpq_topk_indexed` over the stored index equals the
+    one-shot :func:`ivfpq_topk` (which now delegates through here).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from .skew import spread
+
+    spark = corpus.sparkSession
+    sample_rows = (
+        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
+        .orderBy("sid")
+        .limit(sample_size)
+        .collect()
+    )
+    if not sample_rows:
+        # typed-empty contract, same as ivf_index (ADVICE r14)
+        assignments = corpus.select(
+            F.col(id_col),
+            _unit(F.col(vec_col)).alias("unit_vec"),
+            F.lit(0).alias("cell"),
+            F.array().cast("array<int>").alias("codes"),
+        ).limit(0)
+        empty_cents = spark.createDataFrame([], "cell int, centroid array<double>")
+        empty_books = spark.createDataFrame(
+            [], "subvector int, code int, vec array<double>"
+        )
+        return assignments, empty_cents, empty_books
+    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
+    dim = sample.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    sub = dim // m_subvectors
+    cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
+    resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
+    books = [
+        _kmeans_l2(resid[:, j * sub : (j + 1) * sub], min(n_codes, len(resid)))
+        for j in range(m_subvectors)
+    ]
+
+    @pandas_udf("struct<cell:int, codes:array<int>>")
+    def encode(vecs: pd.Series) -> pd.DataFrame:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        cell = np.argmax(v @ cents.T, axis=1)
+        r = v - cents[cell]
+        codes = np.empty((len(v), m_subvectors), dtype=np.int32)
+        for j in range(m_subvectors):
+            block = r[:, j * sub : (j + 1) * sub]
+            d2 = ((block[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
+
+    assignments = (
+        spread(corpus, id_col)
+        .select(F.col(id_col), _unit(F.col(vec_col)).alias("unit_vec"))
+        .withColumn("__enc", encode(F.col("unit_vec")))
+        .select(
+            id_col,
+            "unit_vec",
+            F.col("__enc.cell").alias("cell"),
+            F.col("__enc.codes").alias("codes"),
+        )
+    )
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    codebooks = spark.createDataFrame(
+        [
+            (int(j), int(cde), [float(x) for x in vec])
+            for j, book in enumerate(books)
+            for cde, vec in enumerate(book)
+        ],
+        "subvector int, code int, vec array<double>",
+    )
+    return assignments, centroids, codebooks
+
+
+def ivfpq_topk_indexed(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ top-k against a PERSISTED index (:func:`ivfpq_index`
+    frames, typically read back from tables): queries probe their
+    ``n_probe`` nearest cells, rank candidates by the ADC dot product
+    reconstructed from the stored codes, and exact-cosine re-rank the
+    top ``refine * k`` survivors. Identical result contract to
+    :func:`ivfpq_topk` (which delegates here) — ``n_probe == n_cells``
+    with a big enough refine set equals brute force.
+
+    ``centroids`` and ``codebooks`` are collected driver-side — a
+    bounded-by-contract collect (n_cells + m*n_codes rows; the
+    quantizer is model, not data-scale) — and broadcast as closure
+    constants; the only big-side work is the cell-keyed join against
+    ``assignments``. The corpus is never re-scanned or re-encoded.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(centroids.collect(), key=lambda r: r.cell)
+    if not cent_rows:
+        # empty index — same typed-empty contract as ivf_topk_indexed
+        return _empty_topk_result(queries, id_col)
+    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    book_rows = codebooks.collect()
+    m_subvectors = max(r.subvector for r in book_rows) + 1
+    books = []
+    for j in range(m_subvectors):
+        rows_j = sorted((r for r in book_rows if r.subvector == j),
+                        key=lambda r: r.code)
+        books.append(np.asarray([r.vec for r in rows_j], dtype=np.float64))
+    sub = books[0].shape[1]
+    n_probe_eff = min(n_probe, len(cents))
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        v = np.asarray(vecs.tolist(), dtype=np.float64)
+        order = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe_eff].astype(np.int32)
+        return pd.Series(list(order))
+
+    @pandas_udf("double")
+    def adc_dot(qv: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
+        q = np.asarray(qv.tolist(), dtype=np.float64)
+        cel = np.asarray(cell, dtype=np.int64)
+        s = np.einsum("bd,bd->b", q, cents[cel])
+        code = np.asarray(codes.tolist(), dtype=np.int64)
+        for j in range(m_subvectors):
+            qs = q[:, j * sub : (j + 1) * sub]
+            vs = books[j][code[:, j]]
+            s = s + np.einsum("bs,bs->b", qs, vs)
+        return pd.Series(s)
+
+    c = assignments.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("unit_vec").alias("__cv"),
+        F.col("cell").alias("__cell"),
+        F.col("codes").alias("__codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
+    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
+    cand = c.join(F.broadcast(q), "__cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cand = cand.withColumn(
+        "__adc", adc_dot(F.col("__qv"), F.col("__cell"), F.col("__codes"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col("neighbor_id")
+    )
+    survivors = cand.withColumn("__arank", F.row_number().over(w_adc)).filter(
+        F.col("__arank") <= refine * k
+    )
+    survivors = survivors.withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -606,102 +884,36 @@ def ivfpq_topk(
     every candidate exactly — deterministically equal to
     ``brute_force_topk`` (the oracle configuration; the full PQ path
     still executes). Approximate recall is pytest-bounded.
+
+    Since r15 this is a thin composition of :func:`ivfpq_index` +
+    :func:`ivfpq_topk_indexed` — one code path, so the one-shot and
+    persisted-index results are identical by construction (the index
+    frames stay lazy; nothing materializes that the old in-line form
+    didn't).
     """
-    from pyspark.sql.functions import pandas_udf
-
-    from .skew import spread
-
-    sample_rows = (
-        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
-        .orderBy("sid")
-        .limit(sample_size)
-        .collect()
+    assignments, centroids, codebooks = ivfpq_index(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        m_subvectors=m_subvectors,
+        n_codes=n_codes,
+        sample_size=sample_size,
     )
-    if not sample_rows:
-        # schema must match the non-empty path exactly, including the
-        # id dtype the caller actually uses — a hardcoded `long` here
-        # would make downstream unions type-flip on corpus emptiness
+    # preserve the documented empty-corpus contract: id dtype comes
+    # from the CALLER's corpus frame.
+    if centroids.isEmpty():
         return _empty_topk_result(corpus, id_col)
-    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
-    dim = sample.shape[1]
-    if dim % m_subvectors:
-        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
-    sub = dim // m_subvectors
-    cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
-    resid = sample - cents[np.argmax(sample @ cents.T, axis=1)]
-    books = [
-        _kmeans_l2(resid[:, j * sub : (j + 1) * sub], min(n_codes, len(resid)))
-        for j in range(m_subvectors)
-    ]
-
-    @pandas_udf("struct<cell:int, codes:array<int>>")
-    def encode(vecs: pd.Series) -> pd.DataFrame:
-        v = np.asarray(vecs.tolist(), dtype=np.float64)
-        cell = np.argmax(v @ cents.T, axis=1)
-        r = v - cents[cell]
-        codes = np.empty((len(v), m_subvectors), dtype=np.int32)
-        for j in range(m_subvectors):
-            block = r[:, j * sub : (j + 1) * sub]
-            d2 = ((block[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.DataFrame(
-            {"cell": cell.astype(np.int32), "codes": list(codes)}
-        )
-
-    n_probe_eff = min(n_probe, len(cents))
-
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        v = np.asarray(vecs.tolist(), dtype=np.float64)
-        order = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe_eff].astype(np.int32)
-        return pd.Series(list(order))
-
-    @pandas_udf("double")
-    def adc_dot(qv: pd.Series, cell: pd.Series, codes: pd.Series) -> pd.Series:
-        q = np.asarray(qv.tolist(), dtype=np.float64)
-        cel = np.asarray(cell, dtype=np.int64)
-        s = np.einsum("bd,bd->b", q, cents[cel])
-        code = np.asarray(codes.tolist(), dtype=np.int64)
-        for j in range(m_subvectors):
-            qs = q[:, j * sub : (j + 1) * sub]
-            vs = books[j][code[:, j]]
-            s = s + np.einsum("bs,bs->b", qs, vs)
-        return pd.Series(s)
-
-    c = (
-        spread(corpus, id_col)
-        .select(F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__cv"))
-        .withColumn("__enc", encode(F.col("__cv")))
-        .select(
-            "neighbor_id", "__cv",
-            F.col("__enc.cell").alias("__cell"),
-            F.col("__enc.codes").alias("__codes"),
-        )
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
-    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
-
-    cand = c.join(F.broadcast(q), "__cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    cand = cand.withColumn(
-        "__adc", adc_dot(F.col("__qv"), F.col("__cell"), F.col("__codes"))
-    )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("__adc").desc(), F.col("neighbor_id")
-    )
-    survivors = cand.withColumn("__arank", F.row_number().over(w_adc)).filter(
-        F.col("__arank") <= refine * k
-    )
-    survivors = survivors.withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        survivors.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    return ivfpq_topk_indexed(
+        assignments,
+        centroids,
+        codebooks,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        n_probe=n_probe,
+        refine=refine,
     )
 
 

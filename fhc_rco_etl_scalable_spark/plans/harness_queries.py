@@ -971,6 +971,25 @@ def q_ann_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_index_query_pq", _TOPK_ORACLE)
+def q_ann_index_query_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN against a PERSISTED IVF-PQ index (operators/similarity.py::
+    ivfpq_index + ivfpq_topk_indexed, VERDICT r14 #6): coarse quantizer
+    + PQ codebooks train once, the corpus encodes once into
+    (id, cell, codes) rows, and queries rank by ADC over the stored
+    codes — the pre-r15 ivfpq_topk retrained per call. Probe-all +
+    refine-all under the brute-force oracle (the full PQ path still
+    executes); the parquet persistence round-trip and approximate
+    recall are pytest-certified."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    assignments, centroids, codebooks = SIM.ivfpq_index(emb, n_cells=16)
+    return SIM.ivfpq_topk_indexed(
+        assignments, centroids, codebooks, queries,
+        k=5, n_probe=16, refine=1_000_000,
+    )
+
+
 _SIMHASH_VOTES = ",\n             ".join(
     f"CASE WHEN sum(CASE WHEN (gh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
     f" THEN {1 << i} ELSE 0 END AS b{i}"
