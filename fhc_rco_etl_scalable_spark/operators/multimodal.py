@@ -43,7 +43,12 @@ FEATURE_SCHEMA = (
 
 def not_implemented_decoder(payload: bytes, mime: str) -> list[float]:
     raise NotImplementedError(
-        "media codecs are not available in this environment; inject a decoder"
+        f"no decoder injected for mime={mime!r}: general media codecs are"
+        " not available in this environment. Built-in pure-numpy decoders"
+        " cover image/x-portable-graymap (P5), image/x-portable-pixmap"
+        " (P6), image/bmp (via image_decoder) and audio/wav PCM (via"
+        " audio_decoder); pass decoder=image_decoder / audio_decoder or"
+        " inject your own Callable[[bytes, str], list[float]]."
     )
 
 
