@@ -2958,8 +2958,13 @@ _EVENT_LOG_GANTT_HARNESS_ORACLE = (
     + _gantt_ws_sql("nc")
     + _gantt_ws_sql("c")
     + """
-SELECT start AS START_TIME, round(dt_min, 0) AS DOWNTIME,
-       round(up_min, 0) AS UPTIME, Fault,
+SELECT start AS START_TIME,
+       -- + 0.0 collapses DuckDB's signed zero: round(-0.4)=-0.0 in C
+       -- semantics, while Spark's BigDecimal round yields +0.0 (first
+       -- hit at the sf1eq fixture; IEEE -0.0 + 0.0 = +0.0, every other
+       -- value unchanged)
+       round(dt_min, 0) + 0.0 AS DOWNTIME,
+       round(up_min, 0) + 0.0 AS UPTIME, Fault,
        C1 AS CAUSE_LEVELS_1_NAME, C2 AS CAUSE_LEVELS_2_NAME,
        NULL::VARCHAR AS CAUSE_LEVELS_3_NAME,
        NULL::VARCHAR AS CAUSE_LEVELS_4_NAME,
