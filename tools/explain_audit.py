@@ -823,6 +823,12 @@ def main() -> int:
     check("no_cartesian(ann_index_query)",
           "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
     check("broadcast(ann_index_query probes)", "BroadcastExchange" in p)
+    # r15 PQ twin: same invariants — cell-keyed join against the stored
+    # codes, probes broadcast, no all-pairs anywhere.
+    p = plan_of(hq.QUERIES["ann_index_query_pq"](spark, sf_dir))
+    check("no_cartesian(ann_index_query_pq)",
+          "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p)
+    check("broadcast(ann_index_query_pq probes)", "BroadcastExchange" in p)
 
     # 36. S4 pruned REST scan, in-plan: the site IN-filter must be
     #     CONSUMED by pushFilters (no post-scan Filter survives) and
