@@ -645,48 +645,20 @@ def _kmeans_l2(sample: np.ndarray, n_codes: int, iters: int = 10) -> np.ndarray:
     return c
 
 
-def ivfpq_index(
+def _pq_train(
     corpus: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 16,
-    m_subvectors: int = 8,
-    n_codes: int = 32,
-    sample_size: int = 512,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Build the PERSISTABLE IVF-PQ index (VERDICT r14 #6 — the
-    standing-service twin of :func:`ivfpq_topk`, mirroring what
-    :func:`ivf_index` is to :func:`ivf_topk`): train the coarse
-    quantizer + per-subvector codebooks ONCE on the deterministic
-    id-ordered sample, encode every corpus vector ONCE, and never
-    touch the raw corpus again at query time.
-
-    Returns ``(assignments, centroids, codebooks)``:
-
-    - ``assignments``: one row per corpus vector — (id_col, unit_vec
-      array<double>, cell int, codes array<int>). ``codes`` is the hot
-      index (m bytes/vector at scale); ``unit_vec`` is the exact-vector
-      side needed only for the final refine re-rank. At 100 TB you
-      would store codes and vectors as separate tables (codes hot,
-      vectors cold) and semi-join the refine survivors; one frame here
-      keeps the API parallel to :func:`ivf_index` — partition/bucket
-      by ``cell`` either way so probes read only their cells.
-    - ``centroids``: (cell int, centroid array<double>), ``n_cells``
-      rows.
-    - ``codebooks``: (subvector int, code int, vec array<double>),
-      ``m_subvectors * n_codes`` rows — the PQ tables.
-
-    Training is deterministic (id-ordered sample, Lloyd with fixed
-    init, no RNG) and doubles round-trip parquet exactly, so an index
-    built from the same corpus reproduces bit-identically and
-    :func:`ivfpq_topk_indexed` over the stored index equals the
-    one-shot :func:`ivfpq_topk` (which now delegates through here).
-    """
-    from pyspark.sql.functions import pandas_udf
-
-    from .skew import spread
-
-    spark = corpus.sparkSession
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    m_subvectors: int,
+    n_codes: int,
+    sample_size: int,
+):
+    """Driver-side IVF-PQ training shared by the one-shot and
+    persisted-index paths: deterministic id-ordered sample, cosine
+    coarse quantizer, per-subvector L2 codebooks on the residuals.
+    Returns ``(cents, books)`` numpy arrays, or ``None`` on an empty
+    corpus."""
     sample_rows = (
         corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
         .orderBy("sid")
@@ -694,18 +666,7 @@ def ivfpq_index(
         .collect()
     )
     if not sample_rows:
-        # typed-empty contract, same as ivf_index (ADVICE r14)
-        assignments = corpus.select(
-            F.col(id_col),
-            _unit(F.col(vec_col)).alias("unit_vec"),
-            F.lit(0).alias("cell"),
-            F.array().cast("array<int>").alias("codes"),
-        ).limit(0)
-        empty_cents = spark.createDataFrame([], "cell int, centroid array<double>")
-        empty_books = spark.createDataFrame(
-            [], "subvector int, code int, vec array<double>"
-        )
-        return assignments, empty_cents, empty_books
+        return None
     sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     dim = sample.shape[1]
     if dim % m_subvectors:
@@ -717,6 +678,24 @@ def ivfpq_index(
         _kmeans_l2(resid[:, j * sub : (j + 1) * sub], min(n_codes, len(resid)))
         for j in range(m_subvectors)
     ]
+    return cents, books
+
+
+def _pq_encode(
+    corpus: DataFrame,
+    cents: "np.ndarray",
+    books: list,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Encode every corpus vector under a trained quantizer: one Arrow
+    pass emitting (id, unit_vec, cell, codes) assignment rows."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .skew import spread
+
+    m_subvectors = len(books)
+    sub = books[0].shape[1]
 
     @pandas_udf("struct<cell:int, codes:array<int>>")
     def encode(vecs: pd.Series) -> pd.DataFrame:
@@ -730,7 +709,7 @@ def ivfpq_index(
             codes[:, j] = np.argmin(d2, axis=1)
         return pd.DataFrame({"cell": cell.astype(np.int32), "codes": list(codes)})
 
-    assignments = (
+    return (
         spread(corpus, id_col)
         .select(F.col(id_col), _unit(F.col(vec_col)).alias("unit_vec"))
         .withColumn("__enc", encode(F.col("unit_vec")))
@@ -741,60 +720,26 @@ def ivfpq_index(
             F.col("__enc.codes").alias("codes"),
         )
     )
-    centroids = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cell int, centroid array<double>",
-    )
-    codebooks = spark.createDataFrame(
-        [
-            (int(j), int(cde), [float(x) for x in vec])
-            for j, book in enumerate(books)
-            for cde, vec in enumerate(book)
-        ],
-        "subvector int, code int, vec array<double>",
-    )
-    return assignments, centroids, codebooks
 
 
-def ivfpq_topk_indexed(
+def _pq_query(
     assignments: DataFrame,
-    centroids: DataFrame,
-    codebooks: DataFrame,
+    cents: "np.ndarray",
+    books: list,
     queries: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 5,
-    n_probe: int = 4,
-    refine: int = 4,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    refine: int,
 ) -> DataFrame:
-    """IVF-PQ top-k against a PERSISTED index (:func:`ivfpq_index`
-    frames, typically read back from tables): queries probe their
-    ``n_probe`` nearest cells, rank candidates by the ADC dot product
-    reconstructed from the stored codes, and exact-cosine re-rank the
-    top ``refine * k`` survivors. Identical result contract to
-    :func:`ivfpq_topk` (which delegates here) — ``n_probe == n_cells``
-    with a big enough refine set equals brute force.
-
-    ``centroids`` and ``codebooks`` are collected driver-side — a
-    bounded-by-contract collect (n_cells + m*n_codes rows; the
-    quantizer is model, not data-scale) — and broadcast as closure
-    constants; the only big-side work is the cell-keyed join against
-    ``assignments``. The corpus is never re-scanned or re-encoded.
-    """
+    """Probe + ADC rank + exact refine over encoded assignment rows —
+    the query path shared verbatim by :func:`ivfpq_topk` (arrays fresh
+    from training) and :func:`ivfpq_topk_indexed` (arrays rebuilt from
+    the stored centroid/codebook tables)."""
     from pyspark.sql.functions import pandas_udf
 
-    cent_rows = sorted(centroids.collect(), key=lambda r: r.cell)
-    if not cent_rows:
-        # empty index — same typed-empty contract as ivf_topk_indexed
-        return _empty_topk_result(queries, id_col)
-    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
-    book_rows = codebooks.collect()
-    m_subvectors = max(r.subvector for r in book_rows) + 1
-    books = []
-    for j in range(m_subvectors):
-        rows_j = sorted((r for r in book_rows if r.subvector == j),
-                        key=lambda r: r.code)
-        books.append(np.asarray([r.vec for r in rows_j], dtype=np.float64))
+    m_subvectors = len(books)
     sub = books[0].shape[1]
     n_probe_eff = min(n_probe, len(cents))
 
@@ -850,6 +795,119 @@ def ivfpq_topk_indexed(
     )
 
 
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m_subvectors: int = 8,
+    n_codes: int = 32,
+    sample_size: int = 512,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the PERSISTABLE IVF-PQ index (VERDICT r14 #6 — the
+    standing-service twin of :func:`ivfpq_topk`, mirroring what
+    :func:`ivf_index` is to :func:`ivf_topk`): train the coarse
+    quantizer + per-subvector codebooks ONCE on the deterministic
+    id-ordered sample, encode every corpus vector ONCE, and never
+    touch the raw corpus again at query time.
+
+    Returns ``(assignments, centroids, codebooks)``:
+
+    - ``assignments``: one row per corpus vector — (id_col, unit_vec
+      array<double>, cell int, codes array<int>). ``codes`` is the hot
+      index (m bytes/vector at scale); ``unit_vec`` is the exact-vector
+      side needed only for the final refine re-rank. At 100 TB you
+      would store codes and vectors as separate tables (codes hot,
+      vectors cold) and semi-join the refine survivors; one frame here
+      keeps the API parallel to :func:`ivf_index` — partition/bucket
+      by ``cell`` either way so probes read only their cells.
+    - ``centroids``: (cell int, centroid array<double>), ``n_cells``
+      rows.
+    - ``codebooks``: (subvector int, code int, vec array<double>),
+      ``m_subvectors * n_codes`` rows — the PQ tables.
+
+    Training is deterministic (id-ordered sample, Lloyd with fixed
+    init, no RNG) and doubles round-trip parquet exactly, so an index
+    built from the same corpus reproduces bit-identically and
+    :func:`ivfpq_topk_indexed` over the stored index equals the
+    one-shot :func:`ivfpq_topk` (which now delegates through here).
+    """
+    spark = corpus.sparkSession
+    trained = _pq_train(
+        corpus, id_col, vec_col, n_cells, m_subvectors, n_codes, sample_size
+    )
+    if trained is None:
+        # typed-empty contract, same as ivf_index (ADVICE r14)
+        assignments = corpus.select(
+            F.col(id_col),
+            _unit(F.col(vec_col)).alias("unit_vec"),
+            F.lit(0).alias("cell"),
+            F.array().cast("array<int>").alias("codes"),
+        ).limit(0)
+        empty_cents = spark.createDataFrame([], "cell int, centroid array<double>")
+        empty_books = spark.createDataFrame(
+            [], "subvector int, code int, vec array<double>"
+        )
+        return assignments, empty_cents, empty_books
+    cents, books = trained
+    assignments = _pq_encode(corpus, cents, books, id_col, vec_col)
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    codebooks = spark.createDataFrame(
+        [
+            (int(j), int(cde), [float(x) for x in vec])
+            for j, book in enumerate(books)
+            for cde, vec in enumerate(book)
+        ],
+        "subvector int, code int, vec array<double>",
+    )
+    return assignments, centroids, codebooks
+
+
+def ivfpq_topk_indexed(
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ top-k against a PERSISTED index (:func:`ivfpq_index`
+    frames, typically read back from tables): queries probe their
+    ``n_probe`` nearest cells, rank candidates by the ADC dot product
+    reconstructed from the stored codes, and exact-cosine re-rank the
+    top ``refine * k`` survivors. Identical result contract to
+    :func:`ivfpq_topk` (which delegates here) — ``n_probe == n_cells``
+    with a big enough refine set equals brute force.
+
+    ``centroids`` and ``codebooks`` are collected driver-side — a
+    bounded-by-contract collect (n_cells + m*n_codes rows; the
+    quantizer is model, not data-scale) — and broadcast as closure
+    constants; the only big-side work is the cell-keyed join against
+    ``assignments``. The corpus is never re-scanned or re-encoded.
+    """
+    cent_rows = sorted(centroids.collect(), key=lambda r: r.cell)
+    if not cent_rows:
+        # empty index — same typed-empty contract as ivf_topk_indexed
+        return _empty_topk_result(queries, id_col)
+    cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    book_rows = codebooks.collect()
+    m_subvectors = max(r.subvector for r in book_rows) + 1
+    books = []
+    for j in range(m_subvectors):
+        rows_j = sorted((r for r in book_rows if r.subvector == j),
+                        key=lambda r: r.code)
+        books.append(np.asarray([r.vec for r in rows_j], dtype=np.float64))
+    return _pq_query(
+        assignments, cents, books, queries, id_col, vec_col, k, n_probe, refine
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -885,35 +943,26 @@ def ivfpq_topk(
     ``brute_force_topk`` (the oracle configuration; the full PQ path
     still executes). Approximate recall is pytest-bounded.
 
-    Since r15 this is a thin composition of :func:`ivfpq_index` +
-    :func:`ivfpq_topk_indexed` — one code path, so the one-shot and
-    persisted-index results are identical by construction (the index
-    frames stay lazy; nothing materializes that the old in-line form
-    didn't).
+    Since r15 this composes the SAME private stages the persisted
+    index uses — :func:`_pq_train` → :func:`_pq_encode` →
+    :func:`_pq_query` — so one-shot and indexed results are identical
+    by shared code; the only thing :func:`ivfpq_index` adds is the
+    centroid/codebook DataFrame round-trip, whose exactness (doubles
+    through parquet) is pytest-certified separately. Skipping that
+    round-trip here keeps the one-shot path free of the extra
+    collect/createDataFrame jobs.
     """
-    assignments, centroids, codebooks = ivfpq_index(
-        corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_cells=n_cells,
-        m_subvectors=m_subvectors,
-        n_codes=n_codes,
-        sample_size=sample_size,
+    trained = _pq_train(
+        corpus, id_col, vec_col, n_cells, m_subvectors, n_codes, sample_size
     )
-    # preserve the documented empty-corpus contract: id dtype comes
-    # from the CALLER's corpus frame.
-    if centroids.isEmpty():
+    if trained is None:
+        # empty-corpus contract: id dtype comes from the CALLER's
+        # corpus frame.
         return _empty_topk_result(corpus, id_col)
-    return ivfpq_topk_indexed(
-        assignments,
-        centroids,
-        codebooks,
-        queries,
-        id_col=id_col,
-        vec_col=vec_col,
-        k=k,
-        n_probe=n_probe,
-        refine=refine,
+    cents, books = trained
+    assignments = _pq_encode(corpus, cents, books, id_col, vec_col)
+    return _pq_query(
+        assignments, cents, books, queries, id_col, vec_col, k, n_probe, refine
     )
 
 
