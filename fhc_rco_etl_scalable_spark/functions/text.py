@@ -99,7 +99,13 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     word_ok = F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.4)
     punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
     stop_ok = F.least(stopword_ratio(c, lang) * 3, F.lit(1.0))
-    return F.round((len_ok * 0.3 + word_ok * 0.2 + punct_ok * 0.2 + stop_ok * 0.3), 4)
+    # TRUNCATE to 4 places, don't round: truncation of an identical
+    # double is bit-stable across engines, while decimal rounding
+    # diverges within 1 ulp of a .xxxx5 boundary (Spark rounds the
+    # shortest-decimal repr, DuckDB the binary value — first hit at the
+    # sf1eq fixture). The score is non-negative, so floor == trunc.
+    score = len_ok * 0.3 + word_ok * 0.2 + punct_ok * 0.2 + stop_ok * 0.3
+    return F.floor(score * 10000) / F.lit(10000.0)
 
 
 def normalized_fingerprint(text: Column | str) -> Column:

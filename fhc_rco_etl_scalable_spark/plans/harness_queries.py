@@ -1499,23 +1499,34 @@ def q_timestamp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            ts + to_microseconds(CAST(trunc(value * 60000000) AS BIGINT)) AS end_time,
            ts - INTERVAL 5 MINUTE AS win_start,
            ts + INTERVAL 30 DAY AS horizon,
-           round(epoch(ts - TIMESTAMP '2024-01-01') / 3600.0, 4) AS hours_since_epoch0
+           -- half-up to 4 places in pure int64 (micros per 1e-4 hour =
+           -- 360000): the float form diverged at the sf1eq fixture —
+           -- the engines DIVIDE differently (micros/6e7/60 vs
+           -- epoch/3600) and round boundary doubles differently
+           -- (shortest-repr vs binary)
+           ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01') + 180000) // 360000)
+             / 10000.0 AS hours_since_epoch0
     FROM events
     """,
 )
 def q_interval_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.scalar import minutes_between, ts_plus_minutes
+    from ..functions.scalar import ts_plus_minutes
 
     ev = load_table(spark, "events", sf_dir)
     anchor = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    # micros-integer half-up: exact on both engines at ANY fixture (the
+    # ts >= anchor here, so floor-div of the +half offset == HALF_UP)
+    d_us = F.unix_micros(F.col("ts")) - F.unix_micros(anchor) + F.lit(180000)
     return ev.select(
         "event_id",
         ts_plus_minutes(F.col("ts"), F.col("value")).alias("end_time"),
         (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("win_start"),
         (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("horizon"),
-        F.round(minutes_between(F.col("ts"), anchor) / 60.0, 4).alias(
-            "hours_since_epoch0"
-        ),
+        # (d - d % 360000) is an exact int64 multiple of 360000, so the
+        # double division is exact and the final /1e4 is the same
+        # binary value DuckDB's integer '//' path produces.
+        (((d_us - F.pmod(d_us, F.lit(360000))) / F.lit(360000)).cast("long")
+         / F.lit(10000.0)).alias("hours_since_epoch0"),
     )
 
 
@@ -3698,12 +3709,15 @@ def _corpus_prep_sql() -> str:
     for lg in langs:
         case += f"WHEN h_{lg} = {best} THEN '{lg}' "
     case += "END"
+    # trunc, not round — see functions/text.py::quality_score (decimal
+    # rounding of a computed double diverges between engines at ulp
+    # boundaries; truncation of the identical double is bit-stable)
     quality = """
-      round(
+      trunc((
         (CASE WHEN n_tokens >= 10 AND n_tokens <= 10000 THEN 1.0 ELSE 0.3 END) * 0.3
         + (CASE WHEN mean_word >= 2 AND mean_word <= 12 THEN 1.0 ELSE 0.4 END) * 0.2
         + (1.0 - least(punct_r * 4, 1.0)) * 0.2
-        + least(stop_r * 3, 1.0) * 0.3, 4)
+        + least(stop_r * 3, 1.0) * 0.3) * 10000) / 10000.0
     """
     return f"""
 WITH h AS (
@@ -6066,7 +6080,7 @@ sums AS (
 ),
 m AS (
   SELECT x_id, y_id,
-         round(8.0 * c6 / (sx + sy), 6) AS margin
+         round(8.0 * c6 / (sx + sy), 6) + 0.0 AS margin
   FROM sums
 ),
 best AS (
@@ -7335,7 +7349,7 @@ scored AS (
   WHERE p.doc_id % 10 <> 0
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_transitions,
-       CAST(round(sum(lp) / count(*), 6) AS DOUBLE) AS avg_logprob
+       CAST(round(sum(lp) / count(*), 6) + 0.0 AS DOUBLE) AS avg_logprob
 FROM scored GROUP BY 1
 """
 
@@ -8196,7 +8210,9 @@ s AS (
   FROM b JOIN m USING (bk) CROSS JOIN t
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       CAST(round(sum(lr) / count(*), 6) AS DOUBLE) AS avg_log_ratio
+       -- + 0.0 collapses DuckDB's signed zero (round(-1e-9, 6) = -0.0;
+       -- Spark's BigDecimal round yields +0.0 — sf1eq finding)
+       CAST(round(sum(lr) / count(*), 6) + 0.0 AS DOUBLE) AS avg_log_ratio
 FROM s GROUP BY 1
 """
 
