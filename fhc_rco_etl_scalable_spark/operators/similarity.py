@@ -51,6 +51,117 @@ def _unit(c: Column) -> Column:
     return F.transform(d, lambda x: x / n)
 
 
+# Candidate slack for the blocked-BLAS kernels: dgemm's pairwise
+# summation and the native sequential fold differ by O(dim * eps) ~
+# 1e-14 on unit vectors, so candidates are generated at (threshold -
+# _BLAS_EPS) and every survivor is re-verified with the NATIVE dot
+# expression — the engine-exact comparison the oracles certify.
+_BLAS_EPS = 1e-9
+
+
+def _blas_candidate_pairs(
+    base: DataFrame,
+    threshold: float,
+    group_col: str | None = None,
+    block_rows: int = 8192,
+    strip_rows: int = 512,
+) -> DataFrame:
+    """All unordered id pairs whose BLAS cosine clears ``threshold``,
+    without ever materializing the O(n^2) pair frame through the JVM.
+
+    ``base`` is a (__id, __v) frame of UNIT vectors (plus ``group_col``
+    when pairs are restricted to rows sharing a group, e.g. an IVF
+    cell). Rows hash into ~``block_rows``-sized blocks; each block PAIR
+    (i <= j) becomes one ``applyInPandas`` group whose kernel runs one
+    numpy matmul per ``strip_rows`` strip (bounds the score matrix to
+    strip_rows x block_rows doubles) and emits only the surviving
+    (id_a < id_b) pairs. Data movement is n x n_blocks rows — the
+    quadratic work stays inside dgemm at memory bandwidth instead of
+    surfacing as 10^10 codegen'd rows (measured 20x+ at 200k vectors).
+
+    Callers re-verify survivors with the native ``dot`` at the exact
+    threshold; this function's comparison runs at the caller's
+    (already slack-adjusted) threshold, so it must only be inclusive.
+    """
+    import math as _math
+
+    id_t = base.schema["__id"].dataType.simpleString()
+    if group_col is None:
+        n = base.count()
+    else:
+        # blocks must cover the LARGEST group: sizing off the total
+        # exploded row count would over-split small groups and ship
+        # every row once per (oversized) block count.
+        n = (
+            base.groupBy(group_col).count().agg(F.max("count")).collect()[0][0]
+            or 0
+        )
+    if n == 0:
+        schema = f"id_a {id_t}, id_b {id_t}"
+        return base.sparkSession.createDataFrame([], schema)
+    nb = max(1, _math.ceil(n / block_rows))
+    rows = base.withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col("__id")), F.lit(nb)).cast("int")
+    )
+    # a-side of pair (i, j): block i rows, for every j >= i; b-side:
+    # block j rows for every i < j (the diagonal pair takes its rows
+    # from the a-side only, so no row ships twice to it).
+    a = rows.withColumn(
+        "__bj", F.explode(F.sequence(F.col("__blk"), F.lit(nb - 1)))
+    ).select(
+        F.col("__blk").alias("__bi"), "__bj", "__id", "__v",
+        F.lit(0).alias("__side"), *( [group_col] if group_col else [] )
+    )
+    b = rows.withColumn(
+        "__bi",
+        F.explode(
+            F.when(F.col("__blk") > 0, F.sequence(F.lit(0), F.col("__blk") - 1))
+        ),
+    ).select(
+        "__bi", F.col("__blk").alias("__bj"), "__id", "__v",
+        F.lit(1).alias("__side"), *( [group_col] if group_col else [] )
+    )
+    both = a.unionByName(b)
+    keys = ([group_col] if group_col else []) + ["__bi", "__bj"]
+
+    def kern(key, pdf):
+        diag = key[-2] == key[-1]
+        asub = pdf[pdf["__side"] == 0]
+        ids_a = asub["__id"].to_numpy()
+        if len(ids_a) == 0:
+            return pd.DataFrame({"id_a": ids_a, "id_b": ids_a})
+        ma = np.asarray(asub["__v"].tolist(), dtype=np.float64)
+        if diag:
+            order = np.argsort(ids_a)
+            ids_a, ma = ids_a[order], ma[order]
+            ids_b, mb = ids_a, ma
+        else:
+            bsub = pdf[pdf["__side"] == 1]
+            ids_b = bsub["__id"].to_numpy()
+            if len(ids_b) == 0:
+                return pd.DataFrame({"id_a": ids_b, "id_b": ids_b})
+            mb = np.asarray(bsub["__v"].tolist(), dtype=np.float64)
+        out_a, out_b = [], []
+        for s in range(0, len(ids_a), strip_rows):
+            sc = ma[s : s + strip_rows] @ mb.T
+            ia, ib = np.where(sc >= threshold)
+            if diag:
+                # id-sorted rows: strict upper triangle == id_a < id_b
+                keep = (ia + s) < ib
+                ia, ib = ia[keep], ib[keep]
+                out_a.append(ids_a[ia + s])
+                out_b.append(ids_b[ib])
+            else:
+                x, y = ids_a[ia + s], ids_b[ib]
+                out_a.append(np.minimum(x, y))
+                out_b.append(np.maximum(x, y))
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return both.groupBy(*keys).applyInPandas(kern, f"id_a {id_t}, id_b {id_t}")
+
+
 def _empty_topk_result(corpus: DataFrame, id_col: str) -> DataFrame:
     """Empty (query_id, neighbor_id, cos_sim, rank) frame whose id
     columns carry the CALLER's id dtype, so schema does not depend on
@@ -196,9 +307,18 @@ def embedding_near_dups(
         F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("__v")
     )
     if method == "exact":
+        # Blocked-BLAS candidate generation (slack threshold), then the
+        # surviving pairs — a vanishing fraction of the upper triangle —
+        # re-attach vectors and go through the NATIVE dot at the exact
+        # threshold below, so emitted cos_sim values and the boundary
+        # comparison are bit-identical to the pre-kernel theta-join
+        # formulation the oracles certified. The theta-join evaluated
+        # the codegen'd dot n^2/2 times (~100 s at 200k vectors); the
+        # kernel keeps the same FLOPs inside dgemm (~5 s).
+        cand = _blas_candidate_pairs(base, threshold - _BLAS_EPS)
         a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
         b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     elif method == "lsh":
         tables = [
             _hyperplanes(dim, n_planes, seed=f"spark-graft-nd{t}")
@@ -992,21 +1112,25 @@ def margin_pairs(
     order, and the final margin is one IEEE division of identical
     integers on both engines. Ranks tie-break on the partner id.
 
-    Scale: this exactness-baseline form ships the smaller side to every
-    task as a closure constant (collected once, broadcast-sized by
-    contract — the same boundedness brute_force_topk assumes of its
-    query set) and scores each Arrow batch of the big side with ONE
-    numpy matmul; at corpus scale the candidate generation swaps to the
-    ANN family (lsh_topk / ivf_topk feeding the same scorer) and the
-    scoring windows shuffle once per side — the margin algebra is
+    Scale: the smaller side ships to every task as a closure constant
+    (collected once, broadcast-sized by contract — the same boundedness
+    brute_force_topk assumes of its query set); the big side streams
+    through TWO Arrow passes that never materialize the pair frame:
+    pass 1 reduces each batch's score matrix to per-y top-k candidate
+    cosines (k rows per y per batch) whose global top-k sum is each
+    y's k-NN denominator half; pass 2, with those sums as a closure
+    constant, scores each batch again and emits only each x's best
+    pair plus each y's per-batch best candidate. Everything after the
+    kernels is a window over ~(n_batches x n_y) rows — the n_x * n_y
+    pair frame exists only strip-by-strip inside dgemm. At corpus
+    scale the candidate generation swaps to the ANN family (lsh_topk /
+    ivf_topk feeding the same scorer) — the margin algebra is
     unchanged.
     """
-    # Pair scoring is ONE numpy matmul per Arrow batch of the x side
-    # against the (bounded, broadcast-sized) y matrix — the cross
-    # product with a zip_with/aggregate dot evaluates the higher-order
-    # lambda per element per pair (interpreted, ~6x slower at 1M
-    # pairs). Micro-unit rounding is away-from-zero to match
-    # round() on Spark AND DuckDB exactly.
+    # Micro-unit rounding is away-from-zero to match round() on Spark
+    # AND DuckDB exactly; k-NN sums are exact integer arithmetic in
+    # any accumulation order (ties at the k-boundary have EQUAL c6, so
+    # which tied partner enters the sum cannot change it).
     id_type = xs.schema[id_col].dataType.simpleString()
     yrows = ys.select(id_col, vec_col).collect()
     if not yrows:
@@ -1036,72 +1160,155 @@ def margin_pairs(
 
     y_ids = np.array([r[0] for r in yrows])
     ymat = _unit_rows(np.asarray([list(r[1]) for r in yrows], dtype=np.float64))
+    ny = len(y_ids)
+    strip = 512
 
-    def score(batches):
+    def _micro(v: np.ndarray) -> np.ndarray:
+        v = v * 1_000_000.0
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+            np.int64
+        )
+
+    def _round6(v: np.ndarray) -> np.ndarray:
+        # F.round / DuckDB round: 6-decimal, half away from zero
+        v = v * 1_000_000.0
+        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / 1_000_000.0
+
+    # ---- pass 1: each y's k-NN sum (sy). A batch contributes its
+    # per-y top-min(k, batch) candidate cosines; the global top-k per y
+    # reduces over n_batches * k rows, not the pair frame. Ranking is
+    # by value only — tied values are interchangeable in a SUM.
+    def knn_y(batches):
         for pdf in batches:
             xm = _unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
-            v = (xm @ ymat.T) * 1_000_000.0
-            c6 = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-                np.int64
-            )
-            n = len(pdf)
+            tops = []
+            for s in range(0, len(xm), strip):
+                c6 = _micro(xm[s : s + strip] @ ymat.T)
+                t = min(k, c6.shape[0])
+                tops.append(np.partition(c6, c6.shape[0] - t, axis=0)[-t:, :])
+            cat = np.vstack(tops)
+            t = min(k, cat.shape[0])
+            top = np.partition(cat, cat.shape[0] - t, axis=0)[-t:, :]
             yield pd.DataFrame(
                 {
-                    "x_id": np.repeat(pdf[id_col].to_numpy(), len(y_ids)),
-                    "y_id": np.tile(y_ids, n),
-                    "__c6": c6.ravel(),
+                    "__yi": np.tile(np.arange(ny, dtype=np.int32), t),
+                    "__c6": top.ravel(),
                 }
             )
 
-    pairs = xs.select(id_col, vec_col).mapInPandas(
-        score, f"x_id {id_type}, y_id {id_type}, __c6 long"
+    wy = Window.partitionBy("__yi").orderBy(F.desc("__c6"))
+    sy_rows = (
+        xs.select(vec_col)
+        .mapInPandas(knn_y, "__yi int, __c6 long")
+        .withColumn("__r", F.row_number().over(wy))
+        .filter(F.col("__r") <= k)
+        .groupBy("__yi")
+        .agg(F.sum("__c6").alias("__sy"))
+        .collect()
     )
-    # window order matters: both x-partitioned windows run back-to-back
-    # (rank, then the rank-gated sum), THEN both y-partitioned ones —
-    # alternating sides would exchange the pair frame 6 times instead
-    # of 4 (Spark only reuses a hash partitioning between ADJACENT
-    # window groups).
-    wx = Window.partitionBy("x_id").orderBy(F.desc("__c6"), "y_id")
-    wy = Window.partitionBy("y_id").orderBy(F.desc("__c6"), "x_id")
-    sums = (
-        pairs.withColumn("__rx", F.row_number().over(wx))
-        .withColumn(
-            "__sx",
-            F.sum(F.when(F.col("__rx") <= k, F.col("__c6"))).over(
-                Window.partitionBy("x_id")
-            ),
-        )
-        .withColumn("__ry", F.row_number().over(wy))
-        .withColumn(
-            "__sy",
-            F.sum(F.when(F.col("__ry") <= k, F.col("__c6"))).over(
-                Window.partitionBy("y_id")
-            ),
-        )
+    sy = np.zeros(ny, dtype=np.int64)
+    for r in sy_rows:
+        sy[r["__yi"]] = r["__sy"]
+
+    # ---- pass 2: margins. sx is exact from the batch's own score rows
+    # (top-k VALUES of the full row); the kernel emits one best-pair
+    # row per x (kind 0) and one best-candidate row per y per batch
+    # (kind 1). Comparison uses the same 6-decimal away-from-zero
+    # rounding as the emitted margin, and ties break on the partner id
+    # — exactly row_number() over (margin DESC, partner id).
+    out_schema = (
+        f"x_id {id_type}, y_id {id_type}, __c6 long, __sx long, "
+        f"__sy long, __m double, __kind int"
+    )
+    y_big = y_ids.max() + 1 if ny else 0
+
+    def best_pairs(batches):
+        for pdf in batches:
+            xm = _unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
+            x_ids = pdf[id_col].to_numpy()
+            frames = []
+            x_big = x_ids.max() + 1 if len(x_ids) else 0
+            for s in range(0, len(xm), strip):
+                sx_ids = x_ids[s : s + strip]
+                c6 = _micro(xm[s : s + strip] @ ymat.T)
+                t = min(k, ny)
+                sx = np.sort(c6, axis=1)[:, ny - t :].sum(axis=1)
+                denom = sx[:, None] + sy[None, :]
+                safe = denom != 0
+                raw = np.divide(
+                    2.0 * k * c6, denom, out=np.zeros_like(c6, float), where=safe
+                )
+                marg = _round6(raw)
+                marg[~safe] = -np.inf  # NULL margin: never ranks first
+                # best y per x: max margin, tie -> smallest y_id
+                mx = marg.max(axis=1)
+                ycand = np.where(marg == mx[:, None], y_ids[None, :], y_big)
+                jstar = ycand.argmin(axis=1)
+                rows = np.arange(len(sx_ids))
+                okx = np.isfinite(mx)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "x_id": sx_ids[okx],
+                            "y_id": y_ids[jstar[okx]],
+                            "__c6": c6[rows[okx], jstar[okx]],
+                            "__sx": sx[okx],
+                            "__sy": sy[jstar[okx]],
+                            "__m": mx[okx],
+                            "__kind": 0,
+                        }
+                    )
+                )
+                # strip-best x per y: max margin, tie -> smallest x_id
+                my = marg.max(axis=0)
+                xcand = np.where(marg == my[None, :], sx_ids[:, None], x_big)
+                istar = xcand.argmin(axis=0)
+                oky = np.isfinite(my)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "x_id": sx_ids[istar[oky]],
+                            "y_id": y_ids[oky],
+                            "__c6": 0,
+                            "__sx": 0,
+                            "__sy": 0,
+                            "__m": my[oky],
+                            "__kind": 1,
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {
+                    "x_id": x_ids[:0], "y_id": x_ids[:0],
+                    "__c6": np.array([], np.int64),
+                    "__sx": np.array([], np.int64),
+                    "__sy": np.array([], np.int64),
+                    "__m": np.array([], float),
+                    "__kind": np.array([], np.int32),
+                }
+            )
+
+    both = xs.select(id_col, vec_col).mapInPandas(best_pairs, out_schema)
+    bestx = both.filter(F.col("__kind") == 0)
+    wby = Window.partitionBy("y_id").orderBy(F.desc("__m"), "x_id")
+    besty = (
+        both.filter(F.col("__kind") == 1)
+        .withColumn("__r", F.row_number().over(wby))
+        .filter(F.col("__r") == 1)
+        .select("x_id", "y_id")
     )
     denom = F.col("__sx") + F.col("__sy")
-    m = sums.select(
-        "x_id",
-        "y_id",
-        # zero denominator = no similarity signal on either side (both
-        # k-NN sums zero, e.g. zero-norm vectors): margin undefined ->
-        # NULL -> dropped by the threshold filter, never a div-by-zero
-        F.when(
-            denom != 0,
-            F.round(F.lit(2.0 * k) * F.col("__c6") / denom, 6),
-        ).alias("margin"),
-    )
-    wbx = Window.partitionBy("x_id").orderBy(F.desc("margin"), "y_id")
-    wby = Window.partitionBy("y_id").orderBy(F.desc("margin"), "x_id")
     return (
-        m.withColumn("__bx", F.row_number().over(wbx))
-        .withColumn("__by", F.row_number().over(wby))
-        .filter(
-            (F.col("__bx") == 1)
-            & (F.col("__by") == 1)
-            & (F.col("margin") >= margin_threshold)
+        bestx.join(besty, ["x_id", "y_id"])  # mutual best
+        .select(
+            "x_id",
+            "y_id",
+            # the EMITTED margin is Spark's own round over the exact
+            # integer components — the engine-certified arithmetic;
+            # the kernel's float rounding only ranked candidates
+            F.round(F.lit(2.0 * k) * F.col("__c6") / denom, 6).alias("margin"),
         )
-        .select("x_id", "y_id", "margin")
+        .filter(F.col("margin") >= margin_threshold)
     )
 
 
@@ -1184,23 +1391,25 @@ def semantic_dedup(
     # At cluster scale with 100 TB of vectors the trade flips: persist
     # the narrow assignment frame to a table and join both sides from
     # it, paying one corpus pass instead of two.
-    cells = base.withColumn("__cell", F.explode(assign_cells(F.col("__v")))).select(
-        "__id", "__cell"
-    )
-    cand = (
-        cells.select(F.col("__id").alias("__id_a"), "__cell")
-        .join(cells.select(F.col("__id").alias("__id_b"), "__cell"), ["__cell"])
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .select("__id_a", "__id_b")
-        .distinct()
-    )
-    va = base.select(F.col("__id").alias("__id_a"), F.col("__v").alias("__va"))
-    vb = base.select(F.col("__id").alias("__id_b"), F.col("__v").alias("__vb"))
+    cells = base.withColumn("__cell", F.explode(assign_cells(F.col("__v"))))
+    # Within-cell candidate generation through the blocked-BLAS kernel
+    # (slack threshold): the cell-route semantics are unchanged — a
+    # pair is a candidate iff it SHARES a cell — but the quadratic
+    # within-cell comparison runs as dgemm strips instead of an
+    # id-equi-join whose pair frame (probe-all: n_cells x upper
+    # triangle before the distinct) dominated the operator at 200k
+    # vectors. Survivors re-verify with the native dot at the exact
+    # threshold, preserving the engine-exact boundary comparison.
+    cand = _blas_candidate_pairs(
+        cells, threshold - _BLAS_EPS, group_col="__cell"
+    ).distinct()
+    va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     removed = (
-        cand.join(va, "__id_a")
-        .join(vb, "__id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .filter(dot(F.col("__va"), F.col("__vb")) >= threshold)
-        .select(F.col("__id_b").alias("__rm"))
+        .select(F.col("id_b").alias("__rm"))
         .distinct()
     )
     return df.select(id_col).join(
