@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 import time
 
@@ -202,6 +203,16 @@ def main() -> int:
 
     spark = vanilla_spark()
     con = duckdb.connect()
+    # At the 100x scale fixture the oracle must not fight the sized
+    # Spark JVM for the whole machine: an opt-in cap + disk spill
+    # keeps the twin correct (slower, never OOM). No effect on the
+    # driver-scale runs, which leave the env unset.
+    mem_limit = os.environ.get("CHECK_ORACLE_DUCKDB_MEM")
+    if mem_limit:
+        spill = os.environ.get("CHECK_ORACLE_DUCKDB_TMP", "/tmp/duckdb_spill")
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET memory_limit='{mem_limit}'")
+        con.execute(f"SET temp_directory='{spill}'")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
