@@ -123,17 +123,22 @@ def rolling_hashes(text: Column | str, window: int = 5, hasher=None) -> Column:
     (array<bigint>): hash of each consecutive ``window`` tokens.
     Basis for robust near-dup fingerprints. Default ``hasher`` is
     xxhash64; pass an md5-based one for cross-engine reproducibility."""
-    toks = tokens(text)
-    n = F.size(toks)
     h = hasher or F.xxhash64
-    # lower bound 1, not 0: sequence(1, 0) would step DOWN to index 0
-    # and slice(toks, 0, ..) throws; short texts get one window over
-    # all available tokens.
-    idx = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: h(F.concat_ws(" ", F.slice(toks, i, window))),
-    )
+
+    # Token array bound as a lambda variable (the winnow_fingerprints
+    # discipline, applied here in r15): embedding ``tokens(text)`` in
+    # the per-window lambda re-tokenized the document once per window.
+    def roll(toks: Column) -> Column:
+        # lower bound 1, not 0: sequence(1, 0) would step DOWN to index
+        # 0 and slice(toks, 0, ..) throws; short texts get one window
+        # over all available tokens.
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - window + 1, F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: h(F.concat_ws(" ", F.slice(toks, i, window))),
+        )
+
+    return F.transform(F.array(tokens(text)), roll)[0]
 
 
 def winnow_fingerprints(
@@ -221,10 +226,14 @@ def chunk_documents(
 def _ngrams_all(text: Column | str, n: int) -> Column:
     """ALL token n-grams, duplicates kept (unlike dedup.token_ngrams,
     which dedups — repetition signals need the multiplicities)."""
-    toks = tokens(text)
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # Lambda-bound token array (winnow_fingerprints discipline): the
+    # per-gram lambda must reference the VALUE, not the tokenizer
+    # expression, or every gram re-runs split+filter.
+    def grams(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+    return F.transform(F.array(tokens(text)), grams)[0]
 
 
 def _run_fold(grams: Column) -> Column:

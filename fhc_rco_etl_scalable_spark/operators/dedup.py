@@ -77,21 +77,41 @@ def exact_dedup(
 
 
 def char_shingles(text: Column, k: int = 8) -> Column:
-    """Distinct k-char shingles of casefolded text."""
+    """Distinct k-char shingles of casefolded text.
+
+    The normalized string is bound as a LAMBDA VARIABLE (1-element-
+    array transform) so the ``regexp_replace`` runs once per document —
+    embedding ``norm`` in the per-shingle lambda re-evaluates the
+    whole regex pass per shingle, O(len^2) per doc (the higher-order
+    re-evaluation trap documented at
+    functions/text.py::winnow_fingerprints; found live here in r15)."""
     norm = F.regexp_replace(F.lower(text), r"\s+", " ")
-    n = F.length(norm)
-    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+    def shingle(s: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - k + 1, F.lit(1)))
+        return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(k))))
+
+    return F.transform(F.array(norm), shingle)[0]
 
 
 def token_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct token n-grams (strings)."""
+    """Distinct token n-grams (strings).
+
+    The token array is bound as a lambda variable so tokenization runs
+    once per document — ``F.slice(toks, i, n)`` inside the per-gram
+    lambda would re-run split+filter per gram, O(len^2) per doc (same
+    trap as :func:`char_shingles`; this builder feeds decontaminate /
+    jaccard_pairs / minhash_bands, so the quadratic rode every text-
+    dedup entry)."""
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - n + 1, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    )
+
+    def grams(ts: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(ts) - n + 1, F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ts, i, n)))
+        )
+
+    return F.transform(F.array(toks), grams)[0]
 
 
 def _perm_min(base_hashes: Column, i: int) -> Column:

@@ -54,6 +54,15 @@ def pagerank(
     at ``scale`` (initial rank = ``scale``; base term =
     ``scale - scale*damping_pct div 100``).
     """
+    # The edge list, node set and out-degrees are loop-invariant but
+    # deliberately NOT localCheckpointed: measured A/B at sf0.1
+    # (min-of-8, quiet box, r15) the checkpointed form is SLOWER
+    # (pagerank_scaled 3.27 s -> 4.02 s) — the map-side projection over
+    # a parquet scan re-pipelines for free inside each round's shuffle,
+    # while materializing e/nodes/out_deg through the block manager adds
+    # three barrier jobs. Only the per-round rank frame (below) needs
+    # the plan-depth truncation. At cluster scale with an expensive
+    # upstream, persist `edges` before calling.
     e = edges.select(
         F.col(src).cast("long").alias("__src"),
         F.col(dst).cast("long").alias("__dst"),

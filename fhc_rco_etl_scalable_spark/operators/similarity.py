@@ -45,10 +45,20 @@ def _unit(c: Column) -> Column:
     """Cast to double and scale to unit L2 norm — done ONCE per row so
     every pairwise cosine downstream is a bare dot product instead of
     re-deriving both norms per pair (a 3x expression saving that
-    multiplies by the pair count, not the row count)."""
+    multiplies by the pair count, not the row count).
+
+    Evaluation shape (r15, guide §1.2 per-task work): the obvious
+    ``transform(d, x -> x / n)`` re-evaluates the whole norm AGGREGATE
+    once per ELEMENT — higher-order lambdas get no subexpression
+    elimination, so normalizing is O(dim^2) per row (~380x waste at
+    dim 768). ``array_repeat`` evaluates its element expression ONCE
+    and fills; zipping against it keeps the norm O(dim) per row while
+    the arithmetic stays bit-identical (same ``x / n`` with the same
+    ``n`` — verified element-exact on the sf0.1 corpus, and the whole
+    ANN family stays oracle-green)."""
     d = _as_double(c)
     n = F.sqrt(F.aggregate(d, F.lit(0.0), lambda s, v: s + v * v))
-    return F.transform(d, lambda x: x / n)
+    return F.zip_with(d, F.array_repeat(n, F.size(c)), lambda x, nn: x / nn)
 
 
 # Candidate slack for the blocked-BLAS kernels: dgemm's pairwise
