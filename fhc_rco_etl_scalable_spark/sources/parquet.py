@@ -68,10 +68,30 @@ def _pin_timestamp_confs(spark: SparkSession) -> None:
             spark.conf.set(key, want)
 
 
+#: Inferred parquet schema per absolute path (metadata, not data —
+#: the harness fixtures are immutable per process). Schema inference
+#: reads and merges parquet footers on every ``spark.read.parquet``
+#: call: measured 80-120 ms per call at sf0.1 vs 8-11 ms with an
+#: explicit schema (r15, guide §6 — at production scale you pass the
+#: catalog schema for the same reason). Inference runs under the
+#: pinned ingestion confs below, so the cached schema is exactly what
+#: a fresh inference would produce; the explicit-schema read then
+#: decodes identically (same nanosAsLong long mapping, same LTZ
+#: timestamps). Keyed by path only — sessions differ merely in where
+#: the confs were pinned, never in the resulting schema.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     _pin_timestamp_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for col, dtype in df.dtypes:
         if name in _NANOS_TS_COLS and col in _NANOS_TS_COLS[name] and dtype == "bigint":
             # nanosAsLong surfaces TIMESTAMP(NANOS) as raw int64 nanos.
@@ -90,7 +110,27 @@ def load_tables(
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
+#: applicationId -> sf_dir whose views are currently registered.
+_REGISTERED_VIEWS: dict[str, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
-    """Register every harness table as a temp view for the SQL API."""
+    """Register every harness table as a temp view for the SQL API.
+
+    Idempotent per (session, sf_dir): a temp view is lazy metadata (a
+    name bound to the scan plan — nothing materializes), so re-binding
+    the identical 10 views on every SQL-surface query re-paid ~0.3 s of
+    reader construction per call for no semantic effect. Re-registers
+    whenever ``sf_dir`` changes so multi-fixture runners stay correct.
+    """
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    # Keyed by the SESSION (temp views are per-SparkSession state, and
+    # a hypothetical newSession() shares the applicationId but not the
+    # view catalog), via id() — safe because the value is only ever
+    # compared while the caller holds the session alive.
+    key = f"{spark.sparkContext.applicationId}:{id(spark)}"
+    if _REGISTERED_VIEWS.get(key) == sf_dir:
+        return
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    _REGISTERED_VIEWS[key] = sf_dir
