@@ -226,8 +226,10 @@ def sessionize_stitched(
         )
     )
     # barrier: the tiny boundary frames below re-read this stage; at
-    # warehouse scale persist it to a table instead.
-    base = base.localCheckpoint(eager=False)
+    # warehouse scale persist it to a table instead. persist(), not a
+    # lazy localCheckpoint — defers subtree planning to action time
+    # (see the mes_etl barrier note, r15).
+    base = base.persist()
 
     # One row per non-empty (key, bucket): its LAST row's attributes
     # (the boundary carrier) and its pass-1 session total.
