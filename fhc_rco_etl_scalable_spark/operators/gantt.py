@@ -276,7 +276,7 @@ def _gantt_analysis_impl(
     # removal — lazy barriers keep every pass single-execution.
     nc_windowed = attach_stops_to_windows(
         co_agg, machine_dt.select(*stop_cols)
-    ).persist()
+    ).localCheckpoint(eager=False)
     nc_gantt = generate_gantt_points(nc_windowed, status=F.lit(2.0))
 
     # --- constraint pass (single-constraint lines) ---
@@ -287,8 +287,12 @@ def _gantt_analysis_impl(
         .join(co_flag, ["LINE", "downtime_id"], "left")
         .na.fill(0, ["CO_Event"])
     )
-    c_windowed = attach_stops_to_windows(co_agg, line_stops).persist()
-    c_gantt = generate_gantt_points(c_windowed, status=constraint_status()).persist()
+    c_windowed = attach_stops_to_windows(co_agg, line_stops).localCheckpoint(
+        eager=False
+    )
+    c_gantt = generate_gantt_points(c_windowed, status=constraint_status()).localCheckpoint(
+        eager=False
+    )
 
     # Remove constraint machines from the non-constraint output on
     # single-constraint lines (machine_level.py:366-375).

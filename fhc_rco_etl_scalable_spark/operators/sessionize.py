@@ -226,10 +226,8 @@ def sessionize_stitched(
         )
     )
     # barrier: the tiny boundary frames below re-read this stage; at
-    # warehouse scale persist it to a table instead. persist(), not a
-    # lazy localCheckpoint — defers subtree planning to action time
-    # (see the mes_etl barrier note, r15).
-    base = base.persist()
+    # warehouse scale persist it to a table instead.
+    base = base.localCheckpoint(eager=False)
 
     # One row per non-empty (key, bucket): its LAST row's attributes
     # (the boundary carrier) and its pass-1 session total.

@@ -358,7 +358,7 @@ def first_stop_analysis(
     )
     # consumed by both the first-stop pick and the backfill sum — one
     # barrier, or the CO x stop range join runs twice.
-    sl = sl.persist()
+    sl = sl.localCheckpoint(eager=False)
 
     unplanned = (
         (F.col("Planned_Stop_Check") == 0)
@@ -419,26 +419,9 @@ def mes_etl(
     # event-log, aggregate, first-stop and Gantt branches all consume
     # them, and without a barrier each branch re-runs the
     # sessionization windows from the raw scan. The big frames
-    # (line_dt / line_dt_full) are deliberately NOT materialized —
+    # (line_dt / line_dt_full) are deliberately NOT checkpointed —
     # at 100 TB a parquet re-scan with pushdown is cheaper than
     # caching the full log.
-    #
-    # Barrier mechanism (r15): DataFrame.persist(), not
-    # localCheckpoint(eager=False). A lazy localCheckpoint still runs
-    # the full optimize+physical-plan+codegen of its subtree AT
-    # CONSTRUCTION time (queryExecution.toRdd) — ~3.4 s of driver-side
-    # planning per pipeline build at ANY data scale, paid even by
-    # consumers that execute only one branch. persist() defers all
-    # planning to action time, consumers' plans still truncate at the
-    # cached subtree (CacheManager substitution runs before their
-    # optimizer), and only the branches actually executed get planned:
-    # measured at sf0.1 (min-of-6, quiet box) first_stop_harness
-    # 3.31 -> 1.10 s, co_aggregated_harness 2.33 -> 0.88 s,
-    # co_event_log_harness 1.97 -> 0.90 s, site_etl_full flat — with
-    # spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true
-    # (session.py) so AQE still applies inside the cached subtrees.
-    # Recompute-on-eviction also makes persist SAFER than a truncated
-    # local checkpoint under memory pressure.
     with fast_planning(line_dt):
         return _mes_etl_impl(line_dt, line_dt_full, site)
 
@@ -448,15 +431,17 @@ def _mes_etl_impl(
     line_dt_full: DataFrame,
     site: SiteParams,
 ) -> dict[str, DataFrame]:
-    co_events = detect_changeovers(line_dt, site).persist()
+    co_events = detect_changeovers(line_dt, site).localCheckpoint(eager=False)
     # aggregate_changeovers carries __first_uptime (first event's UPTIME
     # per session) for the A9 backfill — one window pass, no extra join.
     co_agg = aggregate_changeovers(co_events, site)
     co_agg = with_neighbor_context(co_agg, site)
-    co_agg = resolve_brandcodes(co_agg, line_dt_full).persist()
+    co_agg = resolve_brandcodes(co_agg, line_dt_full).localCheckpoint(eager=False)
 
     outputs: dict[str, DataFrame] = {}
-    outputs["CO_Event_Log"] = build_co_event_log(co_events, co_agg, site).persist()
+    outputs["CO_Event_Log"] = build_co_event_log(co_events, co_agg, site).localCheckpoint(
+        eager=False
+    )
 
     if site.run_first_stop_analysis:
         firsts, backfill = first_stop_analysis(co_agg, line_dt_full, site)

@@ -61,16 +61,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE coalesce/re-plan INSIDE cached (persisted) subtrees.
-        # The pipeline fan-out barriers are DataFrame.persist() (see
-        # rco_pipeline/gantt); with the upstream default (false) a
-        # cached plan executes with static shuffle partitioning and no
-        # skew splitting — measured +40% on the 8-output site_etl_full
-        # at sf0.1 (r15). Nothing downstream relies on cached output
-        # partitioning (the barriers are consumed by new exchanges).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-        )
         # Sized for the test harness; on a real cluster this is
         # ~2-3x total executor cores.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
