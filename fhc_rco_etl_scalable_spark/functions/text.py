@@ -58,28 +58,55 @@ def _hit_counter(toks: Column, words: tuple[str, ...]) -> Column:
 
 
 def language_scores(text: Column | str) -> Column:
-    """Map lang -> stopword-hit count; argmax is the language guess."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    return F.map_from_arrays(
-        F.array(*[F.lit(lg) for lg in LANG_STOPWORDS]),
-        F.array(
-            *[_hit_counter(toks, words) for words in LANG_STOPWORDS.values()]
-        ),
-    )
+    """Map lang -> stopword-hit count; argmax is the language guess.
+
+    The lowered token array is bound as a lambda variable so the
+    tokenizer runs once per document, not once per language (the
+    winnow_fingerprints higher-order re-evaluation discipline)."""
+
+    def scores(ts: Column) -> Column:
+        return F.map_from_arrays(
+            F.array(*[F.lit(lg) for lg in LANG_STOPWORDS]),
+            F.array(
+                *[_hit_counter(ts, words) for words in LANG_STOPWORDS.values()]
+            ),
+        )
+
+    lowered = F.transform(tokens(text), lambda t: F.lower(t))
+    return F.transform(F.array(lowered), scores)[0]
 
 
 def detect_language(text: Column | str) -> Column:
-    """Argmax of language_scores with 'und' when nothing matches."""
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    scores = [
-        (lg, _hit_counter(toks, words)) for lg, words in LANG_STOPWORDS.items()
-    ]
-    best_score = F.greatest(*[s for _, s in scores])
-    guess = F.lit("und")
-    # earlier languages win ties (deterministic order)
-    for lg, s in reversed(scores):
-        guess = F.when(s == best_score, F.lit(lg)).otherwise(guess)
-    return F.when(best_score > 0, guess).otherwise(F.lit("und"))
+    """Argmax of language_scores with 'und' when nothing matches.
+
+    Two-level let-binding (r15): the naive form embedded the
+    per-language hit-count EXPRESSION — each containing the whole
+    tokenizer — in ``greatest`` and in every tie-breaking ``when``, so
+    one guess re-tokenized the document ~35x. Bind the lowered token
+    array once, compute the 5 scores once into an array, and argmax
+    over the VALUES. Semantics identical: same hit counts, same
+    earlier-language-wins tie order, same 'und' fallback."""
+
+    langs = list(LANG_STOPWORDS)
+
+    def pick(scores: Column) -> Column:
+        best = F.array_max(scores)
+        guess = F.lit("und")
+        # earlier languages win ties (deterministic order)
+        for i in reversed(range(len(langs))):
+            guess = F.when(
+                F.element_at(scores, i + 1) == best, F.lit(langs[i])
+            ).otherwise(guess)
+        return F.when(best > 0, guess).otherwise(F.lit("und"))
+
+    def score_arr(ts: Column) -> Column:
+        return F.array(
+            *[_hit_counter(ts, words) for words in LANG_STOPWORDS.values()]
+        )
+
+    lowered = F.transform(tokens(text), lambda t: F.lower(t))
+    scores = F.transform(F.array(lowered), score_arr)[0]
+    return F.transform(F.array(scores), pick)[0]
 
 
 def punct_ratio(text: Column | str) -> Column:
@@ -93,19 +120,33 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
     density, healthy stopword ratio, mean-word-length sanity (the
     standard Gopher/C4-style cheap filters)."""
     c = F.col(text) if isinstance(text, str) else text
-    n_tok = token_count(c)
-    mean_word = F.length(c) / F.greatest(n_tok, F.lit(1))
-    len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.3)
-    word_ok = F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.4)
-    punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
-    stop_ok = F.least(stopword_ratio(c, lang) * 3, F.lit(1.0))
-    # TRUNCATE to 4 places, don't round: truncation of an identical
-    # double is bit-stable across engines, while decimal rounding
-    # diverges within 1 ulp of a .xxxx5 boundary (Spark rounds the
-    # shortest-decimal repr, DuckDB the binary value — first hit at the
-    # sf1eq fixture). The score is non-negative, so floor == trunc.
-    score = len_ok * 0.3 + word_ok * 0.2 + punct_ok * 0.2 + stop_ok * 0.3
-    return F.floor(score * 10000) / F.lit(10000.0)
+    words = LANG_STOPWORDS[lang]
+
+    # Token array bound once (r15): token_count + stopword_ratio each
+    # re-ran the tokenizer (4+ split/filter passes per row); all the
+    # token-derived terms now read the bound value. Numerically
+    # identical: same counts, same ratios, same fold.
+    def q(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        mean_word = F.length(c) / F.greatest(n_tok, F.lit(1))
+        len_ok = F.when((n_tok >= 10) & (n_tok <= 10000), 1.0).otherwise(0.3)
+        word_ok = F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.4)
+        punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
+        lowered = F.transform(toks, lambda t: F.lower(t))
+        hits = F.size(F.filter(lowered, lambda t: t.isin(*words)))
+        stop_ok = F.least(
+            hits / F.greatest(F.size(lowered), F.lit(1)) * 3, F.lit(1.0)
+        )
+        # TRUNCATE to 4 places, don't round: truncation of an identical
+        # double is bit-stable across engines, while decimal rounding
+        # diverges within 1 ulp of a .xxxx5 boundary (Spark rounds the
+        # shortest-decimal repr, DuckDB the binary value — first hit at
+        # the sf1eq fixture). The score is non-negative, so floor ==
+        # trunc.
+        score = len_ok * 0.3 + word_ok * 0.2 + punct_ok * 0.2 + stop_ok * 0.3
+        return F.floor(score * 10000) / F.lit(10000.0)
+
+    return F.transform(F.array(tokens(c)), q)[0]
 
 
 def normalized_fingerprint(text: Column | str) -> Column:
