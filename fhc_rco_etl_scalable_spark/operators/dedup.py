@@ -1251,14 +1251,19 @@ def span_dedup(
     but each group only needs its minimal (id, pos) — Spark's
     row_number spills, it never materializes the group.
     """
-    words = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * span_words + 1, span_words), " "
-        ),
-    )
+    # Word array bound as a lambda variable (winnow_fingerprints
+    # discipline, r15): embedding `words` in the per-chunk lambda
+    # re-ran the split once per chunk — O(len^2/span) per doc.
+    def chunks(ws: Column) -> Column:
+        n_chunks = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(ws, i * span_words + 1, span_words), " "
+            ),
+        )
+
+    spans = F.transform(F.array(F.split(F.col(text_col), " ")), chunks)[0]
     from pyspark.sql.window import Window
 
     exploded = df.select(
