@@ -248,14 +248,17 @@ def main() -> None:
         except Exception:
             PINNED_RDD_IDS = set()
         # Drop every DataFrame-cache entry FIRST (r15, measurement
-        # honesty): the pipeline fan-out barriers are persist() now,
-        # and CacheManager matches plans CANONICALLY — a repeat sample
-        # of the same entry builds a canonically-identical plan and
-        # would silently REUSE the previous sample's materialized
-        # cache, so the min would time a partially-cached run instead
-        # of a from-parquet computation. clearCache() touches only the
-        # CacheManager (DataFrame persists); the pinned scaffolding
-        # below is raw-RDD localCheckpoint state, unaffected.
+        # honesty). At HEAD the pipeline fan-out barriers are
+        # localCheckpoint (the persist() experiment was reverted in
+        # 583d644), so no entry currently populates the CacheManager —
+        # this call is the guard that keeps it that way: CacheManager
+        # matches plans CANONICALLY, so any future persist()-based
+        # entry would let a repeat sample silently REUSE the previous
+        # sample's materialized cache, and the min would time a
+        # partially-cached run instead of a from-parquet computation.
+        # clearCache() touches only the CacheManager (DataFrame
+        # persists); the pinned scaffolding below is raw-RDD
+        # localCheckpoint state, unaffected.
         try:
             spark.catalog.clearCache()
         except Exception:
@@ -340,6 +343,10 @@ def main() -> None:
         "layout": layout,
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # r16 (VERDICT r15 #2): echo the parallelism the session ACTUALLY
+        # runs with, so a scaling probe can verify $SPARK_GRAFT_CPUS took
+        # effect from the record alone.
+        "parallelism": spark.sparkContext.defaultParallelism,
         "load_before": load_before,
         "load_after": _load_marker(),
         "load_series_1m": load_series,
@@ -375,6 +382,7 @@ def main() -> None:
         ),
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "parallelism": spark.sparkContext.defaultParallelism,
     }
     line = json.dumps(summary)
     if len(line) > 1000:  # hard guard: never hand the driver an unparseable tail

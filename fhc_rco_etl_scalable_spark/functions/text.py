@@ -43,18 +43,25 @@ def bpe_ish_piece_count(text: Column | str) -> Column:
     )
 
 
-def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    words = LANG_STOPWORDS[lang]
-    toks = F.transform(tokens(text), lambda t: F.lower(t))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
-
-
 def _hit_counter(toks: Column, words: tuple[str, ...]) -> Column:
     # NB: a plain `lambda t, w=words:` would make F.filter treat the
     # lambda as (element, index) and bind `w` to the index Column —
     # close over `words` via this factory instead.
     return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _stop_ratio(lowered: Column, words: tuple[str, ...]) -> Column:
+    """Stopword-hit ratio over an ALREADY-lowered token array — the one
+    implementation both :func:`stopword_ratio` and :func:`quality_score`
+    read (ADVICE r15), so token-filtering/casefolding semantics cannot
+    drift between the two call sites."""
+    return _hit_counter(lowered, words) / F.greatest(F.size(lowered), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    return _stop_ratio(toks, words)
 
 
 def language_scores(text: Column | str) -> Column:
@@ -133,10 +140,7 @@ def quality_score(text: Column | str, lang: str = "en") -> Column:
         word_ok = F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.4)
         punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
         lowered = F.transform(toks, lambda t: F.lower(t))
-        hits = F.size(F.filter(lowered, lambda t: t.isin(*words)))
-        stop_ok = F.least(
-            hits / F.greatest(F.size(lowered), F.lit(1)) * 3, F.lit(1.0)
-        )
+        stop_ok = F.least(_stop_ratio(lowered, words) * 3, F.lit(1.0))
         # TRUNCATE to 4 places, don't round: truncation of an identical
         # double is bit-stable across engines, while decimal rounding
         # diverges within 1 ulp of a .xxxx5 boundary (Spark rounds the

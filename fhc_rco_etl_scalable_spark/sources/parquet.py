@@ -77,19 +77,34 @@ def _pin_timestamp_confs(spark: SparkSession) -> None:
 #: pinned ingestion confs below, so the cached schema is exactly what
 #: a fresh inference would produce; the explicit-schema read then
 #: decodes identically (same nanosAsLong long mapping, same LTZ
-#: timestamps). Keyed by path only — sessions differ merely in where
-#: the confs were pinned, never in the resulting schema.
-_SCHEMA_CACHE: dict[str, object] = {}
+#: timestamps). Keyed by (path, mtime, size) — not path alone — so a
+#: fixture regenerated in-process (tests, multi-round harnesses) gets
+#: a fresh inference instead of a silently mismatched explicit schema
+#: (ADVICE r15). Sessions differ merely in where the confs were
+#: pinned, never in the resulting schema.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _path_fingerprint(path: str) -> tuple:
+    """(path, mtime_ns, size) of a parquet file or, for a directory
+    dataset, of the directory entry itself (mtime bumps when files are
+    added/replaced) — cheap stat-level identity for the schema cache."""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, None, None)
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     _pin_timestamp_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    schema = _SCHEMA_CACHE.get(path)
+    cache_key = _path_fingerprint(path)
+    schema = _SCHEMA_CACHE.get(cache_key)
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[path] = df.schema
+        _SCHEMA_CACHE[cache_key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     for col, dtype in df.dtypes:
@@ -110,8 +125,13 @@ def load_tables(
     return {n: load_table(spark, n, sf_dir) for n in names}
 
 
-#: applicationId -> sf_dir whose views are currently registered.
-_REGISTERED_VIEWS: dict[str, str] = {}
+#: SparkSession (weakly held) -> sf_dir whose views are registered.
+#: WeakKeyDictionary (ADVICE r15): id()-keyed entries could alias a
+#: NEW session object allocated at a dead session's address and
+#: silently skip registration; weak keys die with the session.
+import weakref
+
+_REGISTERED_VIEWS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
@@ -121,16 +141,20 @@ def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     name bound to the scan plan — nothing materializes), so re-binding
     the identical 10 views on every SQL-surface query re-paid ~0.3 s of
     reader construction per call for no semantic effect. Re-registers
-    whenever ``sf_dir`` changes so multi-fixture runners stay correct.
+    whenever ``sf_dir`` changes so multi-fixture runners stay correct,
+    and re-verifies one sentinel view against the live catalog so a
+    user-dropped view never stays silently missing (ADVICE r15).
     """
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    # Keyed by the SESSION (temp views are per-SparkSession state, and
-    # a hypothetical newSession() shares the applicationId but not the
-    # view catalog), via id() — safe because the value is only ever
-    # compared while the caller holds the session alive.
-    key = f"{spark.sparkContext.applicationId}:{id(spark)}"
-    if _REGISTERED_VIEWS.get(key) == sf_dir:
-        return
+    if _REGISTERED_VIEWS.get(spark) == sf_dir:
+        # trust-but-verify: the registry says views exist — confirm one
+        # against the session catalog (cheap metadata lookup) in case a
+        # caller dropped temp views since registration.
+        try:
+            if spark.catalog.tableExists(TABLES[0]):
+                return
+        except Exception:
+            pass
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
-    _REGISTERED_VIEWS[key] = sf_dir
+    _REGISTERED_VIEWS[spark] = sf_dir
