@@ -54,15 +54,19 @@ def pagerank(
     at ``scale`` (initial rank = ``scale``; base term =
     ``scale - scale*damping_pct div 100``).
     """
-    # The edge list, node set and out-degrees are loop-invariant but
-    # deliberately NOT localCheckpointed: measured A/B at sf0.1
-    # (min-of-8, quiet box, r15) the checkpointed form is SLOWER
-    # (pagerank_scaled 3.27 s -> 4.02 s) — the map-side projection over
-    # a parquet scan re-pipelines for free inside each round's shuffle,
-    # while materializing e/nodes/out_deg through the block manager adds
-    # three barrier jobs. Only the per-round rank frame (below) needs
-    # the plan-depth truncation. At cluster scale with an expensive
-    # upstream, persist `edges` before calling.
+    # Loop-invariant handling (r16, guide §2.4/§5). The r15 experiment
+    # that checkpointed e / nodes / out_deg SEPARATELY lost at sf0.1
+    # (3.27 -> 4.02 s: three barrier jobs, and the per-iteration degree
+    # join still ran 3x). The shape that wins at EVERY measured scale
+    # is different: pre-join the out-degree onto the edge list ONCE and
+    # checkpoint that single (src, dst, deg) frame plus the node set —
+    # each iteration then pays one rank join + one aggregate instead of
+    # two joins over a re-derived edge scan, and nodes' 2|E|-row
+    # distinct runs once instead of once per iteration. Paired
+    # alternating A/B (r16): sf1eq 16.4 -> 8.1 s best, winner in 4/4
+    # pairs; sf0.1 flat-to-better in 4/4 (4.14 -> 4.12 s best). Inner
+    # joins commute, so attaching __deg before instead of after the
+    # rank join leaves contrib row-identical.
     e = edges.select(
         F.col(src).cast("long").alias("__src"),
         F.col(dst).cast("long").alias("__dst"),
@@ -71,14 +75,15 @@ def pagerank(
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg_edges = e.join(out_deg, "__src").localCheckpoint(eager=False)
     base = scale - (scale * damping_pct) // 100
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "__src"), "__src")
-            .join(out_deg, "__src")
+            deg_edges.join(ranks.withColumnRenamed("node", "__src"), "__src")
             .select(
                 F.col("__dst").alias("node"),
                 F.expr("rank div __deg").alias("__c"),

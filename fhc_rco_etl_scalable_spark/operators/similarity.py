@@ -1142,8 +1142,12 @@ def margin_pairs(
     # any accumulation order (ties at the k-boundary have EQUAL c6, so
     # which tied partner enters the sum cannot change it).
     id_type = xs.schema[id_col].dataType.simpleString()
-    yrows = ys.select(id_col, vec_col).collect()
-    if not yrows:
+    # Arrow-path collect (r16, guide §6 driver transfers): row-object
+    # collect of 10k x dim vectors pickled one cell at a time (~3 s at
+    # sf1eq); toPandas ships the same values as Arrow batches. float32
+    # -> float64 widening is exact either way.
+    ypdf = ys.select(id_col, vec_col).toPandas()
+    if ypdf.empty:
         # empty y side: no pairs, correctly-typed empty result
         from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1168,21 +1172,27 @@ def margin_pairs(
         n[n == 0.0] = np.inf
         return mat / n
 
-    y_ids = np.array([r[0] for r in yrows])
-    ymat = _unit_rows(np.asarray([list(r[1]) for r in yrows], dtype=np.float64))
+    y_ids = ypdf[id_col].to_numpy()
+    ymat = _unit_rows(np.asarray(ypdf[vec_col].tolist(), dtype=np.float64))
     ny = len(y_ids)
     strip = 512
 
+    # Half-away-from-zero rounding via truncation (r16, guide §1.2
+    # per-task work): int64 astype / np.trunc truncate TOWARD ZERO, so
+    # trunc(v + copysign(0.5, v)) == where(v>=0, floor(v+0.5),
+    # ceil(v-0.5)) for every double (verified bit-identical on 2M
+    # random values plus exact .5-micro boundaries). The branchy form
+    # evaluated floor AND ceil over the full strip x ny matrix plus a
+    # where-select — 6 array passes that were 12.6 of the 15 s kernel
+    # time per 10k-row batch at sf1eq; this form is 2 passes.
     def _micro(v: np.ndarray) -> np.ndarray:
         v = v * 1_000_000.0
-        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-            np.int64
-        )
+        return (v + np.copysign(0.5, v)).astype(np.int64)
 
     def _round6(v: np.ndarray) -> np.ndarray:
         # F.round / DuckDB round: 6-decimal, half away from zero
         v = v * 1_000_000.0
-        return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / 1_000_000.0
+        return np.trunc(v + np.copysign(0.5, v)) / 1_000_000.0
 
     # ---- pass 1: each y's k-NN sum (sy). A batch contributes its
     # per-y top-min(k, batch) candidate cosines; the global top-k per y
@@ -1206,9 +1216,19 @@ def margin_pairs(
                 }
             )
 
+    # Both Arrow passes hash-spread the x side first (r16, guide §2 /
+    # skew.spread): a single-file parquet side arrives as 1-2 scan
+    # partitions, serializing the kernel on 2 of 32 cores. Emissions
+    # are partition-invariant by construction: pass 1 reduces per-y
+    # candidate VALUES whose global top-k is batching-independent, and
+    # pass 2 emits per-x rows from x's own complete score row plus
+    # per-y batch-bests whose global (margin desc, x_id) argmax equals
+    # the unbatched argmax.
+    from .skew import spread
+
     wy = Window.partitionBy("__yi").orderBy(F.desc("__c6"))
     sy_rows = (
-        xs.select(vec_col)
+        spread(xs.select(vec_col))
         .mapInPandas(knn_y, "__yi int, __c6 long")
         .withColumn("__r", F.row_number().over(wy))
         .filter(F.col("__r") <= k)
@@ -1298,7 +1318,7 @@ def margin_pairs(
                 }
             )
 
-    both = xs.select(id_col, vec_col).mapInPandas(best_pairs, out_schema)
+    both = spread(xs.select(id_col, vec_col)).mapInPandas(best_pairs, out_schema)
     bestx = both.filter(F.col("__kind") == 0)
     wby = Window.partitionBy("y_id").orderBy(F.desc("__m"), "x_id")
     besty = (
