@@ -192,6 +192,251 @@ def _empty_topk_result(corpus: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Local-top-k candidate kernels (r16, guide §4.2 + §8): every top-k
+# query path used to evaluate the NATIVE dot — an interpreted
+# ZipWith/ArrayAggregate pair that gets no codegen, measured ~70 µs per
+# pair — once per (corpus row x probed query), then window-rank the
+# full candidate frame. The kernels below decide with small rows
+# instead: one numpy dgemm per Arrow batch scores the batch against
+# every query, and only rows that could still reach the global native
+# top-k — each query's per-batch top-k by approx score, plus everything
+# within _APPROX_EPS of the k-th — leave Python, carrying their unit
+# vectors. The NATIVE dot then re-scores this provable superset
+# (k + boundary ties per query per batch, not |corpus| rows), so the
+# emitted cos_sim values, the ordering, and every tie-break stay
+# engine-exact — the _blas_candidate_pairs discipline applied to top-k.
+#
+# Soundness of the local cut: a row in the global native top-k is
+# beaten natively by at most k-1 rows, hence by at most k-1 rows of its
+# own batch; numpy and the native fold agree to O(dim*eps) ~ 1e-13 on
+# unit vectors, so its numpy score is >= (batch k-th numpy score) -
+# _APPROX_EPS. NaN scores (zero-norm degenerate vectors) are mapped to
+# +inf because Spark sorts NaN above every double in DESC order — such
+# rows stay in the superset and the native window ranks them exactly
+# as before.
+_APPROX_EPS = 1e-9
+
+
+def _collect_unit_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side (id, unit vector) arrays of the query set — a
+    bounded collect under the same contract by which the query side
+    broadcasts everywhere in this module. The vectors are the NATIVE
+    ``_unit`` values, so every numpy decision starts from the exact
+    doubles the engine-side re-scoring uses (probe selection stays
+    bit-identical to the previous Arrow-UDF form, which also ran numpy
+    over the native unit vectors).
+
+    Also returns ``q_native`` — the (query_id, __qv) frame REBUILT from
+    the collected rows (collected doubles round-trip exactly), so the
+    final native re-rank broadcasts 10-ish local rows instead of
+    re-scanning and re-normalizing the queries subtree as a second
+    Spark job per call."""
+    qid_type = queries.schema[id_col].dataType.simpleString()
+    rows = queries.select(
+        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
+    ).collect()
+    if not rows:
+        return None, None, None
+    q_ids = np.asarray([r["query_id"] for r in rows])
+    qmat = np.asarray([r["__qv"] for r in rows], dtype=np.float64)
+    q_native = queries.sparkSession.createDataFrame(
+        [(r["query_id"], list(r["__qv"])) for r in rows],
+        f"query_id {qid_type}, __qv array<double>",
+    )
+    return q_ids, qmat, q_native
+
+
+def _local_topk_mask(scores: np.ndarray, k: int) -> np.ndarray:
+    """Boolean keep-mask over a (batch x queries) score matrix: per
+    query, everything within _APPROX_EPS of the k-th largest score
+    (excluded entries are -inf and never kept)."""
+    nb = scores.shape[0]
+    t = min(k, nb)
+    kth = np.partition(scores, nb - t, axis=0)[nb - t, :]
+    keep = scores >= (kth - _APPROX_EPS)[None, :]
+    keep &= scores > -np.inf
+    return keep
+
+
+def _probe_lut(cents: np.ndarray, qmat: np.ndarray, n_probe: int) -> np.ndarray:
+    """(n_cells x n_queries) bool membership mask of each query's
+    ``n_probe`` nearest cells — the same ``argsort(-(q @ cents.T))``
+    the per-query probe UDFs ran, evaluated once driver-side."""
+    n_probe_eff = min(n_probe, len(cents))
+    probe = np.argsort(-(qmat @ cents.T), axis=1)[:, :n_probe_eff]
+    nq = len(qmat)
+    lut = np.zeros((len(cents), nq), dtype=bool)
+    lut[probe.ravel(), np.repeat(np.arange(nq), n_probe_eff)] = True
+    return lut
+
+
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Repartition a kernel input only when it arrives with fewer
+    partitions than cores (single-file stored index, tiny upstream):
+    frames built by ivf_index/_pq_encode are already spread, and an
+    unconditional repartition added a measurable exchange + a second
+    Arrow ship of the vectors at sf0.1."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        from .skew import spread
+
+        return spread(df)
+    return df
+
+
+def _use_topk_kernel(assignments: DataFrame) -> bool:
+    """Size-adaptive path choice for the INDEXED query paths: the
+    local-top-k kernel pays a fixed ~0.5 s Arrow pass (worker
+    round-trip + vector re-ship), while the join-shaped form's cost
+    grows with |candidates| (interpreted dot ~3.5 us/pair + the
+    full-candidate window, plus the ADC Arrow pass on the PQ path).
+    Interleaved min-of-3 A/B (r16): at a 0.8 MB / 2k-row index the
+    join form wins by ~0.4 s; at 5.2 MB / 20k rows the kernel wins by
+    ~1 s and keeps winning as the index grows (it touches each
+    assignment row exactly once). The optimizer's sizeInBytes estimate
+    of the assignment frame picks the side; parameterized via
+    SPARK_GRAFT_ANN_KERNEL_MIN_BYTES (default 2 MiB, between the two
+    measured operating points), and an unavailable estimate assumes
+    BIG — the scale-safe default.
+
+    Both paths are result-identical and both stay oracle-certified:
+    the small fixtures (sf0.001/sf0.01/sf0.1) exercise the join form,
+    the sf1eq sweep the kernel form, and pytest pins kernel == join
+    == brute on the same corpus."""
+    import os
+
+    threshold = int(
+        os.environ.get("SPARK_GRAFT_ANN_KERNEL_MIN_BYTES", str(2 * 1024 * 1024))
+    )
+    try:
+        est = int(
+            assignments._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return True
+    return est >= threshold
+
+
+def _topk_candidate_kernel(
+    q_ids: np.ndarray,
+    qmat: np.ndarray,
+    k: int,
+    qid_type: str,
+    nid_type: str,
+    cell_lut: "np.ndarray | None" = None,
+    assign_cents: "np.ndarray | None" = None,
+    pq: "tuple | None" = None,
+):
+    """Build the mapInPandas function + schema for local-top-k
+    candidate generation over a (__id, unit_vec[, cell[, codes]])
+    corpus frame.
+
+    - ``cell_lut``: restrict candidates to rows whose cell is probed by
+      the query (IVF routing; rows with out-of-range cells match no
+      probe, exactly like the old cell equi-join).
+    - ``assign_cents``: compute the cell in-kernel via the same
+      ``argmax(v @ cents.T)`` the assignment UDF ran (one-shot IVF —
+      fuses away a whole Arrow pass).
+    - ``pq``: (cents, books) — additionally evaluate the ADC dot for
+      every candidate through the classic per-query lookup tables and
+      keep each query's ADC top-k too; emit kind=1 rows carrying the
+      per-(batch, query) candidate COUNT so the caller can prove the
+      refine filter vacuous (see _pq_query).
+    """
+    nq = len(q_ids)
+    if pq is not None:
+        pq_cents, pq_books = pq
+        base_lut = pq_cents @ qmat.T  # (n_cells, nq)
+        sub = pq_books[0].shape[1]
+        code_luts = [
+            b @ qmat[:, j * sub : (j + 1) * sub].T for j, b in enumerate(pq_books)
+        ]  # each (n_codes, nq)
+        schema = (
+            f"query_id {qid_type}, neighbor_id {nid_type}, "
+            "unit_vec array<double>, kind int, n long"
+        )
+    else:
+        schema = f"query_id {qid_type}, neighbor_id {nid_type}, unit_vec array<double>"
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["__id"].to_numpy()
+            nb = len(ids)
+            if nb == 0:
+                continue
+            cv = np.asarray(pdf["unit_vec"].tolist(), dtype=np.float64)
+            sc = cv @ qmat.T  # (nb, nq)
+            sc[np.isnan(sc)] = np.inf  # NaN ranks first under DESC in Spark
+            if assign_cents is not None:
+                cells = np.argmax(cv @ assign_cents.T, axis=1)
+            elif "cell" in pdf.columns:
+                cells = pdf["cell"].to_numpy()
+            else:
+                cells = None
+            if cell_lut is not None:
+                ok = (cells >= 0) & (cells < cell_lut.shape[0])
+                allowed = np.zeros((nb, nq), dtype=bool)
+                allowed[ok] = cell_lut[cells[ok]]
+            else:
+                allowed = np.ones((nb, nq), dtype=bool)
+            allowed &= ids[:, None] != q_ids[None, :]
+            keep = _local_topk_mask(np.where(allowed, sc, -np.inf), k)
+            if pq is not None:
+                adc = base_lut[cells] if cells is not None else np.zeros_like(sc)
+                codes = np.asarray(pdf["codes"].tolist(), dtype=np.int64)
+                for j, lut in enumerate(code_luts):
+                    adc = adc + lut[codes[:, j]]
+                adc = np.where(allowed, adc, -np.inf)
+                adc[np.isnan(adc)] = np.inf
+                keep |= _local_topk_mask(adc, k)
+            bi, qi = np.nonzero(keep)
+            out = pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": ids[bi],
+                    "unit_vec": pdf["unit_vec"].iloc[bi].to_numpy(),
+                }
+            )
+            if pq is not None:
+                out["kind"] = np.int32(0)
+                out["n"] = np.int64(0)
+                cnt = pd.DataFrame(
+                    {
+                        "query_id": q_ids,
+                        "neighbor_id": np.repeat(ids[:1], nq),
+                        "unit_vec": [None] * nq,
+                        "kind": np.int32(1),
+                        "n": allowed.sum(axis=0).astype(np.int64),
+                    }
+                )
+                out = pd.concat([out, cnt], ignore_index=True)
+            yield out
+
+    return gen, schema
+
+
+def _exact_rerank(survivors: DataFrame, q_native: DataFrame, k: int) -> DataFrame:
+    """Final native top-k over a kernel's candidate superset: attach
+    the NATIVE unit query vector (broadcast — tiny by contract), score
+    with the NATIVE dot, and window-rank with the same
+    (cos_sim DESC, neighbor_id) order every pre-kernel formulation
+    used. Identical emitted values and tie-breaks; only the row count
+    entering the interpreted dot and the window changed."""
+    cand = survivors.join(F.broadcast(q_native), "query_id")
+    cand = cand.withColumn("cos_sim", dot(F.col("__qv"), F.col("unit_vec")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -200,7 +445,14 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self-matches by id).
-    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    Returns (query_id, neighbor_id, cos_sim, rank).
+
+    Deliberately kept as the all-JVM crossJoin + window form (r16
+    measured the local-top-k kernel ALTERNATIVE slower here at both
+    sf0.1 and sf1eq: the interpreted dot costs ~3.5 us/pair at dim 64,
+    so the kernel's fixed Arrow pass only amortizes past ~10^6
+    candidate pairs — brute force is the small-corpus correctness
+    baseline, and past that size the ANN paths are the contract)."""
     from .skew import spread
 
     q = queries.select(
@@ -415,6 +667,31 @@ def lsh_topk(
     )
 
 
+def _unit_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, sample_size: int
+) -> "np.ndarray | None":
+    """Deterministic id-ordered unit-vector training sample, collected
+    driver-side. Returns None on an empty corpus.
+
+    The ``_unit`` projection is applied AFTER the order-by + limit
+    (r16): projecting before the sort evaluated the O(dim) interpreted
+    normalization over EVERY corpus row inside TakeOrdered just to
+    keep ``sample_size`` of them; selecting the raw vector first and
+    normalizing the surviving rows computes the identical doubles
+    (per-row expression over the same rows — the sample is decided by
+    ``id_col`` alone)."""
+    sample_rows = (
+        corpus.select(F.col(id_col).alias("sid"), F.col(vec_col).alias("__raw"))
+        .orderBy("sid")
+        .limit(sample_size)
+        .select(_unit(F.col("__raw")).alias("uv"))
+        .collect()
+    )
+    if not sample_rows:
+        return None
+    return np.asarray([r.uv for r in sample_rows], dtype=np.float64)
+
+
 def _kmeans_centroids(
     sample: np.ndarray, n_cells: int, iters: int = 10
 ) -> np.ndarray:
@@ -459,57 +736,42 @@ def ivf_topk(
     broadcast the matrix — the quantizer is data, not data-scale).
     ``n_probe == n_cells`` degenerates to exhaustive search and must
     match ``brute_force_topk`` exactly (asserted in pytest).
-    """
-    from pyspark.sql.functions import pandas_udf
 
+    r16 shape: cell assignment, probe routing and candidate scoring
+    fused into ONE Arrow pass over the corpus (the local-top-k kernel
+    above — assignment is the same ``argmax(v @ cents.T)``, routing
+    the same argsort probe list, both bit-identical to the previous
+    per-stage UDFs); only each query's per-batch top-k superset leaves
+    Python for the native re-rank. The pre-r16 plan shipped the
+    corpus through an assignment UDF, a cell equi-join, |corpus| x
+    n_probed interpreted dot products, and a full-candidate window.
+    """
     from .skew import spread
 
-    sample_rows = (
-        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
-        .orderBy("sid")
-        .limit(sample_size)
-        .collect()
-    )
-    if not sample_rows:
+    sample = _unit_sample(corpus, id_col, vec_col, sample_size)
+    if sample is None:
         # empty corpus: return an empty, correctly-typed result instead
         # of crashing in the quantizer (np.linalg.norm axis error on a
         # 0-d sample) — matching brute_force_topk/lsh_topk's behavior.
         # The id dtype mirrors the caller's column, not a hardcoded long.
         return _empty_topk_result(corpus, id_col)
-    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
-
-    @pandas_udf("int")
-    def assign_cell(vecs: pd.Series) -> pd.Series:
-        v = np.asarray(vecs.tolist(), dtype=np.float64)
-        return pd.Series(np.argmax(v @ cents.T, axis=1).astype(np.int32))
-
-    n_probe_eff = min(n_probe, len(cents))
-
-    @pandas_udf("array<int>")
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        v = np.asarray(vecs.tolist(), dtype=np.float64)
-        order = np.argsort(-(v @ cents.T), axis=1)[:, :n_probe_eff].astype(np.int32)
-        return pd.Series(list(order))
-
-    c = spread(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), _unit(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cell", assign_cell(F.col("__cv")))
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _unit(F.col(vec_col)).alias("__qv")
-    ).withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
-
-    cand = c.join(F.broadcast(q), "__cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    q_ids, qmat, q_native = _collect_unit_queries(queries, id_col, vec_col)
+    if q_ids is None:
+        return _empty_topk_result(corpus, id_col)
+    kern, schema = _topk_candidate_kernel(
+        q_ids,
+        qmat,
+        k,
+        queries.schema[id_col].dataType.simpleString(),
+        corpus.schema[id_col].dataType.simpleString(),
+        cell_lut=_probe_lut(cents, qmat, n_probe),
+        assign_cents=cents,
     )
-    cand = cand.withColumn("cos_sim", dot(F.col("__qv"), F.col("__cv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    src = spread(corpus, id_col).select(
+        F.col(id_col).alias("__id"), _unit(F.col(vec_col)).alias("unit_vec")
     )
+    return _exact_rerank(src.mapInPandas(kern, schema), q_native, k)
 
 
 def ivf_index(
@@ -539,13 +801,8 @@ def ivf_index(
 
     from .skew import spread
 
-    sample_rows = (
-        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
-        .orderBy("sid")
-        .limit(sample_size)
-        .collect()
-    )
-    if not sample_rows:
+    sample = _unit_sample(corpus, id_col, vec_col, sample_size)
+    if sample is None:
         # empty-input contract matches ivf_topk (ADVICE r14): empty,
         # correctly-typed frames, not a raise — an empty partition of a
         # larger build job should produce an empty index shard.
@@ -558,7 +815,6 @@ def ivf_index(
             [], "cell int, centroid array<double>"
         )
         return assignments, centroids
-    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
 
     @pandas_udf("int")
@@ -669,11 +925,18 @@ def ivf_topk_indexed(
     re-scanned, re-normalized, or re-assigned.
 
     ``centroids`` is collected driver-side — a deliberate bounded
-    collect (n_cells rows; the quantizer is data, not data-scale) —
-    and the probe list broadcasts with the queries; the only big-side
-    work is the cell-keyed join against ``assignments``. Doubles
-    round-trip exactly through parquet, so the stored-index result is
-    bit-identical to the in-memory one.
+    collect (n_cells rows; the quantizer is data, not data-scale).
+    Doubles round-trip exactly through parquet, so the stored-index
+    result is bit-identical to the in-memory one.
+
+    r16 shape, size-adaptive (see :func:`_use_topk_kernel`): above the
+    size threshold, probe routing + candidate scoring run as ONE Arrow
+    pass over the stored assignment rows (the local-top-k kernel above;
+    cell routing reads the stored ``cell`` column through the same
+    membership test the cell equi-join applies); only each query's
+    per-batch top-k superset leaves Python for the native re-rank.
+    Below it, the join-shaped form — whose fixed cost is lower — runs
+    unchanged. Both produce identical rows.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -683,6 +946,24 @@ def ivf_topk_indexed(
         # typed-empty contract as ivf_index / ivf_topk.
         return _empty_topk_result(queries, id_col)
     cents = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    if _use_topk_kernel(assignments):
+        q_ids, qmat, q_native = _collect_unit_queries(queries, id_col, vec_col)
+        if q_ids is None:
+            return _empty_topk_result(queries, id_col)
+        kern, schema = _topk_candidate_kernel(
+            q_ids,
+            qmat,
+            k,
+            queries.schema[id_col].dataType.simpleString(),
+            assignments.schema[id_col].dataType.simpleString(),
+            cell_lut=_probe_lut(cents, qmat, n_probe),
+        )
+        src = _spread_if_narrow(
+            assignments.select(
+                F.col(id_col).alias("__id"), F.col("unit_vec"), F.col("cell")
+            )
+        )
+        return _exact_rerank(src.mapInPandas(kern, schema), q_native, k)
     n_probe_eff = min(n_probe, len(cents))
 
     @pandas_udf("array<int>")
@@ -789,15 +1070,9 @@ def _pq_train(
     coarse quantizer, per-subvector L2 codebooks on the residuals.
     Returns ``(cents, books)`` numpy arrays, or ``None`` on an empty
     corpus."""
-    sample_rows = (
-        corpus.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
-        .orderBy("sid")
-        .limit(sample_size)
-        .collect()
-    )
-    if not sample_rows:
+    sample = _unit_sample(corpus, id_col, vec_col, sample_size)
+    if sample is None:
         return None
-    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     dim = sample.shape[1]
     if dim % m_subvectors:
         raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
@@ -866,7 +1141,88 @@ def _pq_query(
     """Probe + ADC rank + exact refine over encoded assignment rows —
     the query path shared verbatim by :func:`ivfpq_topk` (arrays fresh
     from training) and :func:`ivfpq_topk_indexed` (arrays rebuilt from
-    the stored centroid/codebook tables)."""
+    the stored centroid/codebook tables).
+
+    r16 two-path shape. ONE Arrow pass over the assignment rows (the
+    local-top-k kernel) evaluates, for every probed candidate, both the
+    ADC dot (classic per-query lookup tables over the stored codes —
+    the full PQ machinery still runs per candidate) and the approx
+    cosine, keeps each query's per-batch top-k of BOTH scores (plus
+    _APPROX_EPS boundary ties), and emits per-(batch, query) candidate
+    COUNTS. When ``refine * k >= max(per-query candidate count)`` the
+    ADC refine filter is PROVABLY vacuous — every candidate is in the
+    refine set, so the declared result is exactly the native-cosine
+    top-k of all candidates, and the kernel's cosine superset feeds the
+    native re-rank directly (the bench / oracle configuration:
+    probe-all + refine-all). Otherwise — approximate configs where the
+    ADC CUT is load-bearing — fall back to the original join-shaped
+    exact path below, whose ADC ranking semantics are preserved
+    operator-for-operator (it re-scans the assignments; those configs
+    run on pytest-sized corpora).
+
+    Below the :func:`_use_topk_kernel` size threshold the join-shaped
+    path runs directly — its fixed cost is lower than the kernel's
+    Arrow pass at small index sizes, and its ADC semantics are the
+    reference ones for every config."""
+    if not _use_topk_kernel(assignments):
+        return _pq_query_refine(
+            assignments, cents, books, queries, id_col, vec_col, k, n_probe, refine
+        )
+    q_ids, qmat, q_native = _collect_unit_queries(queries, id_col, vec_col)
+    if q_ids is None:
+        return _empty_topk_result(queries, id_col)
+    kern, schema = _topk_candidate_kernel(
+        q_ids,
+        qmat,
+        k,
+        queries.schema[id_col].dataType.simpleString(),
+        assignments.schema[id_col].dataType.simpleString(),
+        cell_lut=_probe_lut(cents, qmat, n_probe),
+        pq=(cents, books),
+    )
+    src = _spread_if_narrow(
+        assignments.select(
+            F.col(id_col).alias("__id"),
+            F.col("unit_vec"),
+            F.col("cell"),
+            F.col("codes"),
+        )
+    )
+    # Materialize the reduced frame once (it is k-superset-sized, not
+    # corpus-sized) so the vacuity decision and the final plan reuse
+    # one corpus pass instead of re-running the kernel per action.
+    reduced = src.mapInPandas(kern, schema).localCheckpoint(eager=True)
+    max_cand = (
+        reduced.filter(F.col("kind") == 1)
+        .groupBy("query_id")
+        .agg(F.sum("n").alias("__n"))
+        .agg(F.max("__n"))
+        .collect()[0][0]
+        or 0
+    )
+    if refine * k >= max_cand:
+        survivors = reduced.filter(F.col("kind") == 0).select(
+            "query_id", "neighbor_id", "unit_vec"
+        )
+        return _exact_rerank(survivors, q_native, k)
+    return _pq_query_refine(
+        assignments, cents, books, queries, id_col, vec_col, k, n_probe, refine
+    )
+
+
+def _pq_query_refine(
+    assignments: DataFrame,
+    cents: "np.ndarray",
+    books: list,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_probe: int,
+    refine: int,
+) -> DataFrame:
+    """The original join-shaped ADC-refine path — exact semantics for
+    configs where ``refine * k`` genuinely cuts the candidate set."""
     from pyspark.sql.functions import pandas_udf
 
     m_subvectors = len(books)
@@ -1384,15 +1740,9 @@ def semantic_dedup(
 
     from .skew import spread
 
-    sample_rows = (
-        df.select(_unit(F.col(vec_col)).alias("uv"), F.col(id_col).alias("sid"))
-        .orderBy("sid")
-        .limit(sample_size)
-        .collect()
-    )
-    if not sample_rows:
+    sample = _unit_sample(df, id_col, vec_col, sample_size)
+    if sample is None:
         return df.select(id_col).limit(0)
-    sample = np.asarray([r.uv for r in sample_rows], dtype=np.float64)
     cents = _kmeans_centroids(sample, min(n_cells, len(sample)))
     n_assign_eff = min(n_assign, len(cents))
 
