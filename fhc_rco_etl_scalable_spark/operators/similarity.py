@@ -75,6 +75,7 @@ def _blas_candidate_pairs(
     group_col: str | None = None,
     block_rows: int = 8192,
     strip_rows: int = 512,
+    mask_col: str | None = None,
 ) -> DataFrame:
     """All unordered id pairs whose BLAS cosine clears ``threshold``,
     without ever materializing the O(n^2) pair frame through the JVM.
@@ -92,6 +93,14 @@ def _blas_candidate_pairs(
     Callers re-verify survivors with the native ``dot`` at the exact
     threshold; this function's comparison runs at the caller's
     (already slack-adjusted) threshold, so it must only be inclusive.
+
+    ``mask_col`` (r16): an int64 bitmask per row; a scoring pair also
+    requires ``mask_a & mask_b != 0``. This is how dense multi-cell
+    co-assignment (semantic_dedup's certification config, every row in
+    several cells) runs as ONE global blocked pass instead of one pass
+    per cell over near-identical memberships — same candidate set as
+    the per-cell route + distinct, k_assign x fewer dgemm FLOPs and
+    shipped rows when co-assignment is dense.
     """
     import math as _math
 
@@ -116,11 +125,12 @@ def _blas_candidate_pairs(
     # a-side of pair (i, j): block i rows, for every j >= i; b-side:
     # block j rows for every i < j (the diagonal pair takes its rows
     # from the a-side only, so no row ships twice to it).
+    extra = [c for c in (group_col, mask_col) if c]
     a = rows.withColumn(
         "__bj", F.explode(F.sequence(F.col("__blk"), F.lit(nb - 1)))
     ).select(
         F.col("__blk").alias("__bi"), "__bj", "__id", "__v",
-        F.lit(0).alias("__side"), *( [group_col] if group_col else [] )
+        F.lit(0).alias("__side"), *extra
     )
     b = rows.withColumn(
         "__bi",
@@ -129,7 +139,7 @@ def _blas_candidate_pairs(
         ),
     ).select(
         "__bi", F.col("__blk").alias("__bj"), "__id", "__v",
-        F.lit(1).alias("__side"), *( [group_col] if group_col else [] )
+        F.lit(1).alias("__side"), *extra
     )
     both = a.unionByName(b)
     keys = ([group_col] if group_col else []) + ["__bi", "__bj"]
@@ -141,20 +151,32 @@ def _blas_candidate_pairs(
         if len(ids_a) == 0:
             return pd.DataFrame({"id_a": ids_a, "id_b": ids_a})
         ma = np.asarray(asub["__v"].tolist(), dtype=np.float64)
+        msk_a = (
+            asub[mask_col].to_numpy().astype(np.int64) if mask_col else None
+        )
         if diag:
             order = np.argsort(ids_a)
             ids_a, ma = ids_a[order], ma[order]
             ids_b, mb = ids_a, ma
+            if mask_col:
+                msk_a = msk_a[order]
+            msk_b = msk_a
         else:
             bsub = pdf[pdf["__side"] == 1]
             ids_b = bsub["__id"].to_numpy()
             if len(ids_b) == 0:
                 return pd.DataFrame({"id_a": ids_b, "id_b": ids_b})
             mb = np.asarray(bsub["__v"].tolist(), dtype=np.float64)
+            msk_b = (
+                bsub[mask_col].to_numpy().astype(np.int64) if mask_col else None
+            )
         out_a, out_b = [], []
         for s in range(0, len(ids_a), strip_rows):
             sc = ma[s : s + strip_rows] @ mb.T
             ia, ib = np.where(sc >= threshold)
+            if mask_col:
+                shared = (msk_a[ia + s] & msk_b[ib]) != 0
+                ia, ib = ia[shared], ib[shared]
             if diag:
                 # id-sorted rows: strict upper triangle == id_a < id_b
                 keep = (ia + s) < ib
@@ -1771,7 +1793,6 @@ def semantic_dedup(
     # At cluster scale with 100 TB of vectors the trade flips: persist
     # the narrow assignment frame to a table and join both sides from
     # it, paying one corpus pass instead of two.
-    cells = base.withColumn("__cell", F.explode(assign_cells(F.col("__v"))))
     # Within-cell candidate generation through the blocked-BLAS kernel
     # (slack threshold): the cell-route semantics are unchanged — a
     # pair is a candidate iff it SHARES a cell — but the quadratic
@@ -1780,9 +1801,44 @@ def semantic_dedup(
     # triangle before the distinct) dominated the operator at 200k
     # vectors. Survivors re-verify with the native dot at the exact
     # threshold, preserving the engine-exact boundary comparison.
-    cand = _blas_candidate_pairs(
-        cells, threshold - _BLAS_EPS, group_col="__cell"
-    ).distinct()
+    #
+    # Route choice (r16): when co-assignment is DENSE — n_assign^2 >=
+    # n_cells under the balanced-cell model, i.e. the per-cell pass
+    # totals ~n^2 * a^2 / C dgemm FLOPs vs n^2 for one global pass —
+    # the per-cell route recomputes near-identical memberships once
+    # per cell (the probe-all certification config computes every pair
+    # n_cells times, then distincts them away). Run ONE global blocked
+    # pass instead, carrying each row's assigned cells as an int64
+    # BITMASK; the kernel keeps a scoring pair iff mask_a & mask_b !=
+    # 0 — exactly "shares >= 1 cell", so the candidate set is
+    # identical and already duplicate-free (each unordered pair lives
+    # in one block pair). The sparse published scale path (n_assign=1)
+    # keeps the per-cell route, where cells genuinely partition the
+    # work. Bitmask needs n_cells <= 64; larger quantizers use the
+    # per-cell route regardless.
+    if n_assign_eff * n_assign_eff >= len(cents) and len(cents) <= 64:
+
+        @pandas_udf("long")
+        def assign_mask(vecs: pd.Series) -> pd.Series:
+            v = np.asarray(vecs.tolist(), dtype=np.float64)
+            order = np.argsort(-(v @ cents.T), axis=1)[:, :n_assign_eff]
+            return pd.Series(
+                np.bitwise_or.reduce(
+                    np.int64(1) << order.astype(np.int64), axis=1
+                )
+            )
+
+        masked = base.withColumn("__mask", assign_mask(F.col("__v")))
+        cand = _blas_candidate_pairs(
+            masked, threshold - _BLAS_EPS, mask_col="__mask"
+        )
+    else:
+        cells = base.withColumn(
+            "__cell", F.explode(assign_cells(F.col("__v")))
+        )
+        cand = _blas_candidate_pairs(
+            cells, threshold - _BLAS_EPS, group_col="__cell"
+        ).distinct()
     va = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     removed = (

@@ -91,3 +91,51 @@ def test_kernel_handles_empty_queries(spark, corpus):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "cos_sim", "rank",
     ]
+
+
+def _semantic_dedup_reference(corpus_rows, n_cells, n_assign, threshold):
+    """Independent numpy transcription of the semantic_dedup contract:
+    id-ordered <=512 sample, Lloyd quantizer, top-n_assign cell route,
+    pair candidate iff shares >= 1 cell, removed iff some lower id
+    within threshold, keep the rest."""
+    rows = sorted(corpus_rows, key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows])
+    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sample = mat[:512]
+    c = sample[: min(n_cells, len(sample))].copy()
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    for _ in range(10):
+        assign = np.argmax(sample @ c.T, axis=1)
+        for j in range(len(c)):
+            members = sample[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    a = min(n_assign, len(c))
+    cells = np.argsort(-(mat @ c.T), axis=1)[:, :a]
+    cell_sets = [set(r) for r in cells]
+    sims = mat @ mat.T
+    removed = set()
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell_sets[i] & cell_sets[j] and sims[i, j] >= threshold:
+                removed.add(ids[j])
+    return sorted(int(x) for x in ids if x not in removed)
+
+
+@pytest.mark.parametrize("n_cells,n_assign", [(8, 8), (8, 3), (8, 2)])
+def test_semantic_dedup_routes_match_reference(spark, corpus, n_cells, n_assign):
+    # (8, 8) and (8, 3) take the r16 dense bitmask route (a^2 >= C);
+    # (8, 2) takes the per-cell route — both must reproduce the
+    # independent numpy transcription of the cell-share contract.
+    rows = [(r["vec_id"], list(r["embedding"])) for r in corpus.collect()]
+    expect = _semantic_dedup_reference(rows, n_cells, n_assign, 0.93)
+    got = sorted(
+        r[0]
+        for r in SIM.semantic_dedup(
+            corpus, threshold=0.93, n_cells=n_cells, n_assign=n_assign
+        ).collect()
+    )
+    assert got == expect
