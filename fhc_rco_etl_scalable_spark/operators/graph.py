@@ -235,7 +235,15 @@ def bfs_levels(
     state to watch: it grows monotonically, so long-horizon BFS wants
     it partitioned on node and checkpointed to storage, not memory.
     """
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    # Loop-invariant edge frame checkpointed once (r16, the pagerank
+    # discipline extended): every hop round joins against e, and
+    # without the barrier each round re-ran the |E|-row distinct
+    # shuffle from the raw scan.
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     spark = edges.sparkSession
     # dedupe sources: duplicate ids would seed duplicate (node, 0) rows
     # and double-count every downstream union row for those nodes.

@@ -1552,6 +1552,11 @@ def margin_pairs(
 
     y_ids = ypdf[id_col].to_numpy()
     ymat = _unit_rows(np.asarray(ypdf[vec_col].tolist(), dtype=np.float64))
+    # Ascending y_id order (r16): with columns id-sorted, np.argmax's
+    # first-maximum IS the smallest-id tie-break, so pass 2 never
+    # materializes the strip x ny tie-break candidate matrices.
+    y_order = np.argsort(y_ids, kind="stable")
+    y_ids, ymat = y_ids[y_order], ymat[y_order]
     ny = len(y_ids)
     strip = 512
 
@@ -1628,19 +1633,25 @@ def margin_pairs(
         f"x_id {id_type}, y_id {id_type}, __c6 long, __sx long, "
         f"__sy long, __m double, __kind int"
     )
-    y_big = y_ids.max() + 1 if ny else 0
-
     def best_pairs(batches):
         for pdf in batches:
             xm = _unit_rows(np.asarray(pdf[vec_col].tolist(), dtype=np.float64))
             x_ids = pdf[id_col].to_numpy()
+            # ascending x_id within the batch: np.argmax(axis=0)'s
+            # first-maximum becomes the smallest-x_id tie-break (strip
+            # composition changes are covered by the same
+            # partition-invariance argument as batching itself).
+            x_order = np.argsort(x_ids, kind="stable")
+            x_ids, xm = x_ids[x_order], xm[x_order]
             frames = []
-            x_big = x_ids.max() + 1 if len(x_ids) else 0
             for s in range(0, len(xm), strip):
                 sx_ids = x_ids[s : s + strip]
                 c6 = _micro(xm[s : s + strip] @ ymat.T)
                 t = min(k, ny)
-                sx = np.sort(c6, axis=1)[:, ny - t :].sum(axis=1)
+                # top-t SUM is order-invariant: np.partition (O(ny))
+                # replaces the full row sort (O(ny log ny)) that
+                # dominated this kernel at 30k-column strips.
+                sx = np.partition(c6, ny - t, axis=1)[:, ny - t :].sum(axis=1)
                 denom = sx[:, None] + sy[None, :]
                 safe = denom != 0
                 raw = np.divide(
@@ -1649,10 +1660,10 @@ def margin_pairs(
                 marg = _round6(raw)
                 marg[~safe] = -np.inf  # NULL margin: never ranks first
                 # best y per x: max margin, tie -> smallest y_id
-                mx = marg.max(axis=1)
-                ycand = np.where(marg == mx[:, None], y_ids[None, :], y_big)
-                jstar = ycand.argmin(axis=1)
+                # (first argmax over id-sorted columns)
+                jstar = np.argmax(marg, axis=1)
                 rows = np.arange(len(sx_ids))
+                mx = marg[rows, jstar]
                 okx = np.isfinite(mx)
                 frames.append(
                     pd.DataFrame(
@@ -1668,9 +1679,9 @@ def margin_pairs(
                     )
                 )
                 # strip-best x per y: max margin, tie -> smallest x_id
-                my = marg.max(axis=0)
-                xcand = np.where(marg == my[None, :], sx_ids[:, None], x_big)
-                istar = xcand.argmin(axis=0)
+                # (first argmax over id-sorted rows)
+                istar = np.argmax(marg, axis=0)
+                my = marg[istar, np.arange(ny)]
                 oky = np.isfinite(my)
                 frames.append(
                     pd.DataFrame(
